@@ -1,0 +1,45 @@
+"""Engine configuration.
+
+The reference drives everything from application.properties (table list,
+namespaces, datasources — DBConfigReader.java:14-36). The Spark engine needs
+far less: one lake-table identifier per target, declared merge keys, a
+checkpoint root, and scale knobs (bucket count, salt factor). Keys are
+declared, not discovered from information_schema (reference
+DBSqlGenerator.java:162-168), because the engine owns its tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Configuration for one CDC replay target.
+
+    Attributes:
+        table_path: root directory of the snapshot-committed target table.
+        key_cols: merge key, default (repo, path) per the north rule.
+        lsn_col: total commit order column (binlog/WAL sequence).
+        op_col: change kind column: insert | update | delete.
+        n_buckets: hash-bucket count of the target layout. Buckets are the
+            unit of copy-on-write: a MERGE only rewrites buckets that contain
+            changed keys. Size so one bucket's data fits an executor
+            comfortably; at 100 TB with ~8 GB per bucket that is ~16k buckets.
+        salt_factor: max sub-splits of one hot key's shuffle partition
+            (reference analogue: per-tenant Steps; north_rule requires
+            explicit hot-repo salting).
+        checkpoint_path: streaming checkpoint + lineage root.
+        mismatch_report_cap: verification report row cap (reference
+            DataVerificationService.java:45-46 caps at 100 + "..more").
+    """
+
+    table_path: str
+    key_cols: tuple[str, ...] = ("repo", "path")
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+    n_buckets: int = 64
+    salt_factor: int = 8
+    checkpoint_path: str | None = None
+    mismatch_report_cap: int = 100
+    table_props: dict = field(default_factory=dict)
