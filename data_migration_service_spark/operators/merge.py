@@ -1,0 +1,197 @@
+"""CDC MERGE — key-partitioned last-writer-wins upsert into a SnapshotTable.
+
+This is the engine's core operator: the Spark-native replacement for the
+reference's chunk loop (paged read -> identity transform -> batched INSERT
+with duplicate-key skip, DataMigrationService.java:151-165) and its implicit
+ordering contract (PK-ordered paging). Semantics per the north rule:
+
+- last-writer-wins per commit sequence (`lsn`) within the batch AND across
+  batches (target rows carry their applied `lsn`; a lower-LSN event never
+  overwrites, a delete tombstone retains its LSN so nothing resurrects);
+- deletes are tombstones; re-insert after delete wins only with higher LSN;
+- exactly-once: the whole batch commits as ONE snapshot tagged with the
+  batch epoch; a replayed epoch is detected from the current snapshot's
+  props and skipped (foreachBatch is at-least-once by default).
+
+Plan shape (one shuffle, bucket-pruned copy-on-write):
+
+    batch ──project to current schema──┐
+                                       ├─ union ─ groupBy(key).agg(max_by(.., (lsn, side)))
+    target(affected buckets only) ─────┘                      │
+                                                              └─ write per (bucket, salt) ─ snapshot commit
+
+`max_by(struct(cols), (lsn, side))` does LWW inside a single hash aggregate
+with map-side partial aggregation — cheaper than window row_number (no sort,
+and duplicate deliveries collapse map-side). Conflict metrics (rows matched /
+inserted / deleted) come out of the same aggregate for free.
+
+Skew: bucket ids come from xxhash64(repo, path), which spreads a hot repo
+across buckets; a hot *bucket* is still split across writer tasks via salt
+(SnapshotTable.write_buckets(salt_factor)). AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.tables.lake import (
+    BUCKET_COL,
+    DELETED_COL,
+    SnapshotTable,
+    bucket_expr,
+)
+
+SIDE_COL = "_side"  # 0 = target, 1 = incoming batch (tie-break on equal lsn)
+
+
+@dataclass
+class MergeStats:
+    epoch: int | None
+    skipped: bool = False
+    rows_in_batch: int = 0
+    rows_after_dedup: int = 0
+    rows_matched: int = 0       # key existed in target (update/delete conflict)
+    rows_inserted: int = 0
+    rows_deleted: int = 0
+    affected_buckets: int = 0
+    snapshot_id: int | None = None
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+def current_epoch(table: SnapshotTable) -> int:
+    return int(table.current().props.get("epoch", "-1"))
+
+
+def cdc_apply(
+    table: SnapshotTable,
+    batch: DataFrame,
+    cfg: EngineConfig,
+    epoch: int | None = None,
+    collect_stats: bool = True,
+) -> MergeStats:
+    """Apply one micro-batch of change events to `table`. See module doc."""
+    snap = table.current()
+    if epoch is not None and epoch <= int(snap.props.get("epoch", "-1")):
+        # Replayed epoch (failure re-run): the snapshot for it already
+        # committed — idempotent skip. Race-free because this check and the
+        # commit below happen in the same single-writer sequence.
+        return MergeStats(epoch=epoch, skipped=True,
+                          snapshot_id=snap.snapshot_id)
+
+    keys = list(cfg.key_cols)
+    schema = snap.schema()
+    data_fields = [f for f in schema.fields
+                   if f.name not in (BUCKET_COL, DELETED_COL)]
+    data_cols = [f.name for f in data_fields]
+
+    # 1. project batch onto the current schema (missing cols -> NULL)
+    src = batch
+    for f in data_fields:
+        if f.name not in src.columns and f.name != cfg.lsn_col:
+            src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+    src = src.select(
+        *[F.col(c) for c in data_cols if c != cfg.lsn_col],
+        F.col(cfg.lsn_col).cast("long").alias(cfg.lsn_col),
+        (F.col(cfg.op_col) == "delete").alias(DELETED_COL),
+    )
+    src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
+    src = src.withColumn(SIDE_COL, F.lit(1))
+
+    # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets)
+    affected = [r[0] for r in
+                src.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        new = table.commit("merge", {}, props_update=(
+            {"epoch": str(epoch)} if epoch is not None else {}),
+            summary={"rows": 0}, expected_parent=snap.snapshot_id)
+        return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
+
+    # 3. read ONLY those buckets from the target (tombstones included: their
+    # lsn is the anti-resurrection watermark)
+    tgt = table.read(snapshot=snap, buckets=affected, include_deleted=True)
+    tgt = tgt.select(*data_cols, F.col(DELETED_COL), F.col(BUCKET_COL)) \
+             .withColumn(SIDE_COL, F.lit(0))
+
+    # 4. LWW in ONE hash aggregate: winner = max_by(row, (lsn, side)).
+    # Batch-internal duplicates, cross-batch ordering, and tombstone
+    # precedence all resolve through the same (lsn, side) order.
+    unioned = tgt.unionByName(src)
+    row_struct = F.struct(
+        *[F.col(c) for c in data_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
+    )
+    order = F.struct(F.col(cfg.lsn_col), F.col(SIDE_COL))
+    merged = (
+        unioned.groupBy(*keys)
+        .agg(
+            F.max_by(row_struct, order).alias("_w"),
+            F.max(SIDE_COL).alias("_has_src"),
+            F.min(SIDE_COL).alias("_has_tgt_min"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .withColumn("_matched",
+                    (F.col("_has_src") == 1) & (F.col("_has_tgt_min") == 0))
+        .select("_matched", "_has_src", F.col("_w.*"))
+    )
+
+    stats = MergeStats(epoch=epoch)
+    if collect_stats:
+        agg = merged.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("_matched").cast("long")).alias("matched"),
+            F.sum(((F.col("_has_src") == 1) & ~F.col("_matched")).cast("long")).alias("inserted"),
+            F.sum(F.col(DELETED_COL).cast("long")).alias("deleted"),
+        ).collect()[0]
+        stats.rows_matched = int(agg["matched"] or 0)
+        stats.rows_inserted = int(agg["inserted"] or 0)
+        stats.rows_deleted = int(agg["deleted"] or 0)
+
+    out = merged.drop("_matched", "_has_src")
+    # 5. write the rewritten buckets (salted parallel write for hot buckets)
+    out_schema = T.StructType(
+        data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
+    dirname = table.write_buckets(
+        out, affected, salt_factor=cfg.salt_factor, write_schema=out_schema
+    )
+    new = table.commit(
+        "merge",
+        {b: dirname for b in affected},
+        props_update=({"epoch": str(epoch)} if epoch is not None else {}),
+        summary={
+            "affected_buckets": len(affected),
+            "rows_matched": stats.rows_matched,
+            "rows_inserted": stats.rows_inserted,
+            "rows_deleted": stats.rows_deleted,
+        },
+        expected_parent=snap.snapshot_id,
+    )
+    stats.affected_buckets = len(affected)
+    stats.snapshot_id = new.snapshot_id
+    return stats
+
+
+def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate) -> int:
+    """Keyed/predicate delete (reference: targeted cleanup / TRUNCATE per
+    tenant, DataCleanupService.java:64-106). Rewrites only buckets holding
+    matching rows; returns snapshot id."""
+    snap = table.current()
+    full = table.read(snapshot=snap, include_deleted=True)
+    hit_buckets = [r[0] for r in full.where(predicate)
+                   .select(BUCKET_COL).distinct().collect()]
+    if not hit_buckets:
+        return snap.snapshot_id
+    keep = table.read(snapshot=snap, buckets=hit_buckets, include_deleted=True) \
+                .where(~predicate)
+    schema = snap.schema()
+    dirname = table.write_buckets(keep, hit_buckets, salt_factor=cfg.salt_factor,
+                                  write_schema=schema)
+    new = table.commit("delete", {b: dirname for b in hit_buckets},
+                       summary={"buckets": len(hit_buckets)},
+                       expected_parent=snap.snapshot_id)
+    return new.snapshot_id

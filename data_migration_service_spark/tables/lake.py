@@ -1,0 +1,355 @@
+"""SnapshotTable — a minimal lakehouse table with Iceberg-style semantics.
+
+The sandbox ships no Iceberg/Delta runtime jars, so the engine provides its
+own snapshot-committed parquet table: atomic manifest commits, epoch-tagged
+exactly-once writes, hash-bucket layout with copy-on-write at bucket
+granularity, schema evolution (add / rename via name-lineage, no rewrite),
+time travel, and snapshot expiry. The public surface mirrors what the engine
+would call on a real Iceberg catalog, so swapping in `MERGE INTO` on a real
+cluster is a sink-level change only.
+
+Layout::
+
+    root/
+      _meta/HEAD                     # current snapshot id (atomic os.replace)
+      _meta/snapshots/00000007.json  # immutable manifest, O(n_buckets)
+      data/snap-000007/_schema.json  # physical write-schema of that commit
+      data/snap-000007/_bucket=13/part-*.parquet
+
+Scale notes (the design target is ~100 TB / ~16k buckets / ~6 GB per bucket):
+
+- A manifest is O(n_buckets) JSON, read once by the driver per operation —
+  no file listing of the whole table, ever. Executors only open the bucket
+  directories the driver hands them.
+- Copy-on-write rewrites ONLY buckets containing changed keys (the merge
+  plans the affected-bucket set from the batch's key hashes). Unchanged
+  buckets are carried forward by manifest reference, zero data movement.
+- One hot bucket is still written in parallel: the writer repartitions by
+  (bucket, salt) so a skewed bucket becomes several parquet files written by
+  several tasks (north_rule: explicit skew handling).
+- Deletes are tombstone rows (_deleted=true) retaining the key's last LSN,
+  so an out-of-order lower-LSN event can never resurrect a deleted row —
+  the cross-batch half of last-writer-wins. `read()` filters tombstones.
+
+Reference parity: atomic chunk commit (DataMigrationService.java:156-160) ->
+snapshot commit; TRUNCATE cleanup (DataCleanupService.java:64-106) ->
+`truncate()`; Spring Batch JobRepository run bookkeeping -> manifest `props`
++ `summary` (epoch, lineage).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+DELETED_COL = "_deleted"
+META_COLS = (BUCKET_COL, DELETED_COL)
+
+
+def bucket_expr(key_cols: Iterable[str], n_buckets: int) -> F.Column:
+    """Deterministic bucket id from the merge key (xxhash64, JVM-side)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent: int | None
+    schema_json: dict
+    n_buckets: int
+    key_cols: list[str]
+    buckets: dict[int, str]          # bucket -> data dir name holding it
+    renames: dict[str, str]          # cumulative old-name -> new-name lineage
+    props: dict[str, str]
+    summary: dict[str, Any]
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.schema_json)
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._meta = os.path.join(root, "_meta")
+        self._snapdir = os.path.join(self._meta, "snapshots")
+        self._datadir = os.path.join(root, "data")
+
+    # ---------- catalog ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 64,
+        props: dict[str, str] | None = None,
+    ) -> "SnapshotTable":
+        t = cls(spark, root)
+        os.makedirs(t._snapdir, exist_ok=True)
+        os.makedirs(t._datadir, exist_ok=True)
+        if DELETED_COL not in schema.names:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+            )
+        snap = Snapshot(
+            snapshot_id=1,
+            parent=None,
+            schema_json=schema.jsonValue(),
+            n_buckets=n_buckets,
+            key_cols=list(key_cols),
+            buckets={},
+            renames={},
+            props=dict(props or {}),
+            summary={"operation": "create"},
+        )
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_meta", "HEAD"))
+
+    def current(self) -> Snapshot:
+        with open(os.path.join(self._meta, "HEAD")) as f:
+            sid = int(f.read().strip())
+        return self.load_snapshot(sid)
+
+    def load_snapshot(self, sid: int) -> Snapshot:
+        with open(os.path.join(self._snapdir, f"{sid:08d}.json")) as f:
+            d = json.load(f)
+        d["buckets"] = {int(k): v for k, v in d["buckets"].items()}
+        return Snapshot(**d)
+
+    def snapshots(self) -> list[int]:
+        return sorted(
+            int(p.split(".")[0]) for p in os.listdir(self._snapdir) if p.endswith(".json")
+        )
+
+    def _write_snapshot(self, snap: Snapshot) -> None:
+        """Atomic commit: manifest created fail-if-exists (single-writer
+        guard, the engine's analogue of the reference's table-level job lock,
+        BatchJobParameterHolder.java:44-53), then HEAD flipped via rename."""
+        d = dict(snap.__dict__)
+        d["buckets"] = {str(k): v for k, v in snap.buckets.items()}
+        path = os.path.join(self._snapdir, f"{snap.snapshot_id:08d}.json")
+        with open(path, "x") as f:  # 'x': concurrent committer loses here
+            json.dump(d, f)
+        tmp = os.path.join(self._meta, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snap.snapshot_id))
+        os.replace(tmp, os.path.join(self._meta, "HEAD"))
+
+    # ---------- read ----------
+
+    def _dir_schema(self, dirname: str) -> T.StructType:
+        with open(os.path.join(self._datadir, dirname, "_schema.json")) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    def _resolve_name(self, name: str, renames: dict[str, str]) -> str:
+        seen = set()
+        while name in renames and name not in seen:
+            seen.add(name)
+            name = renames[name]
+        return name
+
+    def read(
+        self,
+        snapshot: Snapshot | None = None,
+        buckets: Iterable[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read the table (optionally one snapshot / a bucket subset).
+
+        Bucket pruning: only the requested buckets' directories are handed to
+        the scan. Schema evolution: directories are grouped by their physical
+        write-schema; each group is read with that exact schema (so parquet
+        footer pruning still works), old column names are mapped through the
+        rename lineage, and missing (later-added) columns are filled with
+        NULL — the same name-lineage trick Iceberg does with field ids.
+        """
+        snap = snapshot or self.current()
+        want = set(buckets) if buckets is not None else None
+        # group (dir -> its buckets) honoring pruning
+        dir_buckets: dict[str, list[int]] = {}
+        for b, d in snap.buckets.items():
+            if want is None or b in want:
+                dir_buckets.setdefault(d, []).append(b)
+
+        out_schema = snap.schema()
+        out_cols = [f.name for f in out_schema.fields]
+        parts: list[DataFrame] = []
+        for d, bs in sorted(dir_buckets.items()):
+            phys = self._dir_schema(d)
+            paths = [
+                os.path.join(self._datadir, d, f"{BUCKET_COL}={b}") for b in sorted(bs)
+            ]
+            paths = [p for p in paths if os.path.exists(p)]
+            if not paths:
+                continue
+            df = self.spark.read.schema(phys).parquet(*paths)
+            sel = []
+            phys_current = {self._resolve_name(f.name, snap.renames): f.name for f in phys.fields}
+            for f in out_schema.fields:
+                if f.name in phys_current:
+                    sel.append(F.col(phys_current[f.name]).cast(f.dataType).alias(f.name))
+                else:
+                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            parts.append(df.select(*sel))
+        if not parts:
+            df = self.spark.createDataFrame([], out_schema)
+        else:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if include_deleted:
+            # bucket id is derived, not stored: recomputing the key hash is
+            # cheaper and safer than parquet partition-dir discovery
+            return df.withColumn(
+                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+            )
+        return df.where(~F.col(DELETED_COL)).drop(DELETED_COL)
+
+    # ---------- write ----------
+
+    def write_buckets(
+        self,
+        df: DataFrame,
+        affected: list[int],
+        new_buckets_dir: str | None = None,
+        salt_factor: int = 1,
+        write_schema: T.StructType | None = None,
+    ) -> str:
+        """Write `df` (which must carry BUCKET_COL and DELETED_COL) as the new
+        content of `affected` buckets under one new snap dir; returns dir name.
+
+        `salt_factor` > 1 splits each bucket into several writer tasks/files —
+        explicit hot-bucket skew handling for the copy-on-write path.
+        """
+        dirname = new_buckets_dir or f"snap-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._datadir, dirname)
+        schema = write_schema or df.drop(BUCKET_COL).schema
+        n = max(len(affected), 1)
+        if salt_factor > 1:
+            keys = [c for c in self.current().key_cols if c in df.columns]
+            salt_src = keys or [c for c in df.columns if c != BUCKET_COL][:2]
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src], F.lit("salt")),
+                          F.lit(salt_factor))
+            part = df.repartition(n * salt_factor, F.col(BUCKET_COL), salt)
+        else:
+            part = df.repartition(n, F.col(BUCKET_COL))
+        (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out))
+        # parquet partitionBy drops BUCKET_COL from files; record the physical
+        # file schema (without the partition col)
+        phys = T.StructType([f for f in schema.fields if f.name != BUCKET_COL])
+        with open(os.path.join(out, "_schema.json"), "w") as f:
+            json.dump(phys.jsonValue(), f)
+        return dirname
+
+    def commit(
+        self,
+        operation: str,
+        rewritten: dict[int, str],
+        dropped_buckets: Iterable[int] = (),
+        schema: T.StructType | None = None,
+        renames_update: dict[str, str] | None = None,
+        props_update: dict[str, str] | None = None,
+        summary: dict[str, Any] | None = None,
+        expected_parent: int | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot: parent's bucket map + rewrites - drops.
+
+        `expected_parent` gives optimistic concurrency: commit fails if HEAD
+        moved since the caller read it.
+        """
+        cur = self.current()
+        if expected_parent is not None and cur.snapshot_id != expected_parent:
+            raise RuntimeError(
+                f"concurrent commit: HEAD={cur.snapshot_id}, expected {expected_parent}"
+            )
+        buckets = dict(cur.buckets)
+        for b in dropped_buckets:
+            buckets.pop(b, None)
+        buckets.update(rewritten)
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent=cur.snapshot_id,
+            schema_json=(schema or cur.schema()).jsonValue(),
+            n_buckets=cur.n_buckets,
+            key_cols=cur.key_cols,
+            buckets=buckets,
+            renames={**cur.renames, **(renames_update or {})},
+            props={**cur.props, **(props_update or {})},
+            summary={"operation": operation, **(summary or {})},
+        )
+        self._write_snapshot(snap)
+        return snap
+
+    # ---------- DDL (metadata-only, no rewrite) ----------
+
+    def add_column(self, name: str, dtype: T.DataType) -> Snapshot:
+        cur = self.current()
+        schema = cur.schema()
+        if name in schema.names:
+            return cur
+        fields = list(schema.fields)
+        # engine meta cols stay last
+        meta = [f for f in fields if f.name in META_COLS]
+        data = [f for f in fields if f.name not in META_COLS]
+        new = T.StructType(data + [T.StructField(name, dtype, True)] + meta)
+        return self.commit("add_column", {}, schema=new,
+                           summary={"column": name, "type": dtype.simpleString()})
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        cur = self.current()
+        schema = cur.schema()
+        if old not in schema.names:
+            if new in schema.names:  # already applied
+                return cur
+            raise ValueError(f"no such column: {old}")
+        fields = [
+            T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        return self.commit(
+            "rename_column", {}, schema=T.StructType(fields),
+            renames_update={old: new}, summary={"from": old, "to": new},
+        )
+
+    # ---------- maintenance ----------
+
+    def truncate(self) -> Snapshot:
+        """Atomic TRUNCATE (reference DataCleanupService.java:64-106): next
+        snapshot simply references no buckets. Old data removed by expire."""
+        cur = self.current()
+        return self.commit("truncate", {}, dropped_buckets=list(cur.buckets))
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests older than the newest `keep_last` and delete data
+        dirs no surviving snapshot references (Iceberg expire_snapshots)."""
+        import shutil
+
+        ids = self.snapshots()
+        keep = set(ids[-keep_last:])
+        live_dirs: set[str] = set()
+        for sid in keep:
+            live_dirs.update(self.load_snapshot(sid).buckets.values())
+        removed = []
+        for sid in ids:
+            if sid not in keep:
+                os.remove(os.path.join(self._snapdir, f"{sid:08d}.json"))
+        for d in os.listdir(self._datadir):
+            if d.startswith("snap-") and d not in live_dirs:
+                shutil.rmtree(os.path.join(self._datadir, d))
+                removed.append(d)
+        return removed
