@@ -204,3 +204,46 @@ def gen_tenant_table(spark: SparkSession, n_tenants: int = 5, rows_per_tenant: i
     if not with_pk:
         df = df.drop("id1", "id2")
     return df.drop("id")
+
+
+def default_registry(v2_at: int, v3_at: int):
+    """Registry matching gen_changes' version boundaries: v2 adds size_bytes,
+    v3 renames lang -> language (FIXTURES.md §3)."""
+    from data_migration_service_spark.registry import SchemaRegistry, SchemaVersion
+
+    return SchemaRegistry(
+        [
+            SchemaVersion(1, 1, [("commit", "string"), ("lang", "string"),
+                                 ("content", "string")]),
+            SchemaVersion(2, v2_at, [("commit", "string"), ("lang", "string"),
+                                     ("content", "string"), ("size_bytes", "long")]),
+            SchemaVersion(3, v3_at, [("commit", "string"), ("language", "string"),
+                                     ("content", "string"), ("size_bytes", "long")],
+                          renames={"lang": "language"}),
+        ]
+    )
+
+
+def to_raw_events(changes: DataFrame) -> DataFrame:
+    """Wire shape: envelope + version-named JSON payload (Debezium-ish).
+
+    v1 events carry {commit, lang, content}; v2 adds size_bytes; v3 renames
+    lang -> language *in the payload keys* — exactly the mixed-version input
+    the registry's micro-batch resolution must handle.
+    """
+    v = F.col("schema_version")
+    payload = (
+        F.when(v == 1, F.to_json(F.struct("commit", "lang", "content")))
+        .when(v == 2, F.to_json(F.struct("commit", "lang", "content", "size_bytes")))
+        .otherwise(
+            F.to_json(
+                F.struct(
+                    "commit", F.col("lang").alias("language"), "content", "size_bytes"
+                )
+            )
+        )
+    )
+    return changes.select(
+        "lsn", "op", "repo", "path", "ts", "schema_version",
+        payload.alias("payload"),
+    )

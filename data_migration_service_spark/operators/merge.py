@@ -103,9 +103,22 @@ def cdc_apply(
     src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
     src = src.withColumn(SIDE_COL, F.lit(1))
 
-    # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets)
-    affected = [r[0] for r in
-                src.select(BUCKET_COL).distinct().collect()]
+    # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets
+    # rows) — the same pass yields per-bucket lineage: rows and LSN range per
+    # partition of this batch (north_rule: per-partition lineage records)
+    bucket_rows = (
+        src.groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(cfg.lsn_col).alias("lo"),
+             F.max(cfg.lsn_col).alias("hi"))
+        .collect()
+    )
+    affected = [int(r[BUCKET_COL]) for r in bucket_rows]
+    lineage = {
+        int(r[BUCKET_COL]): {"rows": int(r["n"]), "lsn_min": int(r["lo"]),
+                             "lsn_max": int(r["hi"])}
+        for r in bucket_rows
+    }
     if not affected:
         new = table.commit("merge", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
@@ -173,6 +186,8 @@ def cdc_apply(
     )
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
+    stats.extra["bucket_lineage"] = lineage
+    stats.rows_in_batch = sum(v["rows"] for v in lineage.values())
     return stats
 
 

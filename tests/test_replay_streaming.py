@@ -1,0 +1,127 @@
+"""Streaming replay: checkpointed micro-batches, resume, mid-stream schema
+evolution (added + renamed columns via registry name-lineage), lineage."""
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import (
+    default_registry,
+    expected_final_state,
+    gen_changes,
+    to_raw_events,
+)
+from data_migration_service_spark.functions.hashing import content_sha256
+from data_migration_service_spark.registry import resolve_batch
+from data_migration_service_spark.streaming.replay import ReplayEngine
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+V1_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ]
+)
+
+
+def _setup(spark, tmp_path, n_events=2400, v2_at=801, v3_at=1601):
+    ch = gen_changes(spark, n_events, n_repos=10, n_paths_per_repo=25,
+                     schema_v2_at=v2_at, schema_v3_at=v3_at).cache()
+    raw = to_raw_events(ch)
+    reg = default_registry(v2_at, v3_at)
+    t = SnapshotTable.create(spark, str(tmp_path / "repos"), V1_SCHEMA,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=16,
+                       checkpoint_path=str(tmp_path / "ckpt"))
+    eng = ReplayEngine(spark, t, cfg, registry=reg)
+    return ch, raw, reg, t, eng
+
+
+def _assert_final(t, ch):
+    got = t.read().select(
+        "repo", "path", content_sha256("content").alias("h"),
+        F.col("language"), F.col("size_bytes"), F.col("lsn"),
+    )
+    want = expected_final_state(ch).select(
+        "repo", "path", content_sha256("content").alias("h"),
+        F.col("lang").alias("language"), F.col("size_bytes"),
+        F.col("last_lsn").alias("lsn"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_rename_chain():
+    reg = default_registry(100, 200)
+    assert reg.rename_chain(1, 3) == {"lang": "language"}
+    assert reg.rename_chain(3, 3) == {}
+    assert reg.current_name("lang", 1, 3) == "language"
+    assert reg.current_name("content", 1, 3) == "content"
+
+
+def test_resolve_batch_mixed_versions(spark, tmp_path):
+    ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=600, v2_at=201, v3_at=401)
+    norm = resolve_batch(raw, reg)
+    assert "language" in norm.columns and "lang" not in norm.columns
+    # language value survives the rename for ALL versions
+    joined = norm.join(ch.select("lsn", F.col("lang").alias("want")), "lsn")
+    assert joined.where(F.col("language") != F.col("want")).count() == 0
+    # size_bytes NULL exactly for v1 events
+    v1 = joined.where(F.col("schema_version") == 1)
+    assert v1.where(F.col("size_bytes").isNotNull()).count() == 0
+
+
+def test_batch_mode_replay_with_evolution(spark, tmp_path):
+    ch, raw, reg, t, eng = _setup(spark, tmp_path)
+    eng.replay_ranges(raw, [(1, 800), (801, 1600), (1601, 2400)])
+    schema_names = t.current().schema().names
+    assert "language" in schema_names and "lang" not in schema_names
+    assert "size_bytes" in schema_names
+    _assert_final(t, ch)
+    lin = eng.lineage()
+    assert [r["epoch"] for r in lin] == [0, 1, 2]
+    assert all(r["rows_in_batch"] > 0 and r["partitions"] for r in lin)
+
+
+def test_stream_replay_and_checkpoint_resume(spark, tmp_path):
+    ch, raw, reg, t, eng = _setup(spark, tmp_path)
+    src = str(tmp_path / "events_src")
+    # phase 1: only the first two epoch files exist
+    raw.where(F.col("lsn").between(1, 800)).coalesce(1).write.mode("append").parquet(src)
+    raw.where(F.col("lsn").between(801, 1600)).coalesce(1).write.mode("append").parquet(src)
+    eng.replay_stream(src, max_files_per_trigger=1)
+    mid_rows = t.read().count()
+    assert mid_rows > 0
+    # phase 2: more of the WAL arrives; the SAME checkpoint resumes from
+    # stored offsets — earlier files are not reprocessed
+    raw.where(F.col("lsn").between(1601, 2400)).coalesce(1).write.mode("append").parquet(src)
+    eng2 = ReplayEngine(spark, t, eng.cfg, registry=reg)
+    eng2.replay_stream(src, max_files_per_trigger=1)
+    _assert_final(t, ch)
+    lin = eng2.lineage()
+    assert len(lin) >= 3
+    assert all(not r["skipped"] for r in lin)
+
+
+def test_replayed_epoch_after_checkpoint_loss_is_skipped(spark, tmp_path):
+    """Checkpoint wiped (offsets lost) -> source replays everything; the
+    sink-side epoch guard must no-op the already-applied epochs."""
+    ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=1000, v2_at=401, v3_at=701)
+    src = str(tmp_path / "events_src")
+    raw.coalesce(2).write.mode("append").parquet(src)
+    eng.replay_stream(src)
+    sid = t.current().snapshot_id
+    # simulate losing the offsets but not the table: fresh checkpoint dir
+    cfg2 = EngineConfig(table_path=eng.cfg.table_path, n_buckets=16,
+                        checkpoint_path=str(tmp_path / "ckpt2"))
+    eng2 = ReplayEngine(spark, t, cfg2, registry=reg)
+    eng2.replay_stream(src)
+    _assert_final(t, ch)
+    lin2 = eng2.lineage()
+    assert lin2 and all(r["skipped"] for r in lin2)
+    assert t.current().snapshot_id == sid

@@ -1,0 +1,110 @@
+"""Verification service semantics: count gate, hash-diff classification,
+report cap, canonical row-hash rules (the reference's §1.2 quirks)."""
+
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.fixtures.cdc import gen_tenant_table
+from data_migration_service_spark.functions.hashing import (
+    FIELD_SEP,
+    NULL_SENTINEL,
+    hash_column_order,
+    row_sha256,
+)
+from data_migration_service_spark.operators.verify import (
+    MISMATCH,
+    MISSING_IN_SOURCE,
+    MISSING_IN_TARGET,
+    count_check,
+    hash_diff,
+    verify_row_hashes,
+    verify_state,
+)
+
+
+def test_hash_column_order_case_insensitive():
+    assert hash_column_order(["b", "A", "aa", "B2"]) == ["A", "aa", "b", "B2"]
+
+
+def test_null_vs_space_not_collided(spark):
+    """The reference's coalesce(col,' ') collides NULL with ' '
+    (DBSqlGenerator.java:31). Our sentinel must not."""
+    df = spark.createDataFrame([("k1", None), ("k2", " ")], "id string, v string")
+    h = df.select("id", row_sha256(df, ["v"]).alias("h")).collect()
+    hashes = {r["id"]: r["h"] for r in h}
+    assert hashes["k1"] != hashes["k2"]
+
+
+def test_row_hash_excludes_tenant_and_is_order_stable(spark):
+    df = gen_tenant_table(spark, 2, 100)
+    a = df.select(row_sha256(df, exclude=("tenant_id",)).alias("h"))
+    # same rows, different column order -> same hash
+    reordered = df.select(*sorted(df.columns, reverse=True))
+    b = reordered.select(row_sha256(reordered, exclude=("tenant_id",)).alias("h"))
+    assert a.exceptAll(b).count() == 0
+    # tenant change must NOT change the hash
+    df2 = df.withColumn("tenant_id", F.lit("zz"))
+    c = df2.select(row_sha256(df2, exclude=("tenant_id",)).alias("h"))
+    assert a.exceptAll(c).count() == 0
+
+
+def test_count_check_and_hash_diff_classification(spark):
+    src = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "y"), ("r2", "c", "z")],
+        "repo string, path string, content string",
+    )
+    tgt = spark.createDataFrame(
+        [("r1", "a", "x"), ("r1", "b", "WRONG"), ("r3", "d", "w")],
+        "repo string, path string, content string",
+    )
+    cc = {(r["repo"]): (r["src_rows"], r["tgt_rows"], r["count_ok"])
+          for r in count_check(src, tgt, ["repo"]).collect()}
+    assert cc["r1"] == (2, 2, True)
+    assert cc["r2"] == (1, 0, False)
+    assert cc["r3"] == (0, 1, False)
+
+    diff = hash_diff(src, tgt, ["repo", "path"], F.sha2("content", 256), F.sha2("content", 256))
+    st = {(r["repo"], r["path"]): r["status"] for r in diff.collect()}
+    assert st[("r1", "a")] == "OK"
+    assert st[("r1", "b")] == MISMATCH
+    assert st[("r2", "c")] == MISSING_IN_TARGET
+    assert st[("r3", "d")] == MISSING_IN_SOURCE
+
+
+def test_verify_state_report_cap(spark):
+    n = 500
+    src = spark.range(n).select(
+        F.lit("r").alias("repo"), F.col("id").cast("string").alias("path"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+    )
+    # corrupt 150 rows deterministically
+    tgt = src.withColumn(
+        "content",
+        F.when(F.col("path").cast("long") % 3 == 0, F.lit("corrupt"))
+        .otherwise(F.col("content")),
+    )
+    res = verify_state(src, tgt, ["repo", "path"], report_cap=100)
+    assert not res.consistent
+    assert res.n_mismatch == (n + 2) // 3
+    assert len(res.report) == 100 and res.more
+
+
+def test_verify_state_consistent_with_null_content(spark):
+    src = spark.createDataFrame(
+        [("r", "a", None), ("r", "b", "x")], "repo string, path string, content string"
+    )
+    res = verify_state(src, src, ["repo", "path"])
+    assert res.consistent and res.source_rows == 2
+
+
+def test_verify_row_hashes_tenant_excluded(spark):
+    df = gen_tenant_table(spark, 3, 200).cache()
+    other = df.withColumn("tenant_id", F.concat(F.col("tenant_id"), F.lit("_moved")))
+    diff = verify_row_hashes(df, other, ["id1", "id2"], exclude=("tenant_id",))
+    assert diff.where(F.col("status") != "OK").count() == 0
+    # corrupt one value type with known canonicalization traps (bool flip)
+    corrupted = df.withColumn(
+        "v_bool", F.when(F.col("id1") == "k000007", ~F.col("v_bool")).otherwise(F.col("v_bool"))
+    )
+    diff2 = verify_row_hashes(df, corrupted, ["id1", "id2"], exclude=("tenant_id",))
+    bad = diff2.where(F.col("status") != "OK").collect()
+    assert len(bad) == 1 and bad[0]["id1"] == "k000007"
