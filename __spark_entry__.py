@@ -1,38 +1,642 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship end-to-end CDC replay on sf0.001.
+`queries()` exposes every implemented operator from SURVEY.md §2 plus the
+training-data pipeline family; `oracle_sql()` holds the DuckDB twin of each
+(omitted only for genuinely non-SQL-expressible ops — those get the driver's
+rows-only check).
+
+Column aliases match 1:1 between Spark and SQL (driver hashes values after
+sorting columns by name). All float outputs are rounded on BOTH sides.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.functions.hashing import (
+    NULL_SENTINEL,
+    row_sha256,
+    row_sha256_sql,
+)
+from data_migration_service_spark.operators import dedup as D
+from data_migration_service_spark.operators import similarity as S
+from data_migration_service_spark.operators import text as X
+from data_migration_service_spark.operators import verify as V
+from data_migration_service_spark.operators.merge import cdc_apply
+from data_migration_service_spark.operators.multimodal import (
+    extract_features,
+    gen_media_fixture,
+)
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# derived CDC log over the driver's `events` table — identical semantics in
+# Spark and ANSI SQL, so the full engine replay is oracle-checkable
+# ---------------------------------------------------------------------------
+
+def _derived_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.concat(F.lit("repo_"), F.pmod("user_id", F.lit(20)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.pmod("event_id", F.lit(997)).cast("string"), F.lit(".py")).alias("path"),
+        F.concat_ws("|", F.col("event_type"), F.col("props"),
+                    F.round("value", 2).cast("string")).alias("content"),
+    )
+    w = W.partitionBy("repo", "path").orderBy("lsn")
+    df = df.withColumn("_rn", F.row_number().over(w))
+    return df.withColumn(
+        "op",
+        F.when(F.col("_rn") == 1, F.lit("insert"))
+        .when(F.pmod("lsn", F.lit(10)) == 0, F.lit("delete"))
+        .otherwise(F.lit("update")),
+    ).withColumn(
+        "content",
+        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(F.col("content")),
+    ).drop("_rn")
+
+
+_DERIVED_CHANGES_SQL = """
+WITH base AS (
+  SELECT event_id AS lsn,
+         'repo_' || CAST(user_id % 20 AS VARCHAR) AS repo,
+         'f' || CAST(event_id % 997 AS VARCHAR) || '.py' AS path,
+         event_type || '|' || props || '|' || CAST(round(value, 2) AS VARCHAR) AS content0,
+         row_number() OVER (PARTITION BY user_id % 20, event_id % 997 ORDER BY event_id) AS rn
+  FROM events
+), log AS (
+  SELECT lsn, repo, path,
+         CASE WHEN rn = 1 THEN 'insert'
+              WHEN lsn % 10 = 0 THEN 'delete' ELSE 'update' END AS op,
+         CASE WHEN rn <> 1 AND lsn % 10 = 0 THEN NULL ELSE content0 END AS content
+  FROM base
+)
+"""
+
+
+def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: real engine replay (SnapshotTable + epoch-tagged merges) of
+    the derived log in 4 epochs; returns the materialized final state."""
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_entry_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 32)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=32,
+                       salt_factor=2)
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    step = max(hi // 4, 1)
+    bounds = [(i * step + (0 if i == 0 else 1), (i + 1) * step if i < 3 else hi)
+              for i in range(4)]
+    for e, (lo, b) in enumerate(bounds):
+        cdc_apply(t, ch.where(F.col("lsn").between(lo, b)), cfg, epoch=e)
+    out = t.read().select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+    return out
+
+
+_REPLAY_FINAL_STATE_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, lsn, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path, sha256(content) AS content_sha256, lsn AS last_lsn
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# the hash-diff verification fixture: deterministic corruption of lineitem
+# ---------------------------------------------------------------------------
+
+def _li_sides(spark: SparkSession, sf_dir: str):
+    li = _t(spark, sf_dir, "lineitem")
+    content = F.concat_ws(
+        "|", "l_returnflag", "l_linestatus", F.col("l_quantity").cast("int").cast("string")
+    )
+    src = li.where(F.pmod("l_orderkey", F.lit(103)) != 0).select(
+        "l_orderkey", "l_linenumber", content.alias("content")
+    )
+    tgt = li.where(F.pmod("l_orderkey", F.lit(101)) != 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.pmod("l_orderkey", F.lit(97)) == 0, F.lit("CORRUPT"))
+        .otherwise(content).alias("content"),
+    )
+    return src, tgt
+
+
+_LI_SIDES_SQL = """
+WITH content_t AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag || '|' || l_linestatus || '|' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS content
+  FROM lineitem
+), src AS (
+  SELECT * FROM content_t WHERE l_orderkey % 103 <> 0
+), tgt AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN 'CORRUPT' ELSE content END AS content
+  FROM content_t WHERE l_orderkey % 101 <> 0
+), diff AS (
+  SELECT coalesce(s.l_orderkey, t.l_orderkey) AS l_orderkey,
+         coalesce(s.l_linenumber, t.l_linenumber) AS l_linenumber,
+         CASE WHEN t.l_orderkey IS NULL THEN 'MISSING_IN_TARGET'
+              WHEN s.l_orderkey IS NULL THEN 'MISSING_IN_SOURCE'
+              WHEN sha256(s.content) <> sha256(t.content) THEN 'MISMATCH'
+              ELSE 'OK' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_lww_dedup(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type",
+            F.round("value", 2).alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+def q_count_per_group(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+
+
+def q_distinct_keys(spark, sf):
+    return _t(spark, sf, "events").select("event_type").distinct()
+
+
+def q_row_hash_canonical(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        row_sha256(c, ["c_name", "c_mktsegment", "c_nationkey"]).alias("row_hash"),
+    )
+
+
+def q_hash_diff_status_counts(spark, sf):
+    src, tgt = _li_sides(spark, sf)
+    diff = V.hash_diff(src, tgt, ["l_orderkey", "l_linenumber"],
+                       F.sha2("content", 256), F.sha2("content", 256))
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_mismatch_report(spark, sf):
+    src, tgt = _li_sides(spark, sf)
+    diff = V.hash_diff(src, tgt, ["l_orderkey", "l_linenumber"],
+                       F.sha2("content", 256), F.sha2("content", 256))
+    return (
+        diff.where(F.col("status") != "OK")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "status")
+    )
+
+
+def q_anti_join_missing(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join_replay(spark, sf):
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    keys = o.where(F.pmod("o_orderkey", F.lit(500)) == 0).select("o_orderkey")
+    return (
+        li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_linenumber",
+                F.col("l_quantity").cast("int").alias("qty"))
+    )
+
+
+def q_canonical_projection(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(",", "o_orderkey", "o_custkey").alias("pk"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss.SSS").alias("odate_ms"),
+        F.coalesce("o_orderpriority", F.lit(NULL_SENTINEL)).alias("prio"),
+    )
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_region_revenue(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    o = _t(spark, sf, "orders")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_salted_hot_agg(spark, sf):
+    """Two-phase salted aggregation over a hot low-cardinality key — result
+    identical to a plain GROUP BY (the oracle proves it)."""
+    ev = _t(spark, sf, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+        F.max("ts").alias("pm"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("sum_value"),
+        F.date_format(F.max("pm"), "yyyy-MM-dd HH:mm:ss.SSS").alias("max_ts"),
+    )
+
+
+def q_epoch_lineage(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.withColumn("epoch", F.floor(F.col("event_id") / 1000))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("event_id").alias("lsn_min"),
+             F.max("event_id").alias("lsn_max"))
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return D.exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_token_count(spark, sf):
+    return X.token_count(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_quality_score(spark, sf):
+    return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_lang_id(spark, sf):
+    return X.lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_doc_fingerprint(spark, sf):
+    return X.doc_fingerprint(_t(spark, sf, "documents"), "doc_id", "text", k=8)
+
+
+def q_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"), "doc_id", "text", bits=16)
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4,
+                                  max_bucket=50)
+    est = D.minhash_jaccard_estimate(sigs, pairs, "doc_id")
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_embedding_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    out = S.cosine_scores(emb, "vec_id", "embedding", qv)
+    return (
+        out.withColumn("cosine", F.round("cosine", 4))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(25)
+    )
+
+
+def q_embedding_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    out = S.lsh_topk(emb, "vec_id", "embedding", qv, k=25)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def q_multimodal_features(spark, sf):
+    media = gen_media_fixture(spark, n=64)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, b: a + b), 6)
+        .alias("feature_sum"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: engine CDC replay of a derived change log on sf0.001."""
+    return _replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_final_state": _replay_final_state,
+        "lww_dedup": q_lww_dedup,
+        "count_per_group": q_count_per_group,
+        "distinct_keys": q_distinct_keys,
+        "row_hash_canonical": q_row_hash_canonical,
+        "hash_diff_status_counts": q_hash_diff_status_counts,
+        "mismatch_report": q_mismatch_report,
+        "anti_join_missing": q_anti_join_missing,
+        "semi_join_replay": q_semi_join_replay,
+        "canonical_projection": q_canonical_projection,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "salted_hot_agg": q_salted_hot_agg,
+        "epoch_lineage": q_epoch_lineage,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash": q_simhash,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,        # rows-only
+        "multimodal_features": q_multimodal_features,    # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sep = "chr(31)"
+    return {
+        "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
+        "lww_dedup": """
+            SELECT user_id, event_type, round(value, 2) AS last_value,
+                   event_id AS last_event_id
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+            WHERE rn = 1
+        """,
+        "count_per_group": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend
+            FROM orders GROUP BY o_custkey
+        """,
+        "distinct_keys": "SELECT DISTINCT event_type FROM events",
+        "row_hash_canonical": f"""
+            SELECT c_custkey,
+                   {row_sha256_sql(['c_name', 'c_mktsegment', 'c_nationkey'])} AS row_hash
+            FROM customer
+        """,
+        "hash_diff_status_counts": _LI_SIDES_SQL
+        + "SELECT status, count(*) AS n FROM diff GROUP BY status",
+        "mismatch_report": _LI_SIDES_SQL
+        + """
+            SELECT l_orderkey, l_linenumber, status FROM diff
+            WHERE status <> 'OK' ORDER BY l_orderkey, l_linenumber LIMIT 100
+        """,
+        "anti_join_missing": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join_replay": """
+            SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty
+            FROM lineitem WHERE l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_orderkey % 500 = 0)
+        """,
+        "canonical_projection": f"""
+            SELECT o_orderkey,
+                   CAST(o_orderkey AS VARCHAR) || ',' || CAST(o_custkey AS VARCHAR) AS pk,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%g') AS odate_ms,
+                   coalesce(o_orderpriority, '{NULL_SENTINEL}') AS prio
+            FROM orders
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_revenue": """
+            SELECT r_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "salted_hot_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%g') AS max_ts
+            FROM events GROUP BY event_type
+        """,
+        "epoch_lineage": """
+            SELECT CAST(floor(event_id / 1000) AS BIGINT) AS epoch, count(*) AS n,
+                   min(event_id) AS lsn_min, max(event_id) AS lsn_max
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                    t -> t <> '')) AS n_tokens,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+            FROM documents
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text, length(text) AS n_chars,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                     CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0 END AS pr,
+                     CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks, x -> lower(x) IN
+                         ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                       / len(toks) ELSE 0 END AS sr,
+                     least(n_chars/500.0, 1.0) AS ln
+              FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens, round(pr + 1e-9, 4) AS punct_ratio,
+                   round(sr + 1e-9, 4) AS stopword_ratio,
+                   round(0.4*ln + 0.3*(1-pr) + 0.3*sr + 1e-9, 4) AS quality
+            FROM s
+        """,
+        "lang_id": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                                x -> x <> ''), x -> lower(x)) AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS score_en,
+                     len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+                     len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS score_fr,
+                     len(list_filter(toks, x -> x IN ('el','la','los','que','y'))) AS score_es
+              FROM t
+            ), g AS (
+              SELECT *, greatest(score_en, score_de, score_fr, score_es) AS best,
+                     (CASE WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END +
+                      CASE WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END +
+                      CASE WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END +
+                      CASE WHEN score_es = greatest(score_en, score_de, score_fr, score_es) THEN 1 ELSE 0 END) AS nb
+              FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN best > 0 AND nb = 1 THEN
+                     CASE WHEN score_en = best THEN 'en'
+                          WHEN score_de = best THEN 'de'
+                          WHEN score_fr = best THEN 'fr'
+                          WHEN score_es = best THEN 'es' END
+                   ELSE 'unk' END AS lang_guess
+            FROM g
+        """,
+        "doc_fingerprint": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INT), 8) AS shingle
+              FROM documents,
+                   LATERAL unnest(generate_series(1, greatest(length(text) - 7, 1))) AS u(i)
+            )
+            SELECT doc_id, min(sha256(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "simhash": _simhash_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "embedding_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 25
+        """,
+        # embedding_ann_lsh, multimodal_features: non-SQL-expressible
+        # (hyperplane derivation / binary stub) -> rows-only check
+    }
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    )
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, u.tok FROM documents,
+            LATERAL unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                       x -> x <> '')) AS u(tok)
+        ), hv AS (
+          SELECT doc_id, ('0x' || substr(sha256(tok), 1, 4))::BIGINT AS hv FROM toks
+        ), sums AS (
+          SELECT doc_id, {bit_sums} FROM hv GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums
     """
-    return {}
+
+
+def _minhash_lsh_sql() -> str:
+    return r"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
+          FROM documents,
+               LATERAL unnest(generate_series(1, greatest(length(text) - 4, 1))) AS u(i)
+        ), hashed AS (
+          SELECT doc_id, h.h,
+                 sha256(CAST(h.h AS VARCHAR) || ':' || shingle) AS hv
+          FROM sh, LATERAL unnest(generate_series(0, 15)) AS h(h)
+        ), sig AS (
+          SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
+        ), banded AS (
+          SELECT doc_id, CAST(h // 4 AS INT) AS band,
+                 sha256(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|'
+                        ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_sig
+          FROM sig GROUP BY doc_id, CAST(h // 4 AS INT)
+        ), sized AS (
+          SELECT b.* FROM banded b
+          JOIN (SELECT band, band_sig, count(*) AS n FROM banded
+                GROUP BY band, band_sig) c
+            ON b.band = c.band AND b.band_sig = c.band_sig
+          WHERE c.n <= 50
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sized a JOIN sized b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
+        GROUP BY p.id_a, p.id_b
+    """

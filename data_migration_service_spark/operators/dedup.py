@@ -1,0 +1,174 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Beyond the reference's duplicate-key skip (DataMigrationService.java:51,160 —
+its only notion of "duplicate" is a PK collision), a training-data engine
+needs content-level dedup. All operators are pure DataFrame compositions
+(explode/groupBy/join — JVM-side, shuffle-friendly) with deterministic
+hashing (sha256 / xxhash64), so every one of them has an exact ANSI-SQL twin
+for the DuckDB oracle.
+
+Scale notes:
+- exact_dedup: one hash-aggregate on sha256(content) — map-side partial agg,
+  no row data shuffled beyond (hash, id).
+- minhash/LSH: shingle explode multiplies rows by ~doc_len, but each shingle
+  row is tiny and the per-doc signature reduces back immediately (groupBy
+  doc). Banding turns O(n^2) similarity into equi-join on (band, signature) —
+  the standard web-dedup pattern. Hot bands (boilerplate docs) are bounded by
+  `max_bucket` to cap worst-case join fan-out, mirroring salting.
+- simhash: fixed 16-bit signature via per-bit conditional sums in ONE
+  aggregate (no bit-explosion shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical content; canonical row = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Character k-gram shingles via explode(sequence) — JVM-side, no UDF.
+    Documents shorter than k yield their whole text as one shingle."""
+    n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature: for hash function i, min over shingles of
+    sha256(i:shingle). Hex-string min == numeric min on the uniform hash
+    domain, and is directly portable to the SQL oracle.
+
+    Output: (id, h in 0..n_hashes-1, minhash string).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    hashed = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
+        F.col("shingle"),
+    ).select(
+        id_col,
+        "h",
+        F.sha2(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")), 256).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature (band b = hashes [b*r, (b+1)*r)); docs sharing a
+    full band signature are candidates. Self-join per bucket with id< id to
+    emit unordered pairs once. `max_bucket` caps pathological buckets (the
+    boilerplate-cluster skew guard)."""
+    r = rows_per_band
+    banded = (
+        signatures.withColumn("band", (F.col("h") / r).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sha2(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash"))))), 256)
+            .alias("band_sig"))
+        .where(F.col("band") < bands)
+    )
+    sized = banded.join(
+        banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n")),
+        ["band", "band_sig"],
+    ).where(F.col("_n") <= max_bucket)
+    a = sized.select("band", "band_sig", F.col(id_col).alias("id_a"))
+    b = sized.select("band", "band_sig", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes for each pair."""
+    sa = signatures.select(F.col(id_col).alias("id_a"), "h", F.col("minhash").alias("mh_a"))
+    sb = signatures.select(F.col(id_col).alias("id_b"), "h", F.col("minhash").alias("mh_b"))
+    j = pairs.join(sa, "id_a").join(sb, ["id_b", "h"])
+    return j.groupBy("id_a", "id_b").agg(
+        (F.sum((F.col("mh_a") == F.col("mh_b")).cast("long"))
+         / F.count(F.lit(1))).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs:
+    |A∩B| / (|A|+|B|-|A∩B|) via two semi-joined explodes, no cross product."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6)
+        .alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: bit b of the signature is the sign of
+    sum over tokens of (+1/-1 per token-hash bit b). Token hash = first 4 hex
+    chars of sha256 (16 bits) — portable to the SQL oracle via hex casting.
+    One explode + one aggregate with `bits` conditional sums (no per-bit
+    shuffle)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hv = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 4), 16, 10).cast("long")
+    toks = toks.select(id_col, hv.alias("hv"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The decode/feature steps are STUBBED (no imaging/audio libs in this
+container): `decode_fn` is a deterministic fake that derives "features" from
+the payload bytes' sha256 — clearly marked, swap for a real decoder on a
+real cluster. Everything Spark-side is real and tested: the typed schema,
+Arrow-batched `mapInPandas` signatures, per-batch vectorization, and
+partition sizing (media rows are MBs — partition by bytes, not row count).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),       # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),     # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | None:
+    """STUB decoder: deterministic pseudo-features from sha256(payload).
+    A real deployment replaces this with PIL/torchvision/ffmpeg decode —
+    the Spark plumbing around it is unchanged."""
+    if payload is None:
+        return None
+    h = hashlib.sha256(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas (not a scalar UDF) so one Python call handles a whole Arrow
+    batch and the decoder can early-skip NULL payloads without per-row
+    dispatch. At scale, pair with
+    spark.sql.files.maxPartitionBytes≈128MB so a partition holds tens of
+    media blobs, not millions.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda b: fake_decode_features(b, dim)
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: rows (media_id, frame_ts_ms) for the
+    decode stage — JVM-side sequence explode; no decoding here."""
+    return (
+        df.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
+                           F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def gen_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic binary fixture: payload = sha256 bytes repeated."""
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.to_binary(
+            F.repeat(F.sha2(F.concat(F.lit(seed), F.col("id")), 256),
+                     (F.pmod(F.col("id"), F.lit(8)) + 1).cast("int")),
+            F.lit("hex"),
+        ).alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("id") * 500).alias("duration_ms"),
+    )
+    return df
