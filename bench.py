@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the engine's core job: CDC apply throughput
+(change-events/sec) of a deterministic synthetic event log (seed=42, scaled
+to the sf dir) replayed through the epoch-tagged SnapshotTable merge path —
+the sandbox analogue of BASELINE.json's 10^10-event replay target. Analytics
+queries from `__spark_entry__.queries()` are timed to a no-op sink (full
+execution, no driver collect bottleneck) except tiny-result ones.
+
+`--replay-only --master local[N]` runs just the CDC replay at a chosen
+parallelism — used by tools/bench_scaling.py to evidence the N→4N scaling
+efficiency criterion (BASELINE.md) with two fresh JVMs on identical input.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIRS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
+               n_buckets: int) -> dict:
+    """Generate a seed-stable event log, then replay it through the engine in
+    `n_epochs` epoch-tagged merges. Returns timings + row counts. Generation
+    is materialized to parquet first so the measured window is pure apply."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.fixtures.cdc import gen_changes
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.tables.lake import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="dms_bench_")
+    try:
+        ev_path = os.path.join(root, "events")
+        gen_changes(spark, n_events, n_repos=max(50, n_events // 5_000),
+                    n_paths_per_repo=200).write.parquet(ev_path)
+        events = spark.read.parquet(ev_path)
+
+        schema = T.StructType([
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("size_bytes", T.LongType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ])
+        table = SnapshotTable.create(spark, os.path.join(root, "repos"),
+                                     schema, ["repo", "path"], n_buckets)
+        cfg = EngineConfig(table_path=os.path.join(root, "repos"),
+                           n_buckets=n_buckets, salt_factor=salt_factor)
+
+        step = max(n_events // n_epochs, 1)
+        t0 = time.monotonic()
+        for e in range(n_epochs):
+            lo = e * step + 1
+            hi = (e + 1) * step if e < n_epochs - 1 else n_events
+            cdc_apply(table, events.where(F.col("lsn").between(lo, hi)),
+                      cfg, epoch=e, collect_stats=False)
+        apply_sec = time.monotonic() - t0
+        final_rows = table.read().count()
+        return {
+            "n_events": n_events,
+            "n_epochs": n_epochs,
+            "apply_sec": round(apply_sec, 3),
+            "events_per_sec": round(n_events / apply_sec, 1),
+            "final_rows": final_rows,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _force(df) -> int:
+    """Fully execute a DataFrame without driver materialization cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--events", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=8)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = args.master or f"local[{cpus}]"
+    sf = _sf_of(sf_dir)
+    n_events = args.events or max(int(5_000_000 * sf), 10_000)
+
+    from data_migration_service_spark.session import get_spark
+
+    spark = get_spark(app_name="dms-bench", master=master)
+    try:
+        replay = run_replay(spark, n_events, args.epochs,
+                            salt_factor=2, n_buckets=64)
+        queries: dict[str, float] = {}
+        queries["cdc_replay"] = replay["apply_sec"]
+
+        if not args.replay_only:
+            import __spark_entry__ as entry
+
+            qs = entry.queries()
+            # headline analytics set: shuffles/joins/windows/UDF families
+            bench_qs = [
+                "lww_dedup", "pricing_summary", "region_revenue",
+                "salted_hot_agg", "hash_diff_status_counts",
+                "row_hash_canonical", "dedup_exact", "token_count",
+                "quality_score", "simhash", "minhash_lsh_pairs",
+                "embedding_topk", "semi_join_replay",
+            ]
+            for name in bench_qs:
+                t0 = time.monotonic()
+                df = qs[name](spark, sf_dir)
+                _force(df)
+                queries[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(queries.values()), 3)
+        out = {
+            "metric": "cdc_replay_plus_headline_queries_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "master": master,
+            "cdc": replay,
+        }
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
