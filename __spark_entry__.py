@@ -354,6 +354,20 @@ def q_minhash_lsh_pairs(spark, sf):
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4,
+                                  max_bucket=50)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", pairs, k=5)
+
+
+def q_embedding_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = S.near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_embedding_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -412,6 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,        # rows-only
         "multimodal_features": q_multimodal_features,    # rows-only
@@ -568,6 +584,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4)
+                     AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
         "embedding_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
@@ -604,8 +630,7 @@ def _simhash_sql() -> str:
     """
 
 
-def _minhash_lsh_sql() -> str:
-    return r"""
+_MINHASH_CTES = r"""
         WITH sh AS (
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
           FROM documents,
@@ -632,6 +657,11 @@ def _minhash_lsh_sql() -> str:
           FROM sized a JOIN sized b
             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
         )
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    return _MINHASH_CTES + r"""
         SELECT p.id_a, p.id_b,
                round(CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE)
                      / count(*), 6) AS est_jaccard
@@ -639,4 +669,24 @@ def _minhash_lsh_sql() -> str:
         JOIN sig sa ON sa.doc_id = p.id_a
         JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
         GROUP BY p.id_a, p.id_b
+    """
+
+
+def _ngram_jaccard_sql() -> str:
+    return _MINHASH_CTES + r"""
+        , szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.id_a, p.id_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+          GROUP BY p.id_a, p.id_b
+        )
+        SELECT p.id_a, p.id_b,
+               round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                     / (sa.sz + sb.sz - coalesce(i.n_inter, 0)), 6) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN szs sa ON sa.doc_id = p.id_a
+        JOIN szs sb ON sb.doc_id = p.id_b
     """

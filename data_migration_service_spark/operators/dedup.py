@@ -62,16 +62,20 @@ def minhash_signatures(
     Output: (id, h in 0..n_hashes-1, minhash string).
     """
     sh = shingles(df, id_col, text_col, k)
-    hashed = sh.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h"),
-        F.col("shingle"),
-    ).select(
-        id_col,
-        "h",
-        F.sha2(F.concat_ws(":", F.col("h").cast("string"), F.col("shingle")), 256).alias("hv"),
+    # Wide aggregate, not an explode: n_hashes hash expressions per shingle
+    # row, one groupBy(doc) with n_hashes partial-aggregable mins. The
+    # shuffle carries ~n_docs rows (map-side combine), not n_shingles x
+    # n_hashes — the difference between 1.5M and 23M shuffled rows at sf0.1.
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.sha2(F.concat_ws(":", F.lit(str(i)), F.col("shingle")), 256)
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
     )
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("minhash"))
+    stack = ", ".join(f"{i}, _h{i}" for i in range(n_hashes))
+    return mins.selectExpr(id_col, f"stack({n_hashes}, {stack}) as (h, minhash)")
 
 
 def lsh_candidate_pairs(
@@ -130,12 +134,14 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # candidate pairs are tiny relative to the shingle table — broadcast them
+    # so the shingle side is never shuffled (semi-join-shaped plan)
     inter = (
-        pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        F.broadcast(pairs).join(sa, "id_a").join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
+        F.broadcast(pairs).join(inter, ["id_a", "id_b"], "left")
         .na.fill({"n_inter": 0})
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

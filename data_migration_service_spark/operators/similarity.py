@@ -45,6 +45,29 @@ def cosine_topk(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine >= t).
+
+    Exact formulation (self-join, JVM-side dot products) — the correctness
+    baseline with a direct SQL oracle. At corpus scale the same rerank runs
+    over `lsh_bucket` candidate pairs instead of the full self-join (recall
+    traded for the ~2^n_planes candidate reduction), exactly like
+    `lsh_topk`; the exact path here is what validates that scale path.
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("_vb"))
+    j = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        j.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[int]:
     """Deterministic ±1 hyperplane from a hash — no stored model, any worker
     can re-derive it (important: nothing to broadcast or version)."""
