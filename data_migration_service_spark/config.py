@@ -42,4 +42,6 @@ class EngineConfig:
     salt_factor: int = 8
     checkpoint_path: str | None = None
     mismatch_report_cap: int = 100
+    merge_mode: str = "cow"        # "cow" | "mor" (see operators/merge.py)
+    compact_threshold: int = 8     # mor: compact a bucket at this delta depth
     table_props: dict = field(default_factory=dict)

@@ -13,12 +13,23 @@ ordering contract (PK-ordered paging). Semantics per the north rule:
   batch epoch; a replayed epoch is detected from the current snapshot's
   props and skipped (foreachBatch is at-least-once by default).
 
-Plan shape (one shuffle, bucket-pruned copy-on-write):
+Two write strategies (cfg.merge_mode), same semantics:
+
+**cow** (copy-on-write) — one shuffle, bucket-pruned rewrite:
 
     batch ──project to current schema──┐
                                        ├─ union ─ groupBy(key).agg(max_by(.., (lsn, side)))
     target(affected buckets only) ─────┘                      │
                                                               └─ write per (bucket, salt) ─ snapshot commit
+
+**mor** (merge-on-read) — O(batch) apply, the high-frequency-epoch path:
+the batch is LWW-deduped within itself and appended as a delta dir per
+affected bucket; readers reduce base+deltas by max LSN per key; a bucket is
+compacted (deltas folded into a new base) when its delta depth reaches
+cfg.compact_threshold. At 10^10 events a copy-on-write rewrite per epoch is
+O(table) and unaffordable — mor keeps apply proportional to the batch and
+amortizes the rewrite over `compact_threshold` epochs, exactly the Iceberg
+MOR/positional-delete trade.
 
 `max_by(struct(cols), (lsn, side))` does LWW inside a single hash aggregate
 with map-side partial aggregation — cheaper than window row_number (no sort,
@@ -102,6 +113,9 @@ def cdc_apply(
     )
     src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
     src = src.withColumn(SIDE_COL, F.lit(1))
+    # the batch is scanned twice (bucket planning, then the merge/write) —
+    # cache the projected form so the source is read once per epoch
+    src = src.persist()
 
     # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets
     # rows) — the same pass yields per-bucket lineage: rows and LSN range per
@@ -120,10 +134,18 @@ def cdc_apply(
         for r in bucket_rows
     }
     if not affected:
+        src.unpersist()
         new = table.commit("merge", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
+
+    if cfg.merge_mode == "mor":
+        try:
+            return _apply_mor(table, src, snap, cfg, epoch, lineage, affected,
+                              data_fields, collect_stats)
+        finally:
+            src.unpersist()
 
     # 3. read ONLY those buckets from the target (tombstones included: their
     # lsn is the anti-resurrection watermark)
@@ -184,11 +206,103 @@ def cdc_apply(
         },
         expected_parent=snap.snapshot_id,
     )
+    src.unpersist()
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
     stats.extra["bucket_lineage"] = lineage
     stats.rows_in_batch = sum(v["rows"] for v in lineage.values())
     return stats
+
+
+def _apply_mor(table, src, snap, cfg, epoch, lineage, affected, data_fields,
+               collect_stats) -> MergeStats:
+    """Merge-on-read apply: LWW-dedup the batch within itself, append it as
+    one delta dir, compact buckets whose delta depth hits the threshold.
+    No target read on the apply path — O(batch), not O(table)."""
+    import uuid as _uuid
+
+    keys = list(cfg.key_cols)
+    data_cols = [f.name for f in data_fields]
+    row_struct = F.struct(
+        *[F.col(c) for c in data_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
+    )
+    deduped = (
+        src.groupBy(*keys)
+        .agg(F.max_by(row_struct, F.col(cfg.lsn_col)).alias("_w"))
+        .select("_w.*")
+    )
+
+    stats = MergeStats(epoch=epoch)
+    if collect_stats:
+        # column-pruned key probe of the affected buckets (NOT a rewrite):
+        # how many batch keys already exist live in the target
+        tgt_keys = (
+            table.read(snapshot=snap, buckets=affected, include_deleted=True)
+            .where(~F.col(DELETED_COL))
+            .select(*keys)
+        )
+        agg = (
+            deduped.join(tgt_keys, keys, "left_semi")
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .collect()[0]
+        )
+        total = deduped.count()
+        stats.rows_matched = int(agg["matched"] or 0)
+        stats.rows_inserted = total - stats.rows_matched
+        stats.rows_after_dedup = total
+
+    out_schema = T.StructType(
+        data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
+    dirname = table.write_buckets(
+        deduped, affected, new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
+        salt_factor=cfg.salt_factor, write_schema=out_schema,
+    )
+    new = table.commit(
+        "merge-mor", {},
+        delta_append={b: dirname for b in affected},
+        props_update=({"epoch": str(epoch)} if epoch is not None else {}),
+        summary={
+            "affected_buckets": len(affected),
+            "rows_matched": stats.rows_matched,
+            "rows_inserted": stats.rows_inserted,
+        },
+        expected_parent=snap.snapshot_id,
+    )
+    stats.affected_buckets = len(affected)
+    stats.snapshot_id = new.snapshot_id
+    stats.extra["bucket_lineage"] = lineage
+    stats.rows_in_batch = sum(v["rows"] for v in lineage.values())
+
+    ripe = [b for b in affected
+            if len(new.deltas.get(b, [])) >= cfg.compact_threshold]
+    if ripe:
+        compact(table, cfg, buckets=ripe)
+        stats.extra["compacted_buckets"] = len(ripe)
+        stats.snapshot_id = table.current().snapshot_id
+    return stats
+
+
+def compact(table: SnapshotTable, cfg: EngineConfig,
+            buckets: list[int] | None = None) -> int:
+    """Fold delta dirs into new base dirs for `buckets` (default: every
+    bucket carrying deltas). The read does the LWW reduce; the rewrite
+    clears the delta lists (commit() handles the bookkeeping). Returns the
+    new snapshot id (unchanged if nothing to compact)."""
+    snap = table.current()
+    todo = sorted(b for b in (buckets or snap.deltas) if snap.deltas.get(b))
+    if not todo:
+        return snap.snapshot_id
+    merged = table.read(snapshot=snap, buckets=todo, include_deleted=True) \
+                  .drop(BUCKET_COL)
+    merged = merged.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+    schema = snap.schema()
+    dirname = table.write_buckets(merged, todo, salt_factor=cfg.salt_factor,
+                                  write_schema=schema)
+    new = table.commit("compact", {b: dirname for b in todo},
+                       summary={"buckets": len(todo)},
+                       expected_parent=snap.snapshot_id)
+    return new.snapshot_id
 
 
 def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate) -> int:

@@ -66,10 +66,18 @@ class Snapshot:
     schema_json: dict
     n_buckets: int
     key_cols: list[str]
-    buckets: dict[int, str]          # bucket -> data dir name holding it
+    buckets: dict[int, str]          # bucket -> base data dir name holding it
     renames: dict[str, str]          # cumulative old-name -> new-name lineage
     props: dict[str, str]
     summary: dict[str, Any]
+    # merge-on-read delta log: bucket -> ordered delta dir names. A read of a
+    # bucket merges base + deltas by max LSN per key; compaction folds deltas
+    # back into a new base dir and clears the list.
+    deltas: dict[int, list[str]] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.deltas is None:
+            self.deltas = {}
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
@@ -94,8 +102,11 @@ class SnapshotTable:
         key_cols: list[str],
         n_buckets: int = 64,
         props: dict[str, str] | None = None,
+        lsn_col: str = "lsn",
     ) -> "SnapshotTable":
         t = cls(spark, root)
+        props = dict(props or {})
+        props.setdefault("lsn_col", lsn_col)
         os.makedirs(t._snapdir, exist_ok=True)
         os.makedirs(t._datadir, exist_ok=True)
         if DELETED_COL not in schema.names:
@@ -110,7 +121,7 @@ class SnapshotTable:
             key_cols=list(key_cols),
             buckets={},
             renames={},
-            props=dict(props or {}),
+            props=props,
             summary={"operation": "create"},
         )
         t._write_snapshot(snap)
@@ -129,6 +140,7 @@ class SnapshotTable:
         with open(os.path.join(self._snapdir, f"{sid:08d}.json")) as f:
             d = json.load(f)
         d["buckets"] = {int(k): v for k, v in d["buckets"].items()}
+        d["deltas"] = {int(k): v for k, v in d.get("deltas", {}).items()}
         return Snapshot(**d)
 
     def snapshots(self) -> list[int]:
@@ -142,6 +154,7 @@ class SnapshotTable:
         BatchJobParameterHolder.java:44-53), then HEAD flipped via rename."""
         d = dict(snap.__dict__)
         d["buckets"] = {str(k): v for k, v in snap.buckets.items()}
+        d["deltas"] = {str(k): v for k, v in snap.deltas.items()}
         path = os.path.join(self._snapdir, f"{snap.snapshot_id:08d}.json")
         with open(path, "x") as f:  # 'x': concurrent committer loses here
             json.dump(d, f)
@@ -177,14 +190,26 @@ class SnapshotTable:
         footer pruning still works), old column names are mapped through the
         rename lineage, and missing (later-added) columns are filled with
         NULL — the same name-lineage trick Iceberg does with field ids.
+
+        Merge-on-read: if any requested bucket carries delta dirs, base and
+        delta rows are reduced to one row per key by max LSN (one hash
+        aggregate with map-side combine). A fully-compacted table skips the
+        aggregate entirely.
         """
         snap = snapshot or self.current()
         want = set(buckets) if buckets is not None else None
-        # group (dir -> its buckets) honoring pruning
+        # group (dir -> its buckets) honoring pruning; deltas join the same
+        # scan groups, the LWW reduce below resolves base-vs-delta winners
         dir_buckets: dict[str, list[int]] = {}
+        has_delta = False
         for b, d in snap.buckets.items():
             if want is None or b in want:
                 dir_buckets.setdefault(d, []).append(b)
+        for b, dirs in snap.deltas.items():
+            if (want is None or b in want) and dirs:
+                has_delta = True
+                for d in dirs:
+                    dir_buckets.setdefault(d, []).append(b)
 
         out_schema = snap.schema()
         out_cols = [f.name for f in out_schema.fields]
@@ -212,6 +237,12 @@ class SnapshotTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        if has_delta:
+            lsn_col = snap.props.get("lsn_col", "lsn")
+            winner = F.max_by(
+                F.struct(*[F.col(c) for c in out_cols]), F.col(lsn_col)
+            ).alias("_w")
+            df = df.groupBy(*snap.key_cols).agg(winner).select("_w.*")
         if include_deleted:
             # bucket id is derived, not stored: recomputing the key hash is
             # cheaper and safer than parquet partition-dir discovery
@@ -239,15 +270,19 @@ class SnapshotTable:
         dirname = new_buckets_dir or f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._datadir, dirname)
         schema = write_schema or df.drop(BUCKET_COL).schema
-        n = max(len(affected), 1)
+        # Partition by (bucket, salt) WITHOUT a fixed partition count: AQE
+        # coalesces the shuffle to the data size, so a small batch writes a
+        # few files while a hot bucket still fans out across salt_factor
+        # writer tasks. A fixed n_buckets*salt_factor count over-schedules
+        # small batches and under-parallelizes huge ones.
         if salt_factor > 1:
             keys = [c for c in self.current().key_cols if c in df.columns]
             salt_src = keys or [c for c in df.columns if c != BUCKET_COL][:2]
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src], F.lit("salt")),
                           F.lit(salt_factor))
-            part = df.repartition(n * salt_factor, F.col(BUCKET_COL), salt)
+            part = df.repartition(F.col(BUCKET_COL), salt)
         else:
-            part = df.repartition(n, F.col(BUCKET_COL))
+            part = df.repartition(F.col(BUCKET_COL))
         (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out))
         # parquet partitionBy drops BUCKET_COL from files; record the physical
         # file schema (without the partition col)
@@ -266,8 +301,13 @@ class SnapshotTable:
         props_update: dict[str, str] | None = None,
         summary: dict[str, Any] | None = None,
         expected_parent: int | None = None,
+        delta_append: dict[int, str] | None = None,
     ) -> Snapshot:
         """Commit a new snapshot: parent's bucket map + rewrites - drops.
+
+        `delta_append` appends one delta dir per bucket (merge-on-read
+        append). A bucket in `rewritten` had its full merged state rewritten
+        (copy-on-write or compaction), so its delta list is cleared.
 
         `expected_parent` gives optimistic concurrency: commit fails if HEAD
         moved since the caller read it.
@@ -281,6 +321,14 @@ class SnapshotTable:
         for b in dropped_buckets:
             buckets.pop(b, None)
         buckets.update(rewritten)
+        deltas = {b: list(ds) for b, ds in cur.deltas.items()}
+        for b in rewritten:
+            deltas.pop(b, None)
+        for b in dropped_buckets:
+            deltas.pop(b, None)
+        for b, d in (delta_append or {}).items():
+            deltas.setdefault(b, []).append(d)
+        deltas = {b: ds for b, ds in deltas.items() if ds}
         snap = Snapshot(
             snapshot_id=cur.snapshot_id + 1,
             parent=cur.snapshot_id,
@@ -291,6 +339,7 @@ class SnapshotTable:
             renames={**cur.renames, **(renames_update or {})},
             props={**cur.props, **(props_update or {})},
             summary={"operation": operation, **(summary or {})},
+            deltas=deltas,
         )
         self._write_snapshot(snap)
         return snap
@@ -343,13 +392,16 @@ class SnapshotTable:
         keep = set(ids[-keep_last:])
         live_dirs: set[str] = set()
         for sid in keep:
-            live_dirs.update(self.load_snapshot(sid).buckets.values())
+            s = self.load_snapshot(sid)
+            live_dirs.update(s.buckets.values())
+            for ds in s.deltas.values():
+                live_dirs.update(ds)
         removed = []
         for sid in ids:
             if sid not in keep:
                 os.remove(os.path.join(self._snapdir, f"{sid:08d}.json"))
         for d in os.listdir(self._datadir):
-            if d.startswith("snap-") and d not in live_dirs:
+            if d.startswith(("snap-", "delta-")) and d not in live_dirs:
                 shutil.rmtree(os.path.join(self._datadir, d))
                 removed.append(d)
         return removed

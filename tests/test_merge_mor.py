@@ -1,0 +1,118 @@
+"""Merge-on-read mode: identical LWW/tombstone/exactly-once semantics to
+copy-on-write, but the apply path appends delta dirs (O(batch)) and folds
+them into the base via threshold-triggered compaction. Every test asserts
+the same sha256-per-row final-state oracle as the cow tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import (
+    gen_changes,
+    gen_duplicated_delivery,
+)
+from data_migration_service_spark.operators.merge import cdc_apply, compact
+from tests.test_merge import assert_state_matches, make_table
+
+
+def mor_cfg(tmp_path, n_buckets=16, compact_threshold=8):
+    return EngineConfig(
+        table_path=str(tmp_path / "repos"), n_buckets=n_buckets,
+        merge_mode="mor", compact_threshold=compact_threshold,
+    )
+
+
+def test_mor_multi_epoch_matches_oracle(spark, tmp_path):
+    ch = gen_changes(spark, 4000, n_repos=12, n_paths_per_repo=30).cache()
+    t = make_table(spark, tmp_path)
+    cfg = mor_cfg(tmp_path)
+    for e, (lo, hi) in enumerate([(1, 1000), (1001, 2500), (2501, 4000)]):
+        cdc_apply(t, ch.where(F.col("lsn").between(lo, hi)), cfg, epoch=e)
+    assert t.current().deltas  # uncompacted deltas present
+    assert_state_matches(t, ch)
+
+
+def test_mor_compaction_preserves_state_and_clears_deltas(spark, tmp_path):
+    ch = gen_changes(spark, 3000, n_repos=10, n_paths_per_repo=20).cache()
+    t = make_table(spark, tmp_path)
+    cfg = mor_cfg(tmp_path)
+    for e, (lo, hi) in enumerate([(1, 1500), (1501, 3000)]):
+        cdc_apply(t, ch.where(F.col("lsn").between(lo, hi)), cfg, epoch=e)
+    compact(t, cfg)
+    assert t.current().deltas == {}
+    assert_state_matches(t, ch)
+    # post-compaction epochs still merge correctly
+    more = ch.limit(1).withColumn("lsn", F.lit(10_000)) \
+             .withColumn("op", F.lit("update")) \
+             .withColumn("content", F.lit("compacted-then-updated"))
+    cdc_apply(t, more, cfg, epoch=2)
+    row = more.collect()[0]
+    got = t.read().where(
+        (F.col("repo") == row["repo"]) & (F.col("path") == row["path"])
+    ).collect()
+    assert got[0]["content"] == "compacted-then-updated"
+
+
+def test_mor_threshold_triggers_auto_compaction(spark, tmp_path):
+    ch = gen_changes(spark, 1200, n_repos=4, n_paths_per_repo=5).cache()
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = mor_cfg(tmp_path, n_buckets=4, compact_threshold=3)
+    stats = []
+    for e in range(4):
+        lo, hi = e * 300 + 1, (e + 1) * 300
+        stats.append(cdc_apply(t, ch.where(F.col("lsn").between(lo, hi)),
+                               cfg, epoch=e))
+    assert any("compacted_buckets" in s.extra for s in stats)
+    # depth never exceeds the threshold after an apply
+    assert all(len(ds) < 3 for ds in t.current().deltas.values())
+    assert_state_matches(t, ch)
+
+
+def test_mor_exactly_once_and_duplicated_delivery(spark, tmp_path):
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=20).cache()
+    dup = gen_duplicated_delivery(ch)
+    t = make_table(spark, tmp_path)
+    cfg = mor_cfg(tmp_path)
+    b0 = dup.where(F.col("lsn") <= 700)
+    b1 = dup.where(F.col("lsn") > 700)
+    cdc_apply(t, b0, cfg, epoch=0)
+    cdc_apply(t, b1, cfg, epoch=1)
+    sid = t.current().snapshot_id
+    assert cdc_apply(t, b0, cfg, epoch=0).skipped
+    assert t.current().snapshot_id == sid
+    assert_state_matches(t, ch)
+
+
+def test_mor_no_resurrection_across_deltas(spark, tmp_path):
+    rows = [
+        (1, "insert", "r1", "a.py", "v1"),
+        (5, "delete", "r1", "a.py", None),
+        (3, "update", "r1", "a.py", "v3-stale"),
+        (2, "insert", "r2", "b.py", "v2"),
+        (4, "update", "r2", "b.py", "v4"),
+    ]
+    df = spark.createDataFrame(
+        [(l, o, r, p, c, None, None, 1) for l, o, r, p, c in rows],
+        "lsn long, op string, repo string, path string, content string, "
+        "commit string, lang string, schema_version int",
+    ).withColumn("size_bytes", F.length("content").cast("long"))
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = mor_cfg(tmp_path, n_buckets=4)
+    cdc_apply(t, df.where(F.col("lsn").isin(1, 5, 2)), cfg, epoch=0)
+    cdc_apply(t, df.where(F.col("lsn").isin(3, 4)), cfg, epoch=1)
+    final = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert final == {("r2", "b.py"): "v4"}
+    # ...and compaction must not resurrect either
+    compact(t, cfg)
+    final = {(r["repo"], r["path"]): r["content"] for r in t.read().collect()}
+    assert final == {("r2", "b.py"): "v4"}
+
+
+def test_mor_stats_probe(spark, tmp_path):
+    ch = gen_changes(spark, 1000, n_repos=6, n_paths_per_repo=15).cache()
+    t = make_table(spark, tmp_path)
+    cfg = mor_cfg(tmp_path)
+    s0 = cdc_apply(t, ch.where(F.col("lsn") <= 500), cfg, epoch=0)
+    assert s0.rows_inserted > 0 and s0.rows_matched == 0
+    s1 = cdc_apply(t, ch.where(F.col("lsn") > 500), cfg, epoch=1)
+    assert s1.rows_matched > 0  # updates of keys inserted in epoch 0
