@@ -1,0 +1,78 @@
+"""Property-based adversarial replay tests (SURVEY.md §5.3).
+
+For ANY partition of the change log into epochs, ANY merge mode, and
+at-least-once delivery, the engine's final table state must equal the batch
+LWW oracle — sha256 per row. Hypothesis draws the epoch boundaries and the
+adversarial delivery/mode knobs; the log itself stays seed-stable so
+failures reproduce exactly.
+"""
+
+import shutil
+import tempfile
+
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import (
+    gen_changes,
+    gen_duplicated_delivery,
+)
+from data_migration_service_spark.operators.merge import cdc_apply
+from data_migration_service_spark.tables.lake import SnapshotTable
+from tests.test_merge import TABLE_SCHEMA, assert_state_matches
+
+N_EVENTS = 800
+_CACHED = {}
+
+
+def _changes(spark):
+    if "ch" not in _CACHED:
+        _CACHED["ch"] = gen_changes(
+            spark, N_EVENTS, n_repos=6, n_paths_per_repo=10
+        ).cache()
+        _CACHED["dup"] = gen_duplicated_delivery(_CACHED["ch"]).cache()
+    return _CACHED["ch"], _CACHED["dup"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=2, max_value=N_EVENTS - 1),
+        min_size=0, max_size=4, unique=True,
+    ),
+    duplicated=st.booleans(),
+    mode=st.sampled_from(["cow", "mor"]),
+    compact_threshold=st.integers(min_value=1, max_value=4),
+)
+def test_any_epoch_partition_matches_oracle(
+    spark, cuts, duplicated, mode, compact_threshold
+):
+    ch, dup = _changes(spark)
+    log = dup if duplicated else ch
+    bounds, lo = [], 1
+    for c in sorted(cuts):
+        bounds.append((lo, c - 1))
+        lo = c
+    bounds.append((lo, N_EVENTS))
+
+    root = tempfile.mkdtemp(prefix="prop_replay_")
+    try:
+        t = SnapshotTable.create(spark, f"{root}/repos", TABLE_SCHEMA,
+                                 ["repo", "path"], 8)
+        cfg = EngineConfig(
+            table_path=f"{root}/repos", n_buckets=8, salt_factor=2,
+            merge_mode=mode, compact_threshold=compact_threshold,
+        )
+        for e, (a, b) in enumerate(bounds):
+            cdc_apply(t, log.where(F.col("lsn").between(a, b)), cfg,
+                      epoch=e, collect_stats=False)
+        assert_state_matches(t, ch)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
