@@ -37,6 +37,7 @@ def gen_changes(
     schema_v2_at: int | None = None,
     schema_v3_at: int | None = None,
     partitions: int | None = None,
+    content_blocks: int = 8,
 ) -> DataFrame:
     """Ordered CDC event log: lsn strictly increasing 1..n_events.
 
@@ -101,7 +102,10 @@ def gen_changes(
 
     # content: 1..8 sha256 blocks of 64 hex chars + optional emoji/unicode
     # garnish; empty string when hash%13==0; NULL for deletes.
-    n_blocks = (F.pmod(F.xxhash64("lsn", F.lit("len"), F.lit(seed)), F.lit(8)) + 1)
+    # `content_blocks` scales document size (1..N blocks of 65 chars) —
+    # source-code files are KBs, so scale benches raise this
+    n_blocks = (F.pmod(F.xxhash64("lsn", F.lit("len"), F.lit(seed)),
+                       F.lit(content_blocks)) + 1)
     block = F.sha2(F.concat_ws("#", "repo", "path", F.col("lsn").cast("string")), 256)
     body = F.concat_ws(
         " ",

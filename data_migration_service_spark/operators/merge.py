@@ -113,9 +113,11 @@ def cdc_apply(
     )
     src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
     src = src.withColumn(SIDE_COL, F.lit(1))
-    # the batch is scanned twice (bucket planning, then the merge/write) —
-    # cache the projected form so the source is read once per epoch
-    src = src.persist()
+
+    if cfg.merge_mode == "mor":
+        # single-pass apply: dedup+write, then plan from the written footers
+        return _apply_mor(table, src, snap, cfg, epoch, data_fields,
+                          collect_stats)
 
     # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets
     # rows) — the same pass yields per-bucket lineage: rows and LSN range per
@@ -134,18 +136,10 @@ def cdc_apply(
         for r in bucket_rows
     }
     if not affected:
-        src.unpersist()
         new = table.commit("merge", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
-
-    if cfg.merge_mode == "mor":
-        try:
-            return _apply_mor(table, src, snap, cfg, epoch, lineage, affected,
-                              data_fields, collect_stats)
-        finally:
-            src.unpersist()
 
     # 3. read ONLY those buckets from the target (tombstones included: their
     # lsn is the anti-resurrection watermark)
@@ -206,7 +200,6 @@ def cdc_apply(
         },
         expected_parent=snap.snapshot_id,
     )
-    src.unpersist()
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
     stats.extra["bucket_lineage"] = lineage
@@ -214,11 +207,15 @@ def cdc_apply(
     return stats
 
 
-def _apply_mor(table, src, snap, cfg, epoch, lineage, affected, data_fields,
+def _apply_mor(table, src, snap, cfg, epoch, data_fields,
                collect_stats) -> MergeStats:
     """Merge-on-read apply: LWW-dedup the batch within itself, append it as
     one delta dir, compact buckets whose delta depth hits the threshold.
-    No target read on the apply path — O(batch), not O(table)."""
+
+    Single data pass: dedup+write is the only Spark job; the affected-bucket
+    set and per-bucket lineage (rows, LSN range) come from the written
+    parquet FOOTERS afterwards (driver-side metadata, no second scan). No
+    target read on the apply path — O(batch), not O(table)."""
     import uuid as _uuid
 
     keys = list(cfg.key_cols)
@@ -232,7 +229,24 @@ def _apply_mor(table, src, snap, cfg, epoch, lineage, affected, data_fields,
         .select("_w.*")
     )
 
+    out_schema = T.StructType(
+        data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
+    )
+    dirname = table.write_buckets(
+        deduped, [], new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
+        salt_factor=cfg.salt_factor, write_schema=out_schema,
+    )
+    lineage = table.dir_lineage(dirname, cfg.lsn_col)
+    affected = sorted(lineage)
+
     stats = MergeStats(epoch=epoch)
+    if not affected:
+        new = table.commit("merge-mor", {}, props_update=(
+            {"epoch": str(epoch)} if epoch is not None else {}),
+            summary={"rows": 0}, expected_parent=snap.snapshot_id)
+        stats.snapshot_id = new.snapshot_id
+        return stats
+
     if collect_stats:
         # column-pruned key probe of the affected buckets (NOT a rewrite):
         # how many batch keys already exist live in the target
@@ -241,23 +255,15 @@ def _apply_mor(table, src, snap, cfg, epoch, lineage, affected, data_fields,
             .where(~F.col(DELETED_COL))
             .select(*keys)
         )
-        agg = (
-            deduped.join(tgt_keys, keys, "left_semi")
-            .agg(F.count(F.lit(1)).alias("matched"))
-            .collect()[0]
-        )
-        total = deduped.count()
+        written = table.spark.read.schema(out_schema).parquet(
+            *table.bucket_paths(dirname, affected))
+        agg = written.join(tgt_keys, keys, "left_semi").agg(
+            F.count(F.lit(1)).alias("matched")).collect()[0]
+        total = sum(v["rows"] for v in lineage.values())
         stats.rows_matched = int(agg["matched"] or 0)
         stats.rows_inserted = total - stats.rows_matched
         stats.rows_after_dedup = total
 
-    out_schema = T.StructType(
-        data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
-    )
-    dirname = table.write_buckets(
-        deduped, affected, new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
-        salt_factor=cfg.salt_factor, write_schema=out_schema,
-    )
     new = table.commit(
         "merge-mor", {},
         delta_append={b: dirname for b in affected},

@@ -291,6 +291,45 @@ class SnapshotTable:
             json.dump(phys.jsonValue(), f)
         return dirname
 
+    def bucket_paths(self, dirname: str, buckets: Iterable[int]) -> list[str]:
+        """Existing `_bucket=N` partition paths of one data dir."""
+        paths = [
+            os.path.join(self._datadir, dirname, f"{BUCKET_COL}={b}")
+            for b in sorted(buckets)
+        ]
+        return [p for p in paths if os.path.exists(p)]
+
+    def dir_lineage(self, dirname: str, lsn_col: str = "lsn") -> dict[int, dict]:
+        """Per-bucket lineage of one data dir from parquet FOOTERS only:
+        rows + LSN range per `_bucket=N` partition. Driver-side metadata
+        reads — no data scan, no Spark job. This is how a single-pass merge
+        discovers its affected-bucket set after the write."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, dict] = {}
+        base = os.path.join(self._datadir, dirname)
+        for d in os.listdir(base):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(d.split("=", 1)[1])
+            rows, lo, hi = 0, None, None
+            for fn in os.listdir(os.path.join(base, d)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(base, d, fn)).metadata
+                rows += md.num_rows
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if lsn_col in idx:
+                    ci = idx[lsn_col]
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+            if rows:
+                out[b] = {"rows": rows, "lsn_min": lo, "lsn_max": hi}
+        return out
+
     def commit(
         self,
         operation: str,

@@ -27,11 +27,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(master: str, events: int, epochs: int, sf_dir: str) -> dict:
+def run_one(master: str, events: int, epochs: int, sf_dir: str,
+            content_blocks: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
-         "--master", master, "--events", str(events), "--epochs", str(epochs)],
+         "--master", master, "--events", str(events), "--epochs", str(epochs),
+         "--content-blocks", str(content_blocks)],
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -45,10 +47,13 @@ def main() -> int:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--content-blocks", type=int, default=8)
     args = ap.parse_args()
 
-    lo = run_one(f"local[{args.low}]", args.events, args.epochs, args.sf_dir)
-    hi = run_one(f"local[{args.high}]", args.events, args.epochs, args.sf_dir)
+    lo = run_one(f"local[{args.low}]", args.events, args.epochs, args.sf_dir,
+                 args.content_blocks)
+    hi = run_one(f"local[{args.high}]", args.events, args.epochs, args.sf_dir,
+                 args.content_blocks)
     r_lo = lo["cdc"]["events_per_sec"]
     r_hi = hi["cdc"]["events_per_sec"]
     eff = (r_hi / r_lo) / (args.high / args.low)
