@@ -637,10 +637,15 @@ _MINHASH_CTES = r"""
           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS shingle
           FROM documents,
                LATERAL unnest(generate_series(1, greatest(length(text) - 4, 1))) AS u(i)
+        ), hs AS (
+          SELECT doc_id, shingle, sha256(shingle) AS h0,
+                 sha256('1x:' || shingle) AS h1
+          FROM sh
         ), hashed AS (
           SELECT doc_id, h.h,
-                 sha256(CAST(h.h AS VARCHAR) || ':' || shingle) AS hv
-          FROM sh, LATERAL unnest(generate_series(0, 15)) AS h(h)
+                 substr(CASE WHEN h.h < 8 THEN h0 ELSE h1 END,
+                        (h.h % 8) * 8 + 1, 8) AS hv
+          FROM hs, LATERAL unnest(generate_series(0, 15)) AS h(h)
         ), sig AS (
           SELECT doc_id, h, min(hv) AS minhash FROM hashed GROUP BY doc_id, h
         ), banded AS (
