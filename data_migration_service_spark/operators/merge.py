@@ -290,17 +290,30 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
 
 
 def compact(table: SnapshotTable, cfg: EngineConfig,
-            buckets: list[int] | None = None) -> int:
+            buckets: list[int] | None = None,
+            tombstone_watermark: int | None = None) -> int:
     """Fold delta dirs into new base dirs for `buckets` (default: every
     bucket carrying deltas). The read does the LWW reduce; the rewrite
     clears the delta lists (commit() handles the bookkeeping). Returns the
-    new snapshot id (unchanged if nothing to compact)."""
+    new snapshot id (unchanged if nothing to compact).
+
+    `tombstone_watermark`: tombstones with lsn <= watermark are physically
+    dropped during the rewrite. A tombstone exists only to beat late
+    lower-LSN events (anti-resurrection), so once the source guarantees no
+    event below the watermark can still arrive (e.g. the replication slot's
+    confirmed-flush LSN), retaining older tombstones is pure bloat — at
+    10^10 events deleted keys would otherwise accumulate forever. Caller
+    owns the safety of the watermark."""
     snap = table.current()
     todo = sorted(b for b in (buckets or snap.deltas) if snap.deltas.get(b))
     if not todo:
         return snap.snapshot_id
     merged = table.read(snapshot=snap, buckets=todo, include_deleted=True) \
                   .drop(BUCKET_COL)
+    if tombstone_watermark is not None:
+        merged = merged.where(
+            ~(F.col(DELETED_COL) & (F.col(cfg.lsn_col) <= tombstone_watermark))
+        )
     merged = merged.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
     schema = snap.schema()
     dirname = table.write_buckets(merged, todo, salt_factor=cfg.salt_factor,

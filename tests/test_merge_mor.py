@@ -116,3 +116,37 @@ def test_mor_stats_probe(spark, tmp_path):
     assert s0.rows_inserted > 0 and s0.rows_matched == 0
     s1 = cdc_apply(t, ch.where(F.col("lsn") > 500), cfg, epoch=1)
     assert s1.rows_matched > 0  # updates of keys inserted in epoch 0
+
+
+def test_compaction_tombstone_gc_watermark(spark, tmp_path):
+    """Tombstones at or below the watermark are physically dropped by
+    compaction; above it they survive and still block resurrection."""
+    rows = [
+        (1, "insert", "r1", "a.py", "v1"),
+        (2, "delete", "r1", "a.py", None),      # old delete, <= watermark
+        (3, "insert", "r2", "b.py", "v3"),
+        (9, "delete", "r2", "b.py", None),      # recent delete, > watermark
+    ]
+    df = spark.createDataFrame(
+        [(l, o, r, p, c, None, None, 1) for l, o, r, p, c in rows],
+        "lsn long, op string, repo string, path string, content string, "
+        "commit string, lang string, schema_version int",
+    ).withColumn("size_bytes", F.length("content").cast("long"))
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = mor_cfg(tmp_path, n_buckets=4)
+    cdc_apply(t, df, cfg, epoch=0)
+    from data_migration_service_spark.tables.lake import DELETED_COL
+    compact(t, cfg, tombstone_watermark=5)
+    raw = t.read(include_deleted=True)
+    stones = {(r["repo"], r["path"]): r["lsn"]
+              for r in raw.where(F.col(DELETED_COL)).collect()}
+    assert stones == {("r2", "b.py"): 9}   # lsn<=5 tombstone GC'd
+    # the surviving tombstone still beats a late lower-LSN update
+    late = df.limit(0)
+    late = spark.createDataFrame(
+        [(7, "update", "r2", "b.py", "stale", None, None, 1, 5)],
+        "lsn long, op string, repo string, path string, content string, "
+        "commit string, lang string, schema_version int, size_bytes long",
+    )
+    cdc_apply(t, late, cfg, epoch=1)
+    assert t.read().where(F.col("repo") == "r2").count() == 0
