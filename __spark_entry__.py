@@ -356,6 +356,13 @@ def q_minhash_lsh_pairs(spark, sf):
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_windowed_agg(spark, sf):
+    from data_migration_service_spark.streaming.windows import windowed_counts
+
+    ev = _t(spark, sf, "events")
+    return windowed_counts(ev, "ts", "event_type", "1 hour", value_col="value")
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "salted_hot_agg": q_salted_hot_agg,
         "epoch_lineage": q_epoch_lineage,
+        "windowed_agg": q_windowed_agg,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -510,6 +518,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(event_id / 1000) AS BIGINT) AS epoch, count(*) AS n,
                    min(event_id) AS lsn_min, max(event_id) AS lsn_max
             FROM events GROUP BY 1
+        """,
+        "windowed_agg": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
