@@ -363,6 +363,20 @@ def q_windowed_agg(spark, sf):
     return windowed_counts(ev, "ts", "event_type", "1 hour", value_col="value")
 
 
+def q_sessionize(spark, sf):
+    from data_migration_service_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf, "events")
+    return sessionize(ev, "user_id", "ts", "30 minutes")
+
+
+def q_lsn_gaps(spark, sf):
+    from data_migration_service_spark.operators.sessions import lsn_gaps
+
+    ev = _t(spark, sf, "events").where(F.pmod("event_id", F.lit(97)) != 0)
+    return lsn_gaps(ev.select(F.col("event_id").alias("lsn")), "lsn")
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
@@ -429,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_agg": q_salted_hot_agg,
         "epoch_lineage": q_epoch_lineage,
         "windowed_agg": q_windowed_agg,
+        "sessionize": q_sessionize,
+        "lsn_gaps": q_lsn_gaps,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -525,6 +541,16 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": _sessionize_sql(),
+        "lsn_gaps": """
+            WITH l AS (
+              SELECT event_id AS lsn,
+                     lag(event_id) OVER (ORDER BY event_id) AS prev
+              FROM events WHERE event_id % 97 <> 0
+            )
+            SELECT prev + 1 AS gap_start, lsn - 1 AS gap_end
+            FROM l WHERE prev IS NOT NULL AND lsn - prev > 1
         """,
         "dedup_exact": """
             SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
@@ -623,6 +649,12 @@ def oracle_sql() -> dict[str, str]:
         # embedding_ann_lsh, multimodal_features: non-SQL-expressible
         # (hyperplane derivation / binary stub) -> rows-only check
     }
+
+
+def _sessionize_sql() -> str:
+    from data_migration_service_spark.operators.sessions import sessionize_sql
+
+    return sessionize_sql("user_id", "ts", "events", 1800)
 
 
 def _simhash_sql() -> str:

@@ -1,0 +1,60 @@
+"""Sessionization + LSN continuity: built-in session_window vs
+first-principles expectations; stateful streaming gap detector finds holes
+that span micro-batches (which batch lag() cannot)."""
+
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.operators.sessions import lsn_gaps, sessionize
+from data_migration_service_spark.streaming.gap_detector import streaming_lsn_gaps
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        ("u1", "2026-01-01 00:00:00"),
+        ("u1", "2026-01-01 00:10:00"),   # same session (gap 10m <= 30m)
+        ("u1", "2026-01-01 01:00:00"),   # new session (gap 50m)
+        ("u2", "2026-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r["u"], r["session_start"]): r["n_events"]
+           for r in sessionize(df, "u", "ts", "30 minutes").collect()}
+    assert out == {
+        ("u1", "2026-01-01 00:00:00"): 2,
+        ("u1", "2026-01-01 01:00:00"): 1,
+        ("u2", "2026-01-01 00:05:00"): 1,
+    }
+
+
+def test_lsn_gaps_batch(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 5), ("b", 10), ("b", 14)],
+        "part string, lsn long",
+    )
+    out = {(r["part"], r["gap_start"], r["gap_end"])
+           for r in lsn_gaps(df, "lsn", "part").collect()}
+    assert out == {("a", 3, 4), ("b", 11, 13)}
+    clean = spark.createDataFrame([("a", 1), ("a", 2)], "part string, lsn long")
+    assert lsn_gaps(clean, "lsn", "part").count() == 0
+
+
+def test_streaming_gap_detector_across_batches(spark, tmp_path):
+    # batch 1: lsn 1,2 — batch 2: lsn 5 (hole 3-4 spans the batch boundary)
+    (spark.createDataFrame([("a", 1), ("a", 2)], "part string, lsn long")
+     .coalesce(1).write.parquet(str(tmp_path / "src" / "b1")))
+    (spark.createDataFrame([("a", 5)], "part string, lsn long")
+     .coalesce(1).write.parquet(str(tmp_path / "src" / "b2")))
+
+    stream = (spark.readStream.schema("part string, lsn long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "src" / "*")))
+    q = (
+        streaming_lsn_gaps(stream).writeStream.format("memory")
+        .queryName("gaps_test").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["part"], r["gap_start"], r["gap_end"])
+           for r in spark.sql("SELECT * FROM gaps_test").collect()}
+    assert got == {("a", 3, 4)}
