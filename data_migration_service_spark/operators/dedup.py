@@ -37,19 +37,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
+             distinct: bool = True) -> DataFrame:
     """Character k-gram shingles via explode(sequence) — JVM-side, no UDF.
-    Documents shorter than k yield their whole text as one shingle."""
+    Documents shorter than k yield their whole text as one shingle.
+
+    `distinct=False` skips the set-dedup shuffle — correct whenever the
+    consumer is duplicate-idempotent (min() for MinHash signatures)."""
     n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
-    return (
+    out = (
         df.select(
             F.col(id_col),
             F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
             F.col(text_col),
         )
         .select(F.col(id_col), F.substring(F.col(text_col), F.col("_pos"), k).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -63,7 +67,8 @@ def minhash_signatures(
     """
     if n_hashes > 16:
         raise ValueError("n_hashes > 16 not supported by the 2-sha256 scheme")
-    sh = shingles(df, id_col, text_col, k)
+    # min() is idempotent to duplicate shingles — skip the distinct shuffle
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     # Two sha256s per shingle, sliced into up to 16 independent 32-bit
     # hex-string hashes (8 chars each) — 8x fewer hash evaluations than one
     # sha256 per hash function, with the same min-over-uniform-domain
