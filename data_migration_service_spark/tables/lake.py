@@ -416,6 +416,38 @@ class SnapshotTable:
 
     # ---------- maintenance ----------
 
+    def rebucket(self, new_n_buckets: int, salt_factor: int = 1) -> Snapshot:
+        """Change the bucket count (layout evolution): full rewrite of the
+        merged table into `new_n_buckets` hash buckets. The 100 TB concern
+        this serves: a table created at 1k buckets that grew 100x has ~600 GB
+        buckets — too coarse for bucket-granular copy-on-write and pruning.
+        One rewrite re-spreads it; all snapshots after it prune on the new
+        layout (old snapshots keep reading their own)."""
+        cur = self.current()
+        if new_n_buckets == cur.n_buckets:
+            return cur
+        df = self.read(snapshot=cur, include_deleted=True).drop(BUCKET_COL)
+        df = df.withColumn(BUCKET_COL, bucket_expr(cur.key_cols, new_n_buckets))
+        dirname = self.write_buckets(df, list(range(new_n_buckets)),
+                                     salt_factor=salt_factor,
+                                     write_schema=cur.schema())
+        lineage = self.dir_lineage(dirname, cur.props.get("lsn_col", "lsn"))
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent=cur.snapshot_id,
+            schema_json=cur.schema_json,
+            n_buckets=new_n_buckets,
+            key_cols=cur.key_cols,
+            buckets={b: dirname for b in lineage},
+            renames=cur.renames,
+            props=cur.props,
+            summary={"operation": "rebucket", "from": cur.n_buckets,
+                     "to": new_n_buckets},
+            deltas={},
+        )
+        self._write_snapshot(snap)
+        return snap
+
     def truncate(self) -> Snapshot:
         """Atomic TRUNCATE (reference DataCleanupService.java:64-106): next
         snapshot simply references no buckets. Old data removed by expire."""

@@ -150,3 +150,22 @@ def test_compaction_tombstone_gc_watermark(spark, tmp_path):
     )
     cdc_apply(t, late, cfg, epoch=1)
     assert t.read().where(F.col("repo") == "r2").count() == 0
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
+    """Layout evolution: 4 -> 16 buckets rewrite keeps the exact state,
+    clears deltas, and subsequent merges use the new bucket space."""
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=20).cache()
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg4 = mor_cfg(tmp_path, n_buckets=4)
+    cdc_apply(t, ch.where(F.col("lsn") <= 1000), cfg4, epoch=0)
+    snap = t.rebucket(16, salt_factor=2)
+    assert snap.n_buckets == 16 and snap.deltas == {}
+    assert len(snap.buckets) > 4
+    cfg16 = mor_cfg(tmp_path, n_buckets=16)
+    s = cdc_apply(t, ch.where(F.col("lsn") > 1000), cfg16, epoch=1)
+    assert s.affected_buckets > 4  # spread across the new space
+    assert_state_matches(t, ch)
+    # old snapshot still readable on its own layout (time travel)
+    old = t.load_snapshot(2)
+    assert t.read(snapshot=old).count() > 0
