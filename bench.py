@@ -29,9 +29,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SF_DIRS = {"0.001": 6_000, "0.01": 60_000, "0.1": 600_000}
-
-
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     return float(base.replace("sf", "")) if base.startswith("sf") else 0.1

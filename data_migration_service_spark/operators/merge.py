@@ -174,7 +174,10 @@ def cdc_apply(
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col("_matched").cast("long")).alias("matched"),
             F.sum(((F.col("_has_src") == 1) & ~F.col("_matched")).cast("long")).alias("inserted"),
-            F.sum(F.col(DELETED_COL).cast("long")).alias("deleted"),
+            # batch-side tombstones only (carried-forward target tombstones
+            # are history, not this epoch's deletes) — keeps cow and mor
+            # stats comparable
+            F.sum((F.col(DELETED_COL) & (F.col("_has_src") == 1)).cast("long")).alias("deleted"),
         ).collect()[0]
         stats.rows_matched = int(agg["matched"] or 0)
         stats.rows_inserted = int(agg["inserted"] or 0)
@@ -257,10 +260,14 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         )
         written = table.spark.read.schema(out_schema).parquet(
             *table.bucket_paths(dirname, affected))
-        agg = written.join(tgt_keys, keys, "left_semi").agg(
+        agg = written.agg(
+            F.sum(F.col(DELETED_COL).cast("long")).alias("deleted")
+        ).collect()[0]
+        m = written.join(tgt_keys, keys, "left_semi").agg(
             F.count(F.lit(1)).alias("matched")).collect()[0]
         total = sum(v["rows"] for v in lineage.values())
-        stats.rows_matched = int(agg["matched"] or 0)
+        stats.rows_matched = int(m["matched"] or 0)
+        stats.rows_deleted = int(agg["deleted"] or 0)
         stats.rows_inserted = total - stats.rows_matched
         stats.rows_after_dedup = total
 
@@ -272,6 +279,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
             "affected_buckets": len(affected),
             "rows_matched": stats.rows_matched,
             "rows_inserted": stats.rows_inserted,
+            "rows_deleted": stats.rows_deleted,
         },
         expected_parent=snap.snapshot_id,
     )

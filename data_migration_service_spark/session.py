@@ -14,6 +14,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """Fixed pre-touched heap sized to the host: 16g on big boxes, half of
+    available RAM on small ones (pre-touch commits the whole heap at
+    startup, so an oversized -Xms hard-fails small hosts/containers)."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {l.split(":")[0]: int(l.split()[1]) for l in f if ":" in l}
+        avail_gb = kb.get("MemAvailable", kb.get("MemTotal", 0)) // (1024 * 1024)
+    except OSError:
+        avail_gb = 0
+    return f"{min(16, max(avail_gb // 2, 1))}g"
+
+
+def _local_dirs() -> str | None:
+    """Shuffle dirs in tmpfs only when it is genuinely large (the sandbox's
+    126G /dev/shm); containers with the 64M default keep Spark's stock
+    local dir."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_frsize * st.f_blocks >= 32 * 1024**3:
+            return "/dev/shm/spark-local"
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "data_migration_service_spark",
     master: str | None = None,
@@ -32,6 +64,8 @@ def get_spark(
         # 5x slower at 32 threads than 4x-smaller maps). AQE coalesces the
         # surplus away when a batch is small.
         shuffle_partitions = max(4 * n, 16)
+    heap = _default_heap()
+    local_dirs = _local_dirs()
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -45,21 +79,18 @@ def get_spark(
         # NOTE: an oversized, lazily-faulted local-mode heap is actively
         # harmful — with 32 concurrent tasks a 48g heap showed 3-5x wall
         # regressions (first-touch page faults + GC over the huge young gen
-        # serialize across threads). Fixed 16g, pre-touched at startup, is
-        # flat across 8..32 threads.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config(
-            "spark.driver.extraJavaOptions",
-            f"-XX:+AlwaysPreTouch -Xms{os.environ.get('SPARK_DRIVER_MEMORY', '16g')}",
-        )
+        # serialize across threads). A fixed pre-touched heap (sized to the
+        # host, 16g max) is flat across 8..32 threads.
+        .config("spark.driver.memory", heap)
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:+AlwaysPreTouch -Xms{heap}")
         .config("spark.ui.enabled", "false")
-        # shuffle/spill files in RAM: the sandbox has ONE ~390MB/s disk,
-        # which a real multi-executor cluster multiplies per node — keeping
-        # shuffle off it measures the engine, not the single spindle
-        .config("spark.local.dir",
-                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dirs:
+        # shuffle/spill in big tmpfs only (sandbox: one ~390MB/s disk that a
+        # real multi-executor cluster would multiply per node)
+        b = b.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

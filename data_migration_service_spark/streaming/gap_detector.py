@@ -30,13 +30,16 @@ STATE_SCHEMA = "last_lsn LONG"
 
 def _detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     last = state.get[0] if state.exists else None
+    # Arrow may deliver one group as several out-of-order chunks — collect
+    # ALL of them before sorting, or chunk boundaries fabricate phantom gaps
+    # and hide real ones
+    lsns = sorted(lsn for pdf in pdfs for lsn in pdf["lsn"].tolist())
     gaps = []
-    for pdf in pdfs:
-        for lsn in sorted(pdf["lsn"].tolist()):
-            if last is not None and lsn - last > 1:
-                gaps.append((key[0], last + 1, lsn - 1))
-            if last is None or lsn > last:
-                last = lsn
+    for lsn in lsns:
+        if last is not None and lsn - last > 1:
+            gaps.append((key[0], last + 1, lsn - 1))
+        if last is None or lsn > last:
+            last = lsn
     state.update((last,))
     if gaps:
         yield pd.DataFrame(gaps, columns=["part", "gap_start", "gap_end"])

@@ -131,6 +131,11 @@ class ReplayEngine:
         restart continues from the checkpoint, with replayed epochs no-op'd
         by the sink-side epoch guard.
         """
+        if not self.checkpoint:
+            raise ValueError(
+                "streaming replay requires a checkpoint location — set "
+                "EngineConfig.checkpoint_path (offsets/resume live there)"
+            )
         reader = (
             self.spark.readStream.schema(RAW_EVENT_SCHEMA)
         )

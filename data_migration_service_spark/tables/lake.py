@@ -450,9 +450,14 @@ class SnapshotTable:
 
     def truncate(self) -> Snapshot:
         """Atomic TRUNCATE (reference DataCleanupService.java:64-106): next
-        snapshot simply references no buckets. Old data removed by expire."""
+        snapshot simply references no buckets. Old data removed by expire.
+        Drops delta-only buckets too — a freshly-MOR-written table keeps all
+        its data in `deltas` with an empty base map."""
         cur = self.current()
-        return self.commit("truncate", {}, dropped_buckets=list(cur.buckets))
+        return self.commit(
+            "truncate", {},
+            dropped_buckets=sorted(set(cur.buckets) | set(cur.deltas)),
+        )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the newest `keep_last` and delete data

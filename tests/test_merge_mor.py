@@ -169,3 +169,16 @@ def test_rebucket_preserves_state_and_future_merges(spark, tmp_path):
     # old snapshot still readable on its own layout (time travel)
     old = t.load_snapshot(2)
     assert t.read(snapshot=old).count() > 0
+
+
+def test_truncate_drops_delta_only_buckets(spark, tmp_path):
+    """Regression: a freshly-MOR-written table keeps ALL data in deltas
+    (empty base map); truncate must drop those too."""
+    ch = gen_changes(spark, 500, n_repos=4, n_paths_per_repo=10).cache()
+    t = make_table(spark, tmp_path)
+    cfg = mor_cfg(tmp_path)
+    cdc_apply(t, ch, cfg, epoch=0)
+    assert t.current().buckets == {} and t.current().deltas
+    t.truncate()
+    assert t.read().count() == 0
+    assert t.current().deltas == {}

@@ -58,3 +58,28 @@ def test_streaming_gap_detector_across_batches(spark, tmp_path):
     got = {(r["part"], r["gap_start"], r["gap_end"])
            for r in spark.sql("SELECT * FROM gaps_test").collect()}
     assert got == {("a", 3, 4)}
+
+
+def test_streaming_gap_detector_multichunk_group(spark, tmp_path):
+    """Regression: Arrow delivers one group as several chunks; per-chunk
+    sorting fabricated phantom gaps and hid real ones."""
+    rows = [("a", i) for i in range(1, 40)] + [("a", 45)]  # one real hole 40-44
+    (spark.createDataFrame(rows, "part string, lsn long")
+     .repartition(4).write.parquet(str(tmp_path / "src")))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = (spark.readStream.schema("part string, lsn long")
+                  .parquet(str(tmp_path / "src")))
+        q = (
+            streaming_lsn_gaps(stream).writeStream.format("memory")
+            .queryName("gaps_mc").outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {(r["part"], r["gap_start"], r["gap_end"])
+               for r in spark.sql("SELECT * FROM gaps_mc").collect()}
+        assert got == {("a", 40, 44)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
