@@ -28,7 +28,9 @@ class EngineConfig:
             comfortably; at 100 TB with ~8 GB per bucket that is ~16k buckets.
         salt_factor: max sub-splits of one hot key's shuffle partition
             (reference analogue: per-tenant Steps; north_rule requires
-            explicit hot-repo salting).
+            explicit hot-repo salting). 0 = auto: each merge-on-read batch
+            probes its own bucket histogram and picks the fan-out that
+            flattens the hottest bucket to the mean (operators/skew_probe).
         checkpoint_path: streaming checkpoint + lineage root.
         mismatch_report_cap: verification report row cap (reference
             DataVerificationService.java:45-46 caps at 100 + "..more").

@@ -232,12 +232,21 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         .select("_w.*")
     )
 
+    salt = cfg.salt_factor
+    if salt == 0:  # auto: pick fan-out from THIS batch's key histogram
+        from data_migration_service_spark.operators.skew_probe import (
+            bucket_histogram,
+            suggest_salt_factor,
+        )
+
+        salt = suggest_salt_factor(bucket_histogram(deduped))
+
     out_schema = T.StructType(
         data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
     )
     dirname = table.write_buckets(
         deduped, [], new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
-        salt_factor=cfg.salt_factor, write_schema=out_schema,
+        salt_factor=salt, write_schema=out_schema,
     )
     lineage = table.dir_lineage(dirname, cfg.lsn_col)
     affected = sorted(lineage)
@@ -286,6 +295,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
     stats.extra["bucket_lineage"] = lineage
+    stats.extra["salt_factor"] = salt
     stats.rows_in_batch = sum(v["rows"] for v in lineage.values())
 
     ripe = [b for b in affected

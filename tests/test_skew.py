@@ -76,3 +76,26 @@ def test_hot_repo_spreads_across_buckets_and_salted_files(spark, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert stats.rows_in_batch > 0
+
+
+def test_auto_salt_from_batch_histogram(spark, tmp_path):
+    """salt_factor=0 probes the batch: skewed bucket load picks fan-out > 1,
+    uniform load picks 1; the merge stays oracle-exact either way."""
+    from data_migration_service_spark.operators.skew_probe import (
+        suggest_salt_factor,
+    )
+
+    assert suggest_salt_factor([(0, 100), (1, 100)]) == 1
+    assert suggest_salt_factor([(0, 1000), (1, 100), (2, 100)]) == 3
+    assert suggest_salt_factor([]) == 1
+    # flatten-to-mean: hot bucket split until its per-task load ~= mean load
+    assert suggest_salt_factor([(0, 10**9), (1, 1)]) == 2
+    assert suggest_salt_factor([(0, 10**9)] + [(b, 1) for b in range(1, 64)],
+                               max_salt=16) == 16
+
+    t = make_table(spark, tmp_path, n_buckets=8)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=8,
+                       salt_factor=0, merge_mode="mor")
+    stats = cdc_apply(t, hot_batch(spark, n=5000), cfg, epoch=0)
+    assert stats.extra["salt_factor"] >= 1
+    assert stats.rows_in_batch > 0
