@@ -79,3 +79,41 @@ def test_streaming_replay_via_facade(spark, tmp_path):
     eng.replay(str(tmp_path / "events"), streaming=False)
     res = eng.verify(expected_final_state(ch))
     assert res.consistent
+
+
+def test_streaming_without_checkpoint_raises(spark, tmp_path):
+    from data_migration_service_spark.tables.lake import SnapshotTable
+    from tests.test_merge import TABLE_SCHEMA
+    import pytest
+
+    SnapshotTable.create(spark, str(tmp_path / "t2"), TABLE_SCHEMA,
+                         ["repo", "path"], 4)
+    eng = Engine(spark, EngineConfig(table_path=str(tmp_path / "t2")))
+    with pytest.raises(ValueError, match="checkpoint"):
+        eng.replay(str(tmp_path / "nowhere"))
+
+
+def test_facade_streaming_with_registry_evolution(spark, tmp_path):
+    """Full streaming path through the facade: raw version-named JSON
+    payloads, v1->v2 evolution resolved at the batch boundary."""
+    from data_migration_service_spark.fixtures.cdc import (
+        default_registry,
+        to_raw_events,
+    )
+    from data_migration_service_spark.registry import SchemaRegistry  # noqa: F401
+    from data_migration_service_spark.tables.lake import SnapshotTable
+    from tests.test_merge import TABLE_SCHEMA, assert_state_matches
+
+    n = 900
+    ch = gen_changes(spark, n, n_repos=5, n_paths_per_repo=10,
+                     schema_v2_at=n // 2).cache()
+    to_raw_events(ch).write.parquet(str(tmp_path / "raw"))
+    SnapshotTable.create(spark, str(tmp_path / "t3"), TABLE_SCHEMA,
+                         ["repo", "path"], 8)
+    cfg = EngineConfig(table_path=str(tmp_path / "t3"), n_buckets=8,
+                       checkpoint_path=str(tmp_path / "ck3"),
+                       merge_mode="mor")
+    eng = Engine(spark, cfg, registry=default_registry(n // 2, n + 1))
+    eng.replay(str(tmp_path / "raw"), streaming=True, timeout_sec=180)
+    assert_state_matches(eng.table, ch)
+    assert eng.status()["schema_version"] == 2
