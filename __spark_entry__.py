@@ -236,6 +236,59 @@ def q_mismatch_report(spark, sf):
     )
 
 
+def _order_sides(spark: SparkSession, sf_dir: str):
+    """Two-corruption-channel fixture over `orders` (o_orderkey IS unique in
+    the testdata, unlike lineitem's synthetic (orderkey, linenumber)):
+    priority corrupted for %97 keys, custkey shifted for %89 keys."""
+    o = _t(spark, sf_dir, "orders")
+    src = o.select("o_orderkey", F.col("o_orderpriority").alias("prio"),
+                   F.col("o_custkey").alias("cust"))
+    tgt = o.select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(97)) == 0, F.lit("CORRUPT"))
+        .otherwise(F.col("o_orderpriority")).alias("prio"),
+        F.when(F.pmod("o_orderkey", F.lit(89)) == 0,
+               F.col("o_custkey") + 1_000_000)
+        .otherwise(F.col("o_custkey")).alias("cust"),
+    )
+    return src, tgt
+
+
+def q_recheck_values(spark, sf):
+    """J2 raw-value double-check: keys whose whole-row fingerprints disagree
+    are re-fetched both sides and compared column-by-column."""
+    src, tgt = _order_sides(spark, sf)
+    keys = ["o_orderkey"]
+    diff = V.verify_row_hashes(src, tgt, keys)
+    flagged = diff.where(F.col("status") == V.MISMATCH).select(*keys)
+    return V.recheck_values(src, tgt, keys, flagged)
+
+
+_RECHECK_VALUES_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderpriority AS prio, o_custkey AS cust FROM orders
+), tgt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'CORRUPT' ELSE o_orderpriority END AS prio,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS cust
+  FROM orders
+), flagged AS (
+  SELECT s.o_orderkey,
+         (s.prio IS DISTINCT FROM t.prio) AS d_prio,
+         (s.cust IS DISTINCT FROM t.cust) AS d_cust
+  FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+  WHERE s.prio IS DISTINCT FROM t.prio OR s.cust IS DISTINCT FROM t.cust
+)
+SELECT o_orderkey,
+       concat_ws(',', CASE WHEN d_cust THEN 'cust' END,
+                      CASE WHEN d_prio THEN 'prio' END) AS diff_cols,
+       CAST((CASE WHEN d_cust THEN 1 ELSE 0 END)
+          + (CASE WHEN d_prio THEN 1 ELSE 0 END) AS INT) AS n_diffs,
+       (d_cust OR d_prio) AS confirmed
+FROM flagged
+"""
+
+
 def q_anti_join_missing(spark, sf):
     c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
@@ -356,6 +409,21 @@ def q_minhash_lsh_pairs(spark, sf):
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_minhash_lsh_pairs_fast(spark, sf):
+    """xxhash64 MinHash fast path (one cheap JVM hash per hash-function vs 2
+    sha256s per shingle). Same banding/join plan as `minhash_lsh_pairs`;
+    DuckDB has no xxhash64, so this entry is rows-only — the sha256 query is
+    the value-checked twin, and tests/test_similarity.py asserts both
+    families recover identical planted duplicates."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16,
+                                hash_family="xxhash64")
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4,
+                                  max_bucket=50)
+    est = D.minhash_jaccard_estimate(sigs, pairs, "doc_id")
+    return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_windowed_agg(spark, sf):
     from data_migration_service_spark.streaming.windows import windowed_counts
 
@@ -389,6 +457,73 @@ def q_embedding_near_dup(spark, sf):
     emb = _t(spark, sf, "embeddings")
     out = S.near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
     return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def _bucket_sql_expr(vec: str = "e", n_planes: int = 8, dim: int = 64,
+                     seed: int = 42) -> str:
+    """DuckDB expression for the engine's LSH bucket id: the hyperplanes are
+    deterministically derived (similarity._hyperplane, seed-based), so the
+    oracle re-derives them driver-side as literal arrays — bit p set iff
+    dot(v, hyperplane_p) > 0, exactly the Spark-side `lsh_bucket`."""
+    from data_migration_service_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(
+            f"{float(x):.1f}" for x in _hyperplane(dim, p, seed)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_embedding_near_dup_lsh(spark, sf):
+    """Scale path for near-dup pairs: LSH-bucketed candidates (Hamming<=1
+    probe join) + exact-cosine rerank — the oracle recomputes the identical
+    bucket rule in SQL, so the result is value-exact checked, and its recall
+    vs the all-pairs `embedding_near_dup` query is visible to the driver
+    (both run on the same table at the same threshold)."""
+    emb = _t(spark, sf, "embeddings")
+    out = S.near_dup_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4,
+                               n_planes=8, probe_hamming=1, dim=64)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def _near_dup_lsh_sql() -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+          SELECT vec_id, e, {_bucket_sql_expr('e')} AS bkt FROM v
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b2.e), 4) AS cosine
+        FROM b a JOIN b b2
+          ON a.vec_id < b2.vec_id
+         AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b2.bkt AS BIGINT))) <= 1
+        WHERE list_cosine_similarity(a.e, b2.e) >= 0.4
+    """
+
+
+def _ann_lsh_sql(k: int = 25) -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+          SELECT vec_id, e, {_bucket_sql_expr('e')} AS bkt FROM v
+        ), q AS (
+          SELECT e AS qe, bkt AS qb FROM b WHERE vec_id = 0
+        )
+        SELECT vec_id,
+               round(list_cosine_similarity(e, (SELECT qe FROM q)), 4) AS cosine
+        FROM b
+        WHERE bit_count(xor(CAST(bkt AS BIGINT),
+                            (SELECT CAST(qb AS BIGINT) FROM q))) <= 1
+        ORDER BY round(list_cosine_similarity(e, (SELECT qe FROM q)), 6) DESC,
+                 vec_id
+        LIMIT {k}
+    """
 
 
 def q_embedding_topk(spark, sf):
@@ -435,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_hash_canonical": q_row_hash_canonical,
         "hash_diff_status_counts": q_hash_diff_status_counts,
         "mismatch_report": q_mismatch_report,
+        "recheck_values": q_recheck_values,
         "anti_join_missing": q_anti_join_missing,
         "semi_join_replay": q_semi_join_replay,
         "canonical_projection": q_canonical_projection,
@@ -452,10 +588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk": q_embedding_topk,
-        "embedding_ann_lsh": q_embedding_ann_lsh,        # rows-only
+        "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_features": q_multimodal_features,    # rows-only
     }
 
@@ -490,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, status FROM diff
             WHERE status <> 'OK' ORDER BY l_orderkey, l_linenumber LIMIT 100
         """,
+        "recheck_values": _RECHECK_VALUES_SQL,
         "anti_join_missing": """
             SELECT c_custkey FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -646,8 +785,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id LIMIT 25
         """,
-        # embedding_ann_lsh, multimodal_features: non-SQL-expressible
-        # (hyperplane derivation / binary stub) -> rows-only check
+        "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        "embedding_ann_lsh": _ann_lsh_sql(k=25),
+        # minhash_lsh_pairs_fast (xxhash64: no DuckDB twin) and
+        # multimodal_features (binary stub): rows-only check
     }
 
 

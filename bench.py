@@ -160,7 +160,9 @@ def main() -> int:
                 "salted_hot_agg", "hash_diff_status_counts",
                 "row_hash_canonical", "dedup_exact", "token_count",
                 "quality_score", "simhash", "minhash_lsh_pairs",
-                "embedding_topk", "semi_join_replay",
+                "minhash_lsh_pairs_fast", "embedding_topk",
+                "embedding_near_dup_lsh", "semi_join_replay",
+                "recheck_values",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

@@ -6,19 +6,27 @@ mapped 1:1:
 | reference                          | engine                         |
 |------------------------------------|--------------------------------|
 | POST /jobs/{table}                 | Engine.replay(...)             |
+| POST /jobs (all configured tables) | EngineGroup.replay_all(...)    |
 | POST /jobs/migrateSpecificRecords  | Engine.replay_keys(...)        |
-| GET  /jobs[/{table}]               | Engine.status()                |
+| GET  /jobs[/{table}]               | Engine.status(detail=...)      |
 | POST /data/verification[/{table}]  | Engine.verify(...)             |
 | POST /data/cleanup[/{table}]       | Engine.cleanup(...)            |
 
-The table-level job lock (BatchJobParameterHolder.java:33-57) is the
-streaming checkpoint's single-writer guarantee plus SnapshotTable's
-optimistic commit; run-id bookkeeping (JobRepository) is the epoch-tagged
-lineage store.
+The table-level job lock (BatchJobParameterHolder.java:33-57) is explicit:
+`JobLock` (an O_EXCL lock file under the checkpoint root) guards a whole
+replay run, on top of the streaming checkpoint's single-writer guarantee
+and SnapshotTable's per-commit optimistic concurrency. `EngineGroup`
+mirrors the reference's flagship POST /jobs sweep: migrate every configured
+table, SKIP tables whose job lock is held
+(DataMigrationService.java:298-310 + DBConfigReader.java:14-36's table
+list). Run-id bookkeeping (JobRepository) is the epoch-tagged lineage
+store, surfaced per-epoch/per-bucket via `status(detail=True)`
+(reference GET /jobs/{t} per-step detail, java:263-296).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +45,39 @@ from data_migration_service_spark.streaming.replay import ReplayEngine
 from data_migration_service_spark.tables.lake import SnapshotTable
 
 
+class JobLock:
+    """Table-level job lock (reference BatchJobParameterHolder.java:33-57:
+    `startJob` returns false while the table's batch is running).
+
+    An O_EXCL lock file: `acquire()` wins at most once per path until
+    `release()`. Sandbox-local by design — on an object store this becomes
+    the catalog's lock/lease API; the call sites don't change."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._held = False
+
+    def acquire(self) -> bool:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        try:
+            with open(self.path, "x") as f:
+                f.write(str(os.getpid()))
+        except FileExistsError:
+            return False
+        self._held = True
+        return True
+
+    def release(self) -> None:
+        if self._held:
+            try:
+                os.remove(self.path)
+            finally:
+                self._held = False
+
+    def held_by_other(self) -> bool:
+        return os.path.exists(self.path) and not self._held
+
+
 class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig,
                  registry: SchemaRegistry | None = None):
@@ -45,18 +86,35 @@ class Engine:
         self.table = SnapshotTable(spark, cfg.table_path)
         self.registry = registry
         self._replayer = ReplayEngine(spark, self.table, cfg, registry=registry)
+        self.lock = (
+            JobLock(os.path.join(cfg.checkpoint_path, "job.lock"))
+            if cfg.checkpoint_path else None
+        )
 
     # ---- POST /jobs/{table} ----
     def replay(self, source_path: str, streaming: bool = True, **kw):
         """Tail `source_path` (ordered change events) into the target table.
         Streaming mode drains via availableNow with checkpoint resume;
-        batch mode applies LSN ranges deterministically (tests/bench)."""
-        if streaming:
-            return self._replayer.replay_stream(source_path, **kw)
-        events = self.spark.read.parquet(source_path)
-        hi = events.agg(F.max(self.cfg.lsn_col)).collect()[0][0] or 0
-        return self._replayer.replay_ranges(events, [(1, hi)],
-                                            first_epoch=current_epoch(self.table) + 1)
+        batch mode applies LSN ranges deterministically (tests/bench).
+        Holds the table's job lock for the duration when a checkpoint is
+        configured (reference: one running batch per table)."""
+        if self.lock is not None:
+            if not self.lock.acquire():
+                raise RuntimeError(
+                    f"job already running for table {self.cfg.table_path} "
+                    f"(lock: {self.lock.path})"
+                )
+        try:
+            if streaming:
+                return self._replayer.replay_stream(source_path, **kw)
+            events = self.spark.read.parquet(source_path)
+            hi = events.agg(F.max(self.cfg.lsn_col)).collect()[0][0] or 0
+            return self._replayer.replay_ranges(
+                events, [(1, hi)],
+                first_epoch=current_epoch(self.table) + 1)
+        finally:
+            if self.lock is not None:
+                self.lock.release()
 
     # ---- POST /jobs/migrateSpecificRecords ----
     def replay_keys(self, events: DataFrame, keys: DataFrame,
@@ -73,12 +131,18 @@ class Engine:
         return cdc_apply(self.table, subset, self.cfg, epoch=e)
 
     # ---- GET /jobs ----
-    def status(self) -> dict[str, Any]:
+    def status(self, detail: bool = False) -> dict[str, Any]:
         """Current table + replay state (reference: Spring Batch job
-        executions, DataMigrationService.java:263-296)."""
+        executions, DataMigrationService.java:263-296).
+
+        `detail=True` adds the per-epoch lineage — each epoch's rows /
+        conflicts (matched, inserted, deleted) / snapshot / wall time plus
+        its per-bucket partitions (rows, LSN range) — the per-step detail
+        the reference returns from GET /jobs/{t} (java:263-296: step
+        status + read/write counters per tenant step)."""
         snap = self.table.current()
         lineage = self._replayer.lineage() if self.cfg.checkpoint_path else []
-        return {
+        out = {
             "snapshot_id": snap.snapshot_id,
             "epoch": int(snap.props.get("epoch", "-1")),
             "schema_version": int(snap.props.get("schema_version", "1")),
@@ -87,7 +151,11 @@ class Engine:
             "last_operation": snap.summary.get("operation"),
             "epochs_recorded": len(lineage),
             "rows_applied": sum(l.get("rows_in_batch", 0) for l in lineage),
+            "running": bool(self.lock and self.lock.held_by_other()),
         }
+        if detail:
+            out["epochs"] = lineage
+        return out
 
     # ---- POST /data/verification ----
     def verify(self, expected: DataFrame, content_col: str = "content") -> V.VerifyResult:
@@ -99,12 +167,13 @@ class Engine:
         )
 
     # ---- POST /data/cleanup ----
-    def cleanup(self, predicate=None) -> int:
-        """TRUNCATE (no predicate) or keyed delete (reference:
-        DataCleanupService.java:36-106 / targeted cleanup)."""
-        if predicate is None:
+    def cleanup(self, predicate=None, keys: DataFrame | None = None) -> int:
+        """TRUNCATE (no args), keyed delete (`keys`: hit buckets computed
+        from the key hashes, zero table scan), or predicate delete
+        (reference: DataCleanupService.java:36-106 / targeted cleanup)."""
+        if predicate is None and keys is None:
             return self.table.truncate().snapshot_id
-        return delete_where(self.table, self.cfg, predicate)
+        return delete_where(self.table, self.cfg, predicate, keys=keys)
 
     # ---- maintenance ----
     def compact(self, tombstone_watermark: int | None = None) -> int:
@@ -113,3 +182,61 @@ class Engine:
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         return self.table.expire_snapshots(keep_last=keep_last)
+
+
+class EngineGroup:
+    """Multi-table orchestration — the reference's flagship POST /jobs.
+
+    The reference migrates a configured LIST of tables in one sweep,
+    skipping any table whose job is already running
+    (DataMigrationService.java:298-310; the list comes from
+    application.properties via DBConfigReader.java:14-36). Here the config
+    is a dict of table name -> EngineConfig; `replay_all` runs each table's
+    replay in turn, records SKIPPED_LOCKED for tables whose lock is held,
+    and aggregates per-table outcomes.
+
+    Tables run sequentially on one SparkSession by design: each replay
+    already saturates the cluster (the reference's per-table thread pools
+    parallelize I/O-bound JDBC chunks; Spark parallelizes inside the job),
+    so inter-table concurrency would only thrash the shuffle. On a real
+    multi-cluster deployment each table's replay is its own spark-submit —
+    the lock protocol is what makes that safe, not the loop."""
+
+    def __init__(self, spark: SparkSession, configs: dict[str, EngineConfig],
+                 registries: dict[str, SchemaRegistry] | None = None):
+        self.spark = spark
+        self.engines = {
+            name: Engine(spark, cfg, registry=(registries or {}).get(name))
+            for name, cfg in configs.items()
+        }
+
+    def replay_all(self, sources: dict[str, str],
+                   streaming: bool = True, **kw) -> dict[str, dict[str, Any]]:
+        """Replay every configured table from its source path; skip locked
+        tables. Returns {table: {"status": COMPLETED|SKIPPED_LOCKED|FAILED,
+        ...}} (reference: per-table job summaries of the sweep)."""
+        out: dict[str, dict[str, Any]] = {}
+        for name, eng in self.engines.items():
+            src = sources.get(name)
+            if src is None:
+                out[name] = {"status": "NO_SOURCE"}
+                continue
+            if eng.lock is not None and eng.lock.held_by_other():
+                out[name] = {"status": "SKIPPED_LOCKED",
+                             "lock": eng.lock.path}
+                continue
+            try:
+                eng.replay(src, streaming=streaming, **kw)
+                out[name] = {"status": "COMPLETED", **eng.status()}
+            except RuntimeError as e:
+                # lock lost the race between the check and acquire, or a
+                # concurrent-commit conflict — both mean "busy", not broken
+                if "already running" in str(e) or "concurrent commit" in str(e):
+                    out[name] = {"status": "SKIPPED_LOCKED", "error": str(e)}
+                else:
+                    out[name] = {"status": "FAILED", "error": str(e)}
+        return out
+
+    def status(self, detail: bool = False) -> dict[str, dict[str, Any]]:
+        return {name: eng.status(detail=detail)
+                for name, eng in self.engines.items()}

@@ -57,14 +57,39 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 16
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n_hashes: int = 16,
+    hash_family: str = "sha256",
 ) -> DataFrame:
     """MinHash signature: for hash function i, min over shingles of
-    sha256(i:shingle). Hex-string min == numeric min on the uniform hash
-    domain, and is directly portable to the SQL oracle.
+    hash_i(shingle). Output: (id, h in 0..n_hashes-1, minhash).
 
-    Output: (id, h in 0..n_hashes-1, minhash string).
+    `hash_family`:
+    - "sha256" (default): two sha256s sliced into up to 16 hex-string
+      hashes. Hex-string min == numeric min on the uniform hash domain, and
+      is directly portable to the SQL oracle — the correctness-checked path.
+    - "xxhash64": one salted xxhash64 per hash function (minhash is a long).
+      ~one cheap JVM hash vs 2 sha256s per shingle — the production fast
+      path. Same MinHash math on a different hash family, so borderline
+      pairs can band differently than sha256; planted high-similarity dups
+      are recovered identically (tests assert it), and DuckDB has no
+      xxhash64, hence no oracle for this path.
+
+    Downstream (`lsh_candidate_pairs`, `minhash_jaccard_estimate`) only
+    compares minhash values for equality, so both output types plug in
+    unchanged.
     """
+    if hash_family == "xxhash64":
+        sh = shingles(df, id_col, text_col, k, distinct=False)
+        mins = sh.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(f"{i}:"), F.col("shingle"))).alias(f"_h{i}")
+                for i in range(n_hashes)
+            ]
+        )
+        stack = ", ".join(f"{i}, _h{i}" for i in range(n_hashes))
+        return mins.selectExpr(id_col, f"stack({n_hashes}, {stack}) as (h, minhash)")
+    if hash_family != "sha256":
+        raise ValueError(f"unknown hash_family: {hash_family}")
     if n_hashes > 16:
         raise ValueError("n_hashes > 16 not supported by the 2-sha256 scheme")
     # min() is idempotent to duplicate shingles — skip the distinct shuffle
@@ -140,22 +165,29 @@ def minhash_jaccard_estimate(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, pairs: DataFrame, k: int = 5,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for the given candidate pairs:
-    |A∩B| / (|A|+|B|-|A∩B|) via two semi-joined explodes, no cross product."""
+    |A∩B| / (|A|+|B|-|A∩B|) via two semi-joined explodes, no cross product.
+
+    `broadcast_pairs=True` hints the pair set onto every executor so the
+    shingle side never shuffles — right when the caller KNOWS the candidate
+    set is small (a capped report). Default off: LSH candidate counts grow
+    with corpus size, and a forced broadcast of an over-limit set fails the
+    job at exactly the scale this operator targets; AQE promotes the join to
+    broadcast at runtime anyway whenever the pair side measures small."""
     sh = shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    # candidate pairs are tiny relative to the shingle table — broadcast them
-    # so the shingle side is never shuffled (semi-join-shaped plan)
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        F.broadcast(pairs).join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        p.join(sa, "id_a").join(sb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
     )
     out = (
-        F.broadcast(pairs).join(inter, ["id_a", "id_b"], "left")
+        p.join(inter, ["id_a", "id_b"], "left")
         .na.fill({"n_inter": 0})
         .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")

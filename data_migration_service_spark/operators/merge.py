@@ -239,7 +239,8 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
             suggest_salt_factor,
         )
 
-        salt = suggest_salt_factor(bucket_histogram(deduped))
+        salt = suggest_salt_factor(bucket_histogram(deduped),
+                                   n_buckets=snap.n_buckets)
 
     out_schema = T.StructType(
         data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
@@ -261,10 +262,12 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
 
     if collect_stats:
         # column-pruned key probe of the affected buckets (NOT a rewrite):
-        # how many batch keys already exist live in the target
+        # how many batch keys already exist in the target. Tombstoned keys
+        # count as existing — the cow aggregate's _matched sees them too
+        # (its target read includes tombstones), so both modes classify a
+        # re-insert-after-delete identically as "matched".
         tgt_keys = (
             table.read(snapshot=snap, buckets=affected, include_deleted=True)
-            .where(~F.col(DELETED_COL))
             .select(*keys)
         )
         written = table.spark.read.schema(out_schema).parquet(
@@ -342,18 +345,46 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
     return new.snapshot_id
 
 
-def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate) -> int:
+def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
+                 keys: DataFrame | None = None) -> int:
     """Keyed/predicate delete (reference: targeted cleanup / TRUNCATE per
     tenant, DataCleanupService.java:64-106). Rewrites only buckets holding
-    matching rows; returns snapshot id."""
+    matching rows; returns snapshot id.
+
+    Two planning paths:
+    - `keys` (a DataFrame of merge-key rows — the common targeted-cleanup
+      case): the hit-bucket set is computed from `bucket_expr` over the keys
+      alone, NO table scan at all; the rewrite anti-joins the (broadcast,
+      report-cap-sized) key set. At 100 TB this is the difference between
+      touching n_hit buckets and scanning 16k.
+    - `predicate` (arbitrary boolean column): the bucket set genuinely needs
+      a scan, but it is column-pruned to the predicate's inputs + bucket id.
+    """
     snap = table.current()
-    full = table.read(snapshot=snap, include_deleted=True)
-    hit_buckets = [r[0] for r in full.where(predicate)
-                   .select(BUCKET_COL).distinct().collect()]
-    if not hit_buckets:
-        return snap.snapshot_id
-    keep = table.read(snapshot=snap, buckets=hit_buckets, include_deleted=True) \
-                .where(~predicate)
+    if (keys is None) == (predicate is None):
+        raise ValueError("delete_where takes exactly one of predicate / keys")
+    if keys is not None:
+        kdf = keys.select(*snap.key_cols).distinct()
+        kb = kdf.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
+        hit_buckets = sorted(
+            int(r[0]) for r in kb.select(BUCKET_COL).distinct().collect()
+        )
+        hit_buckets = [b for b in hit_buckets
+                       if b in snap.buckets or snap.deltas.get(b)]
+        if not hit_buckets:
+            return snap.snapshot_id
+        keep = (
+            table.read(snapshot=snap, buckets=hit_buckets, include_deleted=True)
+            .join(F.broadcast(kdf), list(snap.key_cols), "left_anti")
+        )
+    else:
+        full = table.read(snapshot=snap, include_deleted=True)
+        hit_buckets = [r[0] for r in full.where(predicate)
+                       .select(BUCKET_COL).distinct().collect()]
+        if not hit_buckets:
+            return snap.snapshot_id
+        keep = table.read(snapshot=snap, buckets=hit_buckets, include_deleted=True) \
+                    .where(~predicate)
     schema = snap.schema()
     dirname = table.write_buckets(keep, hit_buckets, salt_factor=cfg.salt_factor,
                                   write_schema=schema)

@@ -61,16 +61,34 @@ def sessionize_sql(key_col: str, ts_col: str, table: str,
 
 
 def lsn_gaps(df: DataFrame, lsn_col: str = "lsn",
-             part_col: str | None = None) -> DataFrame:
-    """Missing-sequence detection: rows where the previous LSN (within
-    `part_col`, or globally) is not lsn-1. Returns (partition?, gap_start,
-    gap_end) for each hole — empty result == contiguous log."""
+             part_col: str | None = None,
+             chunk_size: int = 1 << 20) -> DataFrame:
+    """Missing-sequence detection: holes in the (per-`part_col`, or global)
+    LSN sequence. Returns (partition?, gap_start, gap_end) per hole — empty
+    result == contiguous log.
+
+    Scale shape: a naive `lag() OVER (ORDER BY lsn)` is a single-partition
+    global sort — one task owns every row. Instead the sequence is chunked
+    by `floor(lsn / chunk_size)`:
+
+    1. within-chunk gaps: lag window PARTITIONED BY chunk — fully parallel,
+       each task sorts ~chunk_size rows max;
+    2. cross-chunk gaps (including whole missing chunks): lag over the
+       per-chunk (min, max) summary — `n_chunks = lsn_max/chunk_size` rows
+       (10^10 LSNs at the default chunk = ~10^4 rows), so its
+       single-partition window is a driver-scale no-op, never the raw data.
+
+    Output is identical to the naive formulation (the union covers every
+    consecutive-present-LSN pair exactly once: both in one chunk -> pass 1,
+    spanning chunks -> pass 2)."""
     parts = [part_col] if part_col else []
-    w = W.partitionBy(*parts).orderBy(lsn_col) if parts else W.orderBy(lsn_col)
-    prev = F.lag(lsn_col).over(w)
-    out = (
+    base = (
         df.select(*parts, F.col(lsn_col))
-        .withColumn("_prev", prev)
+        .withColumn("_chunk", F.floor(F.col(lsn_col) / chunk_size))
+    )
+    w_in = W.partitionBy(*parts, "_chunk").orderBy(lsn_col)
+    inner = (
+        base.withColumn("_prev", F.lag(lsn_col).over(w_in))
         .where(F.col("_prev").isNotNull() & (F.col(lsn_col) - F.col("_prev") > 1))
         .select(
             *parts,
@@ -78,4 +96,17 @@ def lsn_gaps(df: DataFrame, lsn_col: str = "lsn",
             (F.col(lsn_col) - 1).alias("gap_end"),
         )
     )
-    return out
+    summary = base.groupBy(*parts, "_chunk").agg(
+        F.min(lsn_col).alias("_lo"), F.max(lsn_col).alias("_hi")
+    )
+    w_b = W.partitionBy(*parts).orderBy("_chunk")
+    boundary = (
+        summary.withColumn("_prev_hi", F.lag("_hi").over(w_b))
+        .where(F.col("_prev_hi").isNotNull() & (F.col("_lo") - F.col("_prev_hi") > 1))
+        .select(
+            *parts,
+            (F.col("_prev_hi") + 1).alias("gap_start"),
+            (F.col("_lo") - 1).alias("gap_end"),
+        )
+    )
+    return inner.unionByName(boundary)

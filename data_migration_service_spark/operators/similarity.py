@@ -68,6 +68,80 @@ def near_dup_pairs(
     )
 
 
+def _probe_flips(n_planes: int, hamming: int) -> list[int]:
+    """All XOR masks with popcount <= hamming over `n_planes` bits (0 first).
+    Multi-probe LSH: probing every bucket within Hamming distance h of the
+    home bucket trades candidate-set size C(n_planes, <=h) for recall."""
+    from itertools import combinations
+
+    out = [0]
+    for d in range(1, hamming + 1):
+        for bits in combinations(range(n_planes), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.append(m)
+    return out
+
+
+def near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-duplicate pairs: LSH-bucketed candidate
+    generation + exact-cosine rerank — replaces the O(n^2) self-join of
+    `near_dup_pairs` with an equi-join on bucket id.
+
+    Plan shape (the one that survives 100x):
+    1. bucket each vector by `n_planes` sign bits (JVM expressions, no UDF);
+    2. candidates = pairs whose buckets differ in <= `probe_hamming` bits.
+       The left side explodes each id into its C(n_planes, <=h) probe
+       buckets (bucket XOR flip-mask); the equi-join `probe == bucket` then
+       finds each qualifying pair EXACTLY once (the flip mask equal to
+       bucket_a XOR bucket_b is unique), so no distinct pass is needed;
+    3. exact cosine rerank of candidates only, filter >= threshold.
+
+    Cost: candidates ~= n * E[bucket_size] * n_probes instead of n^2/2.
+    Recall is the LSH trade: a true near-dup pair is missed only when its
+    buckets differ in > probe_hamming bits (P ~ (angle/pi * n_planes choose
+    >h); tests assert a recall floor against the exact all-pairs oracle).
+    `max_bucket` drops pathological buckets (degenerate/constant embeddings)
+    — the same skew guard as dedup.lsh_candidate_pairs.
+    """
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ids = ids.withColumn("_bkt", lsh_bucket(ids, "_v", n_planes, seed, dim))
+    if max_bucket is not None:
+        sizes = ids.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+        ids = ids.join(sizes, "_bkt").where(F.col("_n") <= max_bucket).drop("_n")
+    flips = _probe_flips(n_planes, probe_hamming)
+    a = ids.select(
+        F.col("_id").alias("id_a"),
+        F.explode(F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in flips]))
+        .alias("_pb"),
+    )
+    b = ids.select(F.col("_id").alias("id_b"), F.col("_bkt").alias("_pb"))
+    cand = a.join(b, "_pb").where(F.col("id_a") < F.col("id_b")) \
+            .select("id_a", "id_b")
+    va = ids.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = ids.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    j = cand.join(va, "id_a").join(vb, "id_b")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        j.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int = 42) -> list[int]:
     """Deterministic ±1 hyperplane from a hash — no stored model, any worker
     can re-derive it (important: nothing to broadcast or version)."""
@@ -110,17 +184,12 @@ def lsh_topk(
     with_bucket = df.withColumn("_bkt", lsh_bucket(df, vec_col, n_planes, seed, dim))
 
     # query bucket + probe set, computed driver-side (tiny)
-    import hashlib  # noqa: F401  (hyperplanes re-derived below)
-
     qb = 0
     for p in range(n_planes):
         hp = _hyperplane(dim, p, seed)
         if sum(x * y for x, y in zip(query, hp)) > 0:
             qb |= 1 << p
-    probes = {qb}
-    if probe_hamming >= 1:
-        for p in range(n_planes):
-            probes.add(qb ^ (1 << p))
+    probes = sorted({qb ^ m for m in _probe_flips(n_planes, probe_hamming)})
     cand = with_bucket.where(F.col("_bkt").isin(*probes))
     return (
         cosine_scores(cand, id_col, vec_col, query)

@@ -10,9 +10,13 @@ Spark rebuild of the reference's DataVerificationService:
   The reference only reports source-driven mismatches (target orphans are
   caught by the count check alone); the full-outer formulation reports both
   directions explicitly — strictly stronger, same cost.
-- stage 3 raw-value double-check (java:254-279, the emoji/MD5-encoding
-  false-positive workaround) -> unnecessary: both sides hash through the
-  same Spark sha2 over UTF-8; kept as `recheck_values` for parity testing.
+- stage 3 raw-value double-check (java:254-279,293-312: the emoji/MD5-
+  encoding false-positive workaround — re-fetch flagged rows and compare
+  raw column values) -> `recheck_values`: semi-join both sides to the
+  flagged keys, full-outer join, per-column null-safe compare. With sha2
+  over UTF-8 on both sides it can no longer *clear* a hash mismatch, but it
+  pinpoints WHICH columns differ per key — the per-field diff the reference
+  logs at java:301-306.
 - mismatch report capped at `cfg.mismatch_report_cap` (java:45-46: first
   100 + "..more" marker).
 
@@ -144,6 +148,61 @@ def verify_state(
         )
     finally:
         diff.unpersist()
+
+
+def recheck_values(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    flagged_keys: DataFrame,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Raw-value double-check of hash-flagged keys (reference J2:
+    DataVerificationService.java:254-279,293-312).
+
+    The reference re-fetches rows whose MD5 fingerprints disagreed and
+    compares raw values column-by-column, because its two JDBC sources could
+    MD5 the same logical value differently (emoji/encoding). Spark-side both
+    fingerprints come from one sha2-over-UTF-8 implementation, so a hash
+    mismatch is real — what this stage adds is the per-field diagnosis: for
+    each flagged key, WHICH columns differ (and whether the row is missing
+    on a side entirely, every compared column then reported).
+
+    Scale shape: `flagged_keys` is a verification report (report-cap sized),
+    so both semi-joins prune the big tables down to the flagged rows before
+    the full-outer compare — never a second full-table pass.
+
+    Returns (keys..., diff_cols csv, n_diffs, confirmed) — one row per
+    flagged key; `confirmed=false` means the raw values actually agree (the
+    false-positive case the reference built this stage for).
+    """
+    cols = sorted(
+        compare_cols
+        or [c for c in source.columns
+            if c in target.columns and c not in key_cols]
+    )
+    keys = flagged_keys.select(*key_cols).distinct()
+    s = (
+        source.join(keys, key_cols, "left_semi")
+        .select(*key_cols, *[F.col(c).alias(f"_s_{c}") for c in cols])
+    )
+    t = (
+        target.join(keys, key_cols, "left_semi")
+        .select(*key_cols, *[F.col(c).alias(f"_t_{c}") for c in cols])
+    )
+    j = keys.join(s, key_cols, "left").join(t, key_cols, "left")
+    diffs = F.array_compact(
+        F.array(*[
+            F.when(~F.col(f"_s_{c}").eqNullSafe(F.col(f"_t_{c}")), F.lit(c))
+            for c in cols
+        ])
+    )
+    return j.select(
+        *key_cols,
+        F.concat_ws(",", diffs).alias("diff_cols"),
+        F.size(diffs).alias("n_diffs"),
+        (F.size(diffs) > 0).alias("confirmed"),
+    )
 
 
 def verify_row_hashes(

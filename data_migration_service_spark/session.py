@@ -26,7 +26,9 @@ def _default_heap() -> str:
             kb = {l.split(":")[0]: int(l.split()[1]) for l in f if ":" in l}
         avail_gb = kb.get("MemAvailable", kb.get("MemTotal", 0)) // (1024 * 1024)
     except OSError:
-        avail_gb = 0
+        # no /proc/meminfo (macOS/containers): a safe mid-size default —
+        # NOT 1g (pre-touched 1g would OOM real workloads off-Linux)
+        return "8g"
     return f"{min(16, max(avail_gb // 2, 1))}g"
 
 

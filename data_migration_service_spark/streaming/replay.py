@@ -107,6 +107,8 @@ class ReplayEngine:
         os.replace(tmp, path)
 
     def lineage(self) -> list[dict]:
+        if not self.checkpoint:
+            return []  # no checkpoint configured -> nothing recorded
         d = os.path.join(self.checkpoint, "lineage")
         out = []
         for p in sorted(os.listdir(d)):

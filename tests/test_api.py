@@ -4,7 +4,7 @@ status -> verify -> targeted re-replay -> cleanup)."""
 import pyspark.sql.types as T
 from pyspark.sql import functions as F
 
-from data_migration_service_spark.api import Engine
+from data_migration_service_spark.api import Engine, EngineGroup, JobLock
 from data_migration_service_spark.config import EngineConfig
 from data_migration_service_spark.fixtures.cdc import (
     expected_final_state,
@@ -91,6 +91,89 @@ def test_streaming_without_checkpoint_raises(spark, tmp_path):
     eng = Engine(spark, EngineConfig(table_path=str(tmp_path / "t2")))
     with pytest.raises(ValueError, match="checkpoint"):
         eng.replay(str(tmp_path / "nowhere"))
+
+
+def test_status_detail_surfaces_per_epoch_lineage(spark, tmp_path):
+    """GET /jobs/{t} parity: detail=True returns each epoch's rows,
+    conflict counters, snapshot, and per-bucket partitions (rows + LSN
+    range) — the reference's per-step status/counters."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 1200, n_repos=6, n_paths_per_repo=12).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+
+    st = eng.status(detail=True)
+    assert st["epochs_recorded"] >= 1
+    assert len(st["epochs"]) == st["epochs_recorded"]
+    ep = st["epochs"][0]
+    assert ep["rows_in_batch"] > 0
+    assert ep["rows_inserted"] > 0
+    assert ep["snapshot_id"] is not None
+    assert ep["partitions"], "per-bucket lineage missing"
+    some_bucket = next(iter(ep["partitions"].values()))
+    assert some_bucket["rows"] > 0
+    assert some_bucket["lsn_min"] <= some_bucket["lsn_max"]
+    # summary view stays lean
+    assert "epochs" not in eng.status()
+
+
+def test_job_lock_blocks_second_replay(spark, tmp_path):
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 300, n_repos=3, n_paths_per_repo=5)
+    ch.write.parquet(str(tmp_path / "events"))
+    # simulate a concurrent run holding the lock
+    other = JobLock(eng.lock.path)
+    assert other.acquire()
+    try:
+        import pytest
+        assert eng.status()["running"]
+        with pytest.raises(RuntimeError, match="already running"):
+            eng.replay(str(tmp_path / "events"), streaming=False)
+    finally:
+        other.release()
+    # released -> replay proceeds and releases its own lock afterwards
+    eng.replay(str(tmp_path / "events"), streaming=False)
+    assert not eng.status()["running"]
+
+
+def test_engine_group_replay_all_skips_locked(spark, tmp_path):
+    """Reference flagship POST /jobs: sweep the configured table list,
+    skip tables whose job is running (DataMigrationService.java:298-310)."""
+    cfgs = {}
+    for name in ("t_a", "t_b"):
+        SnapshotTable.create(spark, str(tmp_path / name), TABLE_SCHEMA,
+                             ["repo", "path"], 8)
+        cfgs[name] = EngineConfig(
+            table_path=str(tmp_path / name), n_buckets=8,
+            checkpoint_path=str(tmp_path / f"ck_{name}"), merge_mode="mor",
+        )
+    grp = EngineGroup(spark, cfgs)
+    ch = gen_changes(spark, 600, n_repos=4, n_paths_per_repo=8).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+
+    # t_b is mid-run elsewhere: its lock is held
+    busy = JobLock(grp.engines["t_b"].lock.path)
+    assert busy.acquire()
+    try:
+        res = grp.replay_all({n: str(tmp_path / "events") for n in cfgs},
+                             streaming=False)
+    finally:
+        busy.release()
+    assert res["t_a"]["status"] == "COMPLETED"
+    assert res["t_a"]["rows_applied"] > 0
+    assert res["t_b"]["status"] == "SKIPPED_LOCKED"
+    assert grp.engines["t_a"].table.read().count() > 0
+    assert grp.engines["t_b"].table.read().count() == 0
+
+    # second sweep: the lock is free, t_b catches up; re-running t_a is
+    # harmless (LWW re-apply of the same LSNs is a no-op on the state)
+    res2 = grp.replay_all({n: str(tmp_path / "events") for n in cfgs},
+                          streaming=False)
+    assert res2["t_b"]["status"] == "COMPLETED"
+    assert grp.engines["t_b"].table.read().count() == \
+        grp.engines["t_a"].table.read().count()
+    st = grp.status()
+    assert set(st) == {"t_a", "t_b"} and not st["t_a"]["running"]
 
 
 def test_facade_streaming_with_registry_evolution(spark, tmp_path):

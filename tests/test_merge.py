@@ -149,6 +149,38 @@ def test_delete_where_and_truncate(spark, tmp_path):
     assert t.read().count() == 0
 
 
+def test_delete_where_keys_fast_path(spark, tmp_path):
+    """Keyed delete plans its hit-bucket set from the key hashes alone (no
+    table scan): only buckets containing the keys are rewritten, every other
+    bucket's dir reference is unchanged, and the rows are gone."""
+    from data_migration_service_spark.tables.lake import bucket_expr
+
+    ch = gen_changes(spark, 2000, n_repos=8, n_paths_per_repo=20).cache()
+    t = make_table(spark, tmp_path)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=16)
+    cdc_apply(t, ch, cfg, epoch=0)
+    before = dict(t.current().buckets)
+
+    keys = t.read().select("repo", "path").limit(5).cache()
+    expect_hit = {
+        int(r[0]) for r in
+        keys.select(bucket_expr(["repo", "path"], 16)).distinct().collect()
+    }
+    n_before = t.read().count()
+    delete_where(t, cfg, keys=keys)
+
+    after = dict(t.current().buckets)
+    rewritten = {b for b in after if after.get(b) != before.get(b)}
+    assert rewritten == expect_hit, "only key-hash buckets may be rewritten"
+    assert t.read().join(keys, ["repo", "path"], "left_semi").count() == 0
+    assert t.read().count() == n_before - 5
+
+    with pytest.raises(ValueError):
+        delete_where(t, cfg)  # neither predicate nor keys
+    with pytest.raises(ValueError):
+        delete_where(t, cfg, F.lit(True), keys=keys)  # both
+
+
 def test_expire_snapshots_removes_dead_dirs(spark, tmp_path):
     import os
 

@@ -38,6 +38,37 @@ def test_lsn_gaps_batch(spark):
     assert lsn_gaps(clean, "lsn", "part").count() == 0
 
 
+def test_lsn_gaps_chunked_matches_naive(spark):
+    """The range-bucketed formulation must equal the naive global-lag one,
+    including gaps that span chunk boundaries and whole missing chunks."""
+    present = [1, 2, 3, 9, 10, 17, 33, 34, 60]  # chunk_size=8 -> chunks 0,1,2,4,7
+    df = spark.createDataFrame([(x,) for x in present], "lsn long")
+    got = {(r["gap_start"], r["gap_end"])
+           for r in lsn_gaps(df, "lsn", chunk_size=8).collect()}
+    want = {(p + 1, n - 1)
+            for p, n in zip(present, present[1:]) if n - p > 1}
+    assert got == want
+    # partitioned variant across chunks
+    df2 = spark.createDataFrame(
+        [("a", x) for x in present] + [("b", 5), ("b", 100)],
+        "part string, lsn long")
+    got2 = {(r["part"], r["gap_start"], r["gap_end"])
+            for r in lsn_gaps(df2, "lsn", "part", chunk_size=8).collect()}
+    assert ("b", 6, 99) in got2
+    assert {(g[1], g[2]) for g in got2 if g[0] == "a"} == want
+
+
+def test_lsn_gaps_plan_is_partitioned(spark):
+    """Scale guard: the window over the RAW rows must be hash-partitioned
+    (by chunk) — never a global sort into one task. The only allowed
+    single-partition exchange is the one over the per-chunk SUMMARY
+    (n_chunks rows, ~10^4 at 10^10 LSNs with the default chunk size)."""
+    df = spark.range(1, 1000).withColumnRenamed("id", "lsn")
+    plan = lsn_gaps(df, "lsn")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_chunk" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_streaming_gap_detector_across_batches(spark, tmp_path):
     # batch 1: lsn 1,2 — batch 2: lsn 5 (hole 3-4 spans the batch boundary)
     (spark.createDataFrame([("a", 1), ("a", 2)], "part string, lsn long")

@@ -86,12 +86,21 @@ def test_auto_salt_from_batch_histogram(spark, tmp_path):
     )
 
     assert suggest_salt_factor([(0, 100), (1, 100)]) == 1
-    assert suggest_salt_factor([(0, 1000), (1, 100), (2, 100)]) == 3
+    assert suggest_salt_factor([(0, 1000), (1, 100), (2, 100)],
+                               min_rows_per_split=1) == 3
     assert suggest_salt_factor([]) == 1
     # flatten-to-mean: hot bucket split until its per-task load ~= mean load
     assert suggest_salt_factor([(0, 10**9), (1, 1)]) == 2
     assert suggest_salt_factor([(0, 10**9)] + [(b, 1) for b in range(1, 64)],
                                max_salt=16) == 16
+    # a batch concentrated in ONE bucket must still fan out: with the
+    # table's n_buckets as denominator mean != max, so salt > 1
+    assert suggest_salt_factor([(0, 10**6)], n_buckets=8) == 8
+    # ...but a tiny concentrated batch must not shatter into near-empty
+    # files: the per-split row floor caps the fan-out
+    assert suggest_salt_factor([(0, 100)], n_buckets=64) == 1
+    assert suggest_salt_factor([(0, 8 * 4096)], n_buckets=64,
+                               max_salt=32) == 8
 
     t = make_table(spark, tmp_path, n_buckets=8)
     cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=8,

@@ -16,6 +16,7 @@ from data_migration_service_spark.operators.verify import (
     MISSING_IN_TARGET,
     count_check,
     hash_diff,
+    recheck_values,
     verify_row_hashes,
     verify_state,
 )
@@ -94,6 +95,44 @@ def test_verify_state_consistent_with_null_content(spark):
     )
     res = verify_state(src, src, ["repo", "path"])
     assert res.consistent and res.source_rows == 2
+
+
+def test_recheck_values_per_field_diff(spark):
+    """J2 raw-value double-check (DataVerificationService.java:254-279):
+    flagged keys are re-fetched both sides and compared per column — the
+    output names exactly the differing fields."""
+    src = spark.createDataFrame(
+        [("r1", "a", "x", 1), ("r1", "b", "y", 2), ("r2", "c", "z", 3),
+         ("r2", "d", "w", 4)],
+        "repo string, path string, content string, qty int",
+    )
+    tgt = spark.createDataFrame(
+        [("r1", "a", "x", 1),          # identical -> not confirmed
+         ("r1", "b", "WRONG", 2),      # content differs
+         ("r2", "c", "z", 99)],        # qty differs; (r2,d) missing in tgt
+        "repo string, path string, content string, qty int",
+    )
+    flagged = spark.createDataFrame(
+        [("r1", "a"), ("r1", "b"), ("r2", "c"), ("r2", "d")],
+        "repo string, path string",
+    )
+    out = {(r["repo"], r["path"]): (r["diff_cols"], r["n_diffs"], r["confirmed"])
+           for r in recheck_values(src, tgt, ["repo", "path"], flagged).collect()}
+    assert out[("r1", "a")] == ("", 0, False)   # hash false-positive case
+    assert out[("r1", "b")] == ("content", 1, True)
+    assert out[("r2", "c")] == ("qty", 1, True)
+    # missing on one side: every compared column reports as differing
+    assert out[("r2", "d")] == ("content,qty", 2, True)
+
+
+def test_recheck_values_null_equality(spark):
+    """NULL == NULL must not count as a diff (null-safe compare), and a
+    NULL-vs-value must."""
+    src = spark.createDataFrame([("k", None, "v")], "id string, a string, b string")
+    tgt = spark.createDataFrame([("k", None, None)], "id string, a string, b string")
+    keys = spark.createDataFrame([("k",)], "id string")
+    r = recheck_values(src, tgt, ["id"], keys).collect()[0]
+    assert (r["diff_cols"], r["n_diffs"], r["confirmed"]) == ("b", 1, True)
 
 
 def test_verify_row_hashes_tenant_excluded(spark):

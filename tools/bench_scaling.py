@@ -4,16 +4,28 @@ The authoritative criterion — throughput scaling efficiency >= 0.8 from N to
 4N executors — cannot use a real cluster in this sandbox, so per the driver
 instructions it is evidenced by running the IDENTICAL CDC replay job (same
 seed-stable input, same partitioning/salting config) at two local parallelism
-levels in fresh JVMs:
+levels in fresh JVMs and reporting throughput at both.
 
-    python tools/bench_scaling.py [--events 500000] [--low 8] [--high 32]
+PRE-REGISTERED PROTOCOL (fixed before measuring; round-2 verdict required
+replacing best-of-K pairing, which under 2-7x host noise overstates whichever
+pair happens to align):
 
-Each run invokes `bench.py --replay-only --master local[K]` as a subprocess
-(cold JVM, no shared state), parses its JSON line, and reports
+1. `--jvm-reps K` (default 8) fresh-JVM runs per level, each a cold
+   `bench.py --replay-only --reps 1` subprocess (own JVM, untimed JIT
+   warm-up inside, identical seed-stable input regenerated per run).
+2. Levels STRICTLY INTERLEAVED low,high,low,high,... so slow host phases
+   (CPU steal) hit both levels equally instead of whichever level ran then.
+3. Per-level statistic: MEDIAN OF THE BEST 3 apply times (the best-3 floor
+   discards stolen-CPU outliers; the median inside them discards the single
+   lucky run best-of-K would have cherry-picked).
+4. Efficiency = (R_high / R_low) / (high_cores / low_cores) computed ONLY
+   from those two statistics; EVERY sample is appended to BENCH.md so the
+   spread is auditable.
+5. Nothing else may run on the machine during a measurement (concurrent
+   Spark jobs corrupted two round-1 samples).
 
-    efficiency = (R_high / R_low) / (high / low)
-
-appending a markdown row to BENCH.md.
+    python tools/bench_scaling.py [--events 500000] [--low 2] [--high 8]
+                                  [--jvm-reps 8]
 """
 
 from __future__ import annotations
@@ -21,6 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -28,70 +41,93 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(master: str, events: int, epochs: int, sf_dir: str,
-            content_blocks: int, reps: int) -> dict:
+            content_blocks: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
-         "--content-blocks", str(content_blocks), "--reps", str(reps)],
+         "--content-blocks", str(content_blocks), "--reps", "1"],
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
+def median_of_best3(samples_sec: list[float]) -> float:
+    best3 = sorted(samples_sec)[:3]
+    return statistics.median(best3)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=500_000)
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--content-blocks", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3,
-                    help="replays per level inside one JVM; best-of-K guards "
-                         "against host noise (sandbox timings swing ~2x)")
+    ap.add_argument("--jvm-reps", type=int, default=8,
+                    help="fresh-JVM runs per level, interleaved (protocol)")
     args = ap.parse_args()
 
-    lo = run_one(f"local[{args.low}]", args.events, args.epochs, args.sf_dir,
-                 args.content_blocks, args.reps)
-    hi = run_one(f"local[{args.high}]", args.events, args.epochs, args.sf_dir,
-                 args.content_blocks, args.reps)
-    r_lo = lo["cdc"]["events_per_sec"]
-    r_hi = hi["cdc"]["events_per_sec"]
+    samples: dict[int, list[dict]] = {args.low: [], args.high: []}
+    final_rows: dict[int, set] = {args.low: set(), args.high: set()}
+    for i in range(args.jvm_reps):
+        for level in (args.low, args.high):  # interleaved by construction
+            r = run_one(f"local[{level}]", args.events, args.epochs,
+                        args.sf_dir, args.content_blocks)
+            samples[level].append(r["cdc"])
+            final_rows[level].add(r["cdc"]["final_rows"])
+            print(json.dumps({"rep": i, "cores": level,
+                              "apply_sec": r["cdc"]["apply_sec"],
+                              "events_per_sec": r["cdc"]["events_per_sec"]}),
+                  flush=True)
+
+    stat = {lvl: median_of_best3([s["apply_sec"] for s in samples[lvl]])
+            for lvl in samples}
+    r_lo = args.events / stat[args.low]
+    r_hi = args.events / stat[args.high]
     eff = (r_hi / r_lo) / (args.high / args.low)
+    rows_match = (final_rows[args.low] == final_rows[args.high]
+                  and len(final_rows[args.low]) == 1)
     result = {
+        "protocol": "interleaved fresh-JVM reps, median-of-best-3 per level",
         "n_events": args.events,
         "n_epochs": args.epochs,
+        "jvm_reps": args.jvm_reps,
         "low_cores": args.low,
         "high_cores": args.high,
-        "low_events_per_sec": r_lo,
-        "high_events_per_sec": r_hi,
-        "low_apply_sec": lo["cdc"]["apply_sec"],
-        "high_apply_sec": hi["cdc"]["apply_sec"],
+        "low_stat_sec": round(stat[args.low], 3),
+        "high_stat_sec": round(stat[args.high], 3),
+        "low_events_per_sec": round(r_lo, 1),
+        "high_events_per_sec": round(r_hi, 1),
         "scaling_efficiency": round(eff, 3),
-        "final_rows_match": lo["cdc"]["final_rows"] == hi["cdc"]["final_rows"],
-        "low_all_apply_sec": lo["cdc"].get("all_apply_sec"),
-        "high_all_apply_sec": hi["cdc"].get("all_apply_sec"),
+        "final_rows_match": rows_match,
+        "low_all_apply_sec": [s["apply_sec"] for s in samples[args.low]],
+        "high_all_apply_sec": [s["apply_sec"] for s in samples[args.high]],
     }
     print(json.dumps(result))
 
-    row = (f"| {args.events:,} | {args.epochs} | local[{args.low}] "
-           f"{r_lo:,.0f} ev/s ({lo['cdc']['apply_sec']}s) | "
-           f"local[{args.high}] {r_hi:,.0f} ev/s ({hi['cdc']['apply_sec']}s) | "
-           f"**{eff:.3f}** | {result['final_rows_match']} |")
+    row = (f"| {args.events:,} | {args.epochs} | {args.jvm_reps}x2 interleaved "
+           f"| local[{args.low}] {r_lo:,.0f} ev/s (mob3 {stat[args.low]:.2f}s; "
+           f"all {result['low_all_apply_sec']}) "
+           f"| local[{args.high}] {r_hi:,.0f} ev/s (mob3 {stat[args.high]:.2f}s; "
+           f"all {result['high_all_apply_sec']}) "
+           f"| **{eff:.3f}** | {rows_match} |")
     bench_md = os.path.join(REPO, "BENCH.md")
     if not os.path.exists(bench_md):
         with open(bench_md, "w") as f:
             f.write(
                 "# BENCH — scaling-efficiency evidence\n\n"
-                "Same CDC replay (seed-stable event log, identical partitioning/"
-                "salting) at two parallelism levels in fresh JVMs; efficiency = "
+                "Pre-registered protocol (see tools/bench_scaling.py "
+                "docstring): interleaved fresh-JVM reps, median-of-best-3 "
+                "per level, ALL samples recorded; efficiency = "
                 "(R_high/R_low)/(cores_high/cores_low); target >= 0.8 "
-                "(BASELINE.json). `final rows match` confirms both runs reach "
-                "the identical final table state.\n\n"
-                "| events | epochs | low run | high run | efficiency | final rows match |\n"
-                "|---|---|---|---|---|---|\n"
+                "(BASELINE.json). `final rows match` confirms both levels "
+                "reach the identical final table state.\n\n"
+                "| events | epochs | reps | low level | high level "
+                "| efficiency | final rows match |\n"
+                "|---|---|---|---|---|---|---|\n"
             )
     with open(bench_md, "a") as f:
         f.write(row + "\n")
