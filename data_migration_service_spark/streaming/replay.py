@@ -26,7 +26,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from data_migration_service_spark.config import EngineConfig
 from data_migration_service_spark.operators.merge import MergeStats, cdc_apply
@@ -35,19 +34,13 @@ from data_migration_service_spark.registry import (
     apply_ddl_for_version,
     resolve_batch,
 )
+from data_migration_service_spark.sources.cdc_source import (
+    RAW_EVENT_SCHEMA,
+    file_event_source,
+)
 from data_migration_service_spark.tables.lake import SnapshotTable
 
-RAW_EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("lsn", T.LongType(), False),
-        T.StructField("op", T.StringType(), False),
-        T.StructField("repo", T.StringType(), False),
-        T.StructField("path", T.StringType(), False),
-        T.StructField("ts", T.TimestampType(), True),
-        T.StructField("schema_version", T.IntegerType(), True),
-        T.StructField("payload", T.StringType(), True),
-    ]
-)
+__all__ = ["RAW_EVENT_SCHEMA", "ReplayEngine"]
 
 
 class ReplayEngine:
@@ -138,12 +131,10 @@ class ReplayEngine:
                 "streaming replay requires a checkpoint location — set "
                 "EngineConfig.checkpoint_path (offsets/resume live there)"
             )
-        reader = (
-            self.spark.readStream.schema(RAW_EVENT_SCHEMA)
+        stream = file_event_source(
+            self.spark, source_path,
+            max_files_per_trigger=max_files_per_trigger,
         )
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        stream = reader.parquet(source_path)
 
         def _sink(df: DataFrame, batch_id: int) -> None:
             self.apply_batch(df, epoch=int(batch_id))
