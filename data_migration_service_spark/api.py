@@ -240,3 +240,29 @@ class EngineGroup:
     def status(self, detail: bool = False) -> dict[str, dict[str, Any]]:
         return {name: eng.status(detail=detail)
                 for name, eng in self.engines.items()}
+
+    def verify_all(self, expected: dict[str, DataFrame],
+                   content_col: str = "content") -> dict[str, Any]:
+        """POST /data/verification without a table param: verify every
+        configured table against its expected state
+        (DataVerificationService.java verifies the configured list when no
+        table is given). Returns per-table VerifyResult plus an `all_ok`
+        rollup; tables with no expectation provided are NOT silently OK."""
+        out: dict[str, Any] = {}
+        for name, eng in self.engines.items():
+            exp = expected.get(name)
+            out[name] = (eng.verify(exp, content_col=content_col)
+                         if exp is not None else "NO_EXPECTATION")
+        out["all_ok"] = all(
+            getattr(v, "consistent", False) for k, v in out.items()
+        )
+        return out
+
+    def cleanup_all(self, keys: dict[str, DataFrame] | None = None) -> dict[str, int]:
+        """POST /data/cleanup over the table list: keyed delete per table
+        when `keys` gives that table a key set, full TRUNCATE otherwise
+        (DataCleanupService.java's truncate-all sweep)."""
+        return {
+            name: eng.cleanup(keys=(keys or {}).get(name))
+            for name, eng in self.engines.items()
+        }

@@ -176,6 +176,38 @@ def test_engine_group_replay_all_skips_locked(spark, tmp_path):
     assert set(st) == {"t_a", "t_b"} and not st["t_a"]["running"]
 
 
+def test_engine_group_verify_and_cleanup_all(spark, tmp_path):
+    """Group-level verification + cleanup sweeps (reference: no-table-param
+    POST /data/verification and the truncate-all cleanup)."""
+    cfgs = {}
+    for name in ("g_a", "g_b"):
+        SnapshotTable.create(spark, str(tmp_path / name), TABLE_SCHEMA,
+                             ["repo", "path"], 8)
+        cfgs[name] = EngineConfig(
+            table_path=str(tmp_path / name), n_buckets=8,
+            checkpoint_path=str(tmp_path / f"gck_{name}"), merge_mode="mor",
+        )
+    grp = EngineGroup(spark, cfgs)
+    ch = gen_changes(spark, 500, n_repos=4, n_paths_per_repo=6).cache()
+    ch.write.parquet(str(tmp_path / "gev"))
+    grp.replay_all({n: str(tmp_path / "gev") for n in cfgs}, streaming=False)
+
+    exp = expected_final_state(ch)
+    res = grp.verify_all({"g_a": exp, "g_b": exp})
+    assert res["all_ok"]
+    assert res["g_a"].consistent and res["g_b"].consistent
+    # missing expectation is surfaced, not silently OK
+    res2 = grp.verify_all({"g_a": exp})
+    assert res2["g_b"] == "NO_EXPECTATION" and not res2["all_ok"]
+
+    # keyed delete on one table, truncate on the other
+    victim = grp.engines["g_a"].table.read().select("repo", "path").limit(2).cache()
+    n_a = grp.engines["g_a"].table.read().count()
+    grp.cleanup_all(keys={"g_a": victim})
+    assert grp.engines["g_a"].table.read().count() == n_a - 2
+    assert grp.engines["g_b"].table.read().count() == 0  # truncated
+
+
 def test_facade_streaming_with_registry_evolution(spark, tmp_path):
     """Full streaming path through the facade: raw version-named JSON
     payloads, v1->v2 evolution resolved at the batch boundary."""
