@@ -131,6 +131,75 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine changefeed: build the table in two epochs (lsn <= mid, rest),
+    then emit the incremental change events from the mid-replay snapshot to
+    the final one. The oracle re-derives the same diff from the log in SQL
+    (old state = LWW at mid, new = LWW at end), so insert/update/delete
+    classification, LSN propagation, and tombstone handling are all
+    value-checked."""
+    from data_migration_service_spark.operators.changefeed import table_changes
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_feed_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       merge_mode="mor")
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    cdc_apply(t, ch.where(F.col("lsn") <= mid), cfg, epoch=0)
+    s_mid = t.current().snapshot_id
+    cdc_apply(t, ch.where(F.col("lsn") > mid), cfg, epoch=1)
+    feed = table_changes(t, s_mid)
+    return feed.select(
+        "op", "lsn", "repo", "path",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+_CHANGEFEED_SQL = _DERIVED_CHANGES_SQL + """
+, bounds AS (SELECT max(lsn) // 2 AS mid FROM log)
+, old_state AS (
+  SELECT * FROM (
+    SELECT repo, path, lsn, op, content,
+           row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM log WHERE lsn <= (SELECT mid FROM bounds)) WHERE rn = 1
+), new_state AS (
+  SELECT * FROM (
+    SELECT repo, path, lsn, op, content,
+           row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+    FROM log) WHERE rn = 1
+), j AS (
+  SELECT coalesce(o.repo, n.repo) AS repo, coalesce(o.path, n.path) AS path,
+         o.lsn AS o_lsn, (o.op IS NOT NULL AND o.op <> 'delete') AS o_live,
+         n.lsn AS n_lsn, (n.op IS NOT NULL AND n.op <> 'delete') AS n_live,
+         n.content AS n_content
+  FROM old_state o FULL OUTER JOIN new_state n
+    ON o.repo = n.repo AND o.path = n.path
+), cls AS (
+  SELECT repo, path, n_content,
+         CASE WHEN n_live AND NOT o_live THEN 'insert'
+              WHEN n_live AND o_live AND n_lsn <> o_lsn THEN 'update'
+              WHEN o_live AND NOT n_live THEN 'delete' END AS op,
+         CASE WHEN o_live AND NOT n_live THEN coalesce(n_lsn, o_lsn)
+              ELSE n_lsn END AS lsn
+  FROM j
+)
+SELECT op, lsn, repo, path,
+       CASE WHEN op <> 'delete' THEN sha256(n_content) END AS content_sha256
+FROM cls WHERE op IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # the hash-diff verification fixture: deterministic corruption of lineitem
 # ---------------------------------------------------------------------------
@@ -564,6 +633,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _replay_final_state,
+        "changefeed": _changefeed,
         "lww_dedup": q_lww_dedup,
         "count_per_group": q_count_per_group,
         "distinct_keys": q_distinct_keys,
@@ -602,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
     sep = "chr(31)"
     return {
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
+        "changefeed": _CHANGEFEED_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id

@@ -175,6 +175,18 @@ class Engine:
             return self.table.truncate().snapshot_id
         return delete_where(self.table, self.cfg, predicate, keys=keys)
 
+    # ---- changefeed (incremental read for downstream consumers) ----
+    def changes(self, from_snapshot: int,
+                to_snapshot: int | None = None) -> DataFrame:
+        """Ordered insert/update/delete events between two snapshots of the
+        target table (operators/changefeed.py) — lets a downstream consumer
+        (or another replica of this engine) tail THIS table incrementally."""
+        from data_migration_service_spark.operators.changefeed import (
+            table_changes,
+        )
+
+        return table_changes(self.table, from_snapshot, to_snapshot)
+
     # ---- maintenance ----
     def compact(self, tombstone_watermark: int | None = None) -> int:
         return compact(self.table, self.cfg,
