@@ -175,6 +175,44 @@ class Engine:
             return self.table.truncate().snapshot_id
         return delete_where(self.table, self.cfg, predicate, keys=keys)
 
+    # ---- point lookup (GET specific records) ----
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Fetch current rows for a set of merge keys, touching only the
+        buckets those keys hash into (reference: fetch-specific-records,
+        the read half of migrateSpecificRecords). The bucket set comes from
+        `bucket_expr` over the keys alone — a keys-sized job, never a table
+        scan — then a broadcast semi-join inside the pruned read."""
+        from data_migration_service_spark.tables.lake import bucket_expr
+
+        snap = self.table.current()
+        kdf = keys.select(*snap.key_cols).distinct()
+        kb = kdf.withColumn("_b", bucket_expr(snap.key_cols, snap.n_buckets))
+        hit = sorted(int(r[0]) for r in kb.select("_b").distinct().collect())
+        hit = [b for b in hit if b in snap.buckets or snap.deltas.get(b)]
+        if not hit:
+            return self.table.read(snapshot=snap, buckets=[])
+        return (
+            self.table.read(snapshot=snap, buckets=hit)
+            .join(F.broadcast(kdf), list(snap.key_cols), "left_semi")
+        )
+
+    # ---- history (GET /jobs run listing) ----
+    def history(self) -> list[dict[str, Any]]:
+        """All retained snapshots oldest-first: id, parent, operation,
+        epoch, summary (reference: Spring Batch job-execution history)."""
+        out = []
+        for sid in self.table.snapshots():
+            s = self.table.load_snapshot(sid)
+            out.append({
+                "snapshot_id": s.snapshot_id,
+                "parent": s.parent,
+                "operation": s.summary.get("operation"),
+                "epoch": int(s.props.get("epoch", "-1")),
+                "schema_version": int(s.props.get("schema_version", "1")),
+                "summary": s.summary,
+            })
+        return out
+
     # ---- changefeed (incremental read for downstream consumers) ----
     def changes(self, from_snapshot: int,
                 to_snapshot: int | None = None) -> DataFrame:

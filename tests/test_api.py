@@ -176,6 +176,30 @@ def test_engine_group_replay_all_skips_locked(spark, tmp_path):
     assert set(st) == {"t_a", "t_b"} and not st["t_a"]["running"]
 
 
+def test_lookup_and_history(spark, tmp_path):
+    """Point lookup prunes to the keys' buckets (read half of the
+    reference's migrateSpecificRecords); history lists the run ledger."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 1000, n_repos=6, n_paths_per_repo=10).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+
+    want = eng.table.read().orderBy("repo", "path").limit(3).cache()
+    got = eng.lookup(want.select("repo", "path"))
+    assert got.count() == 3
+    assert got.select("repo", "path", "content").exceptAll(
+        want.select("repo", "path", "content")).count() == 0
+    # missing keys return nothing (and an all-miss lookup short-circuits)
+    ghost = spark.createDataFrame([("no_such", "x.py")], "repo string, path string")
+    assert eng.lookup(ghost).count() == 0
+
+    h = eng.history()
+    assert h[0]["operation"] == "create" and h[0]["snapshot_id"] == 1
+    assert any(e["operation"] in ("merge", "merge-mor") for e in h)
+    assert h[-1]["epoch"] >= 0
+    assert [e["snapshot_id"] for e in h] == sorted(e["snapshot_id"] for e in h)
+
+
 def test_engine_group_verify_and_cleanup_all(spark, tmp_path):
     """Group-level verification + cleanup sweeps (reference: no-table-param
     POST /data/verification and the truncate-all cleanup)."""
