@@ -615,6 +615,19 @@ def q_embedding_ann_lsh(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+def q_embedding_ivf_topk(spark, sf):
+    """IVF ANN (trained coarse quantizer + probe search). Rows-only: the
+    k-means centroids come from Spark ML training, which DuckDB cannot
+    reproduce; correctness (assignment math, recall vs brute force,
+    exactness at full probe) is pinned by tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = S.ivf_fit(emb, "embedding", n_centroids=8, seed=42)
+    out = S.ivf_topk(emb, "vec_id", "embedding", qv, cents, k=25, n_probe=2)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_multimodal_features(spark, sf):
     media = gen_media_fixture(spark, n=64)
     feats = extract_features(media, dim=8)
@@ -664,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf_topk": q_embedding_ivf_topk,      # rows-only
         "multimodal_features": q_multimodal_features,    # rows-only
     }
 

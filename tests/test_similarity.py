@@ -150,6 +150,54 @@ def test_lsh_topk_multiprobe_recall_improves(planted):
     assert 1000 in wide
 
 
+def test_ivf_topk_recall_on_clustered_corpus(spark):
+    """IVF: train the coarse quantizer on a clustered corpus, then assert
+    (a) assignment equals the driver-side argmin (same math), (b) the probe
+    search finds the planted near-neighbors of a query, (c) widening
+    n_probe is monotone and reaches the exact brute-force top-k."""
+    from data_migration_service_spark.operators.similarity import (
+        ivf_assign,
+        ivf_fit,
+        ivf_topk,
+    )
+
+    rng = random.Random(5)
+    anchors = [_unit(rng) for _ in range(4)]
+    rows = []
+    for i in range(200):
+        a = anchors[i % 4]
+        rows.append((i, _perturb(a, rng, 0.15)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    cents = ivf_fit(df, "embedding", n_centroids=4, seed=42)
+    assert len(cents) == 4 and all(len(c) == DIM for c in cents)
+
+    # (a) expression assignment == python argmin for a sample
+    sample = df.limit(20).collect()
+    got = {r["vec_id"]: r["c"] for r in
+           df.limit(20).select("vec_id",
+                               ivf_assign("embedding", cents).alias("c")).collect()}
+    for r in sample:
+        v = r["embedding"]
+        want = min(range(4), key=lambda i: (
+            sum(x * x for x in cents[i]) - 2 * sum(x * y for x, y in zip(v, cents[i])), i))
+        assert got[r["vec_id"]] == want
+
+    # (b/c) recall vs exact, monotone in n_probe, exact at full probe
+    qv = rows[0][1]
+    exact = [r["vec_id"] for r in
+             cosine_topk(df, "vec_id", "embedding", qv, 10).collect()]
+    rec = {}
+    for p in (1, 4):
+        ids = [r["vec_id"] for r in
+               ivf_topk(df, "vec_id", "embedding", qv, cents, k=10,
+                        n_probe=p).collect()]
+        rec[p] = len(set(ids) & set(exact)) / 10
+    assert rec[4] == 1.0          # probing every cell == brute force
+    assert rec[1] >= 0.5          # the query's own cluster holds most of top-k
+    assert rec[4] >= rec[1]
+
+
 def test_minhash_xxhash_fast_path_recovers_planted_dups(spark):
     """The xxhash64 hash family must recover the same planted near-duplicate
     pairs as the sha256 oracle path through the identical LSH banding."""
