@@ -58,6 +58,23 @@ def test_lsn_gaps_chunked_matches_naive(spark):
     assert {(g[1], g[2]) for g in got2 if g[0] == "a"} == want
 
 
+def test_lsn_gaps_chunked_equals_naive_randomized(spark):
+    """Randomized (seeded) equivalence: the chunked formulation must equal
+    a naive global-lag reference on arbitrary LSN sets, across chunk sizes
+    that land gaps inside, across, and exactly on chunk boundaries."""
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        lsns = sorted(rng.sample(range(1, 400), rng.randint(2, 60)))
+        naive = {(p + 1, n - 1) for p, n in zip(lsns, lsns[1:]) if n - p > 1}
+        df = spark.createDataFrame([(x,) for x in lsns], "lsn long")
+        for chunk in (1, 7, 64, 1 << 20):
+            got = {(r["gap_start"], r["gap_end"])
+                   for r in lsn_gaps(df, "lsn", chunk_size=chunk).collect()}
+            assert got == naive, (seed, chunk, lsns)
+
+
 def test_lsn_gaps_plan_is_partitioned(spark):
     """Scale guard: the window over the RAW rows must be hash-partitioned
     (by chunk) — never a global sort into one task. The only allowed
