@@ -176,6 +176,55 @@ def test_engine_group_replay_all_skips_locked(spark, tmp_path):
     assert set(st) == {"t_a", "t_b"} and not st["t_a"]["running"]
 
 
+def test_verify_incremental_scopes_to_changed_buckets(spark, tmp_path):
+    """Incremental verification checks exactly the buckets that moved since
+    the reference snapshot: corruption inside the changed scope is caught,
+    corruption outside it is (by documented scope) not — that's what makes
+    the job O(changed), and the full verify still exists for audits."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 2000, n_repos=8, n_paths_per_repo=15).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+    s0 = eng.table.current().snapshot_id
+
+    # small follow-up epoch touching few keys
+    from data_migration_service_spark.operators.merge import cdc_apply
+    one = (ch.orderBy("lsn").limit(3)
+           .withColumn("lsn", F.col("lsn") + 100_000)
+           .withColumn("op", F.lit("update"))
+           .withColumn("content", F.lit("NEWCONTENT")))
+    cdc_apply(eng.table, one, eng.cfg, epoch=99)
+
+    full_expected = expected_final_state(ch.unionByName(one))
+    res = eng.verify_incremental(full_expected, s0)
+    assert res.consistent
+    n_checked = len(res.extra["buckets_checked"])
+    assert 0 < n_checked < eng.cfg.n_buckets  # genuinely pruned
+
+    # corruption INSIDE the changed scope is caught
+    bad_in = full_expected.withColumn(
+        "content",
+        F.when(F.col("content") == "NEWCONTENT", F.lit("TAMPERED"))
+        .otherwise(F.col("content")))
+    assert not eng.verify_incremental(bad_in, s0).consistent
+
+    # corruption OUTSIDE the scope is invisible to the incremental pass
+    # (documented trade), but the full verify catches it
+    from data_migration_service_spark.tables.lake import bucket_expr
+    changed = res.extra["buckets_checked"]
+    outside = full_expected.where(
+        ~bucket_expr(["repo", "path"], eng.cfg.n_buckets).isin(changed))
+    victim = outside.limit(1).collect()
+    if victim:  # corrupt one out-of-scope row
+        v = victim[0]
+        bad_out = full_expected.withColumn(
+            "content",
+            F.when((F.col("repo") == v["repo"]) & (F.col("path") == v["path"]),
+                   F.lit("TAMPERED")).otherwise(F.col("content")))
+        assert eng.verify_incremental(bad_out, s0).consistent
+        assert not eng.verify(bad_out).consistent
+
+
 def test_lookup_and_history(spark, tmp_path):
     """Point lookup prunes to the keys' buckets (read half of the
     reference's migrateSpecificRecords); history lists the run ledger."""
