@@ -83,6 +83,10 @@ def get_spark(
         # the right storage trade at 100 TB. Env override for A/B runs.
         .config("spark.sql.parquet.compression.codec",
                 os.environ.get("DMS_PARQUET_CODEC", "zstd"))
+        # shuffle/broadcast codec, A/B-able the same way (lz4 = Spark
+        # default; zstd trades CPU for bytes through the shuffle path)
+        .config("spark.io.compression.codec",
+                os.environ.get("DMS_SHUFFLE_CODEC", "lz4"))
         # NOTE: an oversized, lazily-faulted local-mode heap is actively
         # harmful — with 32 concurrent tasks a 48g heap showed 3-5x wall
         # regressions (first-touch page faults + GC over the huge young gen

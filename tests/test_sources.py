@@ -91,3 +91,96 @@ def test_rate_event_source_schema_and_determinism(spark, tmp_path):
     # monotone gap-free LSNs over whatever arrived
     n, mx = spark.sql("SELECT count(*) c, max(lsn) m FROM rate_ev").collect()[0]
     assert n == mx  # 1..max with no holes
+
+
+# ---------------- Debezium envelope codec ----------------
+
+def _row_schema():
+    from pyspark.sql import types as T
+    return T.StructType([
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("schema_version", T.IntegerType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+    ])
+
+
+def test_debezium_roundtrip_matches_original_events(spark):
+    """encode -> decode is the identity on the engine's event shape (both
+    wrapped and flat envelopes), including delete before-images."""
+    from data_migration_service_spark.fixtures.cdc import gen_changes
+    from data_migration_service_spark.sources.debezium import (
+        decode_debezium, encode_debezium,
+    )
+    ch = gen_changes(spark, 500, n_repos=5, n_paths_per_repo=10).cache()
+    cols = [f.name for f in _row_schema().fields]
+    want = ch.select(*cols, "op", "lsn", "ts")
+    for wrapped in (False, True):
+        enc = encode_debezium(ch, cols, wrapped=wrapped, source_table="repos")
+        got = decode_debezium(enc, _row_schema(), wrapped=wrapped)
+        assert got.columns == want.columns
+        assert want.exceptAll(got).count() == 0
+        assert got.exceptAll(want).count() == 0
+    # deletes carry the image in `before` and nothing in `after`
+    one = encode_debezium(ch.where(F.col("op") == "delete").limit(1), cols,
+                          source_table="repos")
+    import json
+    env = json.loads(one.collect()[0]["value"])
+    assert env["op"] == "d" and env["after"] is None
+    assert env["before"]["repo"] is not None
+    assert env["source"]["table"] == "repos"
+
+
+def test_debezium_unknown_ops_dropped_and_snapshot_reads_are_inserts(spark):
+    from data_migration_service_spark.sources.debezium import decode_debezium
+    rows = [
+        ('{"before":null,"after":{"repo":"r","path":"p"},'
+         '"source":{"lsn":1,"ts_ms":1000},"op":"r","ts_ms":1000}',),
+        ('{"before":null,"after":null,'
+         '"source":{"lsn":2,"ts_ms":2000},"op":"t","ts_ms":2000}',),  # truncate
+    ]
+    df = spark.createDataFrame(rows, ["value"])
+    got = decode_debezium(df, _row_schema()).collect()
+    assert len(got) == 1 and got[0]["op"] == "insert" and got[0]["lsn"] == 1
+    kept = decode_debezium(df, _row_schema(), drop_unknown_ops=False).collect()
+    assert len(kept) == 2 and kept[1]["op"] is None
+
+
+def test_debezium_file_source_replay_end_to_end(spark, tmp_path):
+    """Newline-JSON Debezium tail -> decode -> cdc_apply reaches the same
+    final state as replaying the typed events directly."""
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.fixtures.cdc import (
+        expected_final_state, gen_changes,
+    )
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.sources.debezium import (
+        debezium_file_source, encode_debezium,
+    )
+    from data_migration_service_spark.tables.lake import SnapshotTable
+    from tests.test_merge import TABLE_SCHEMA
+
+    ch = gen_changes(spark, 1500, n_repos=6, n_paths_per_repo=12).cache()
+    cols = [f.name for f in _row_schema().fields]
+    encode_debezium(ch, cols).write.text(str(tmp_path / "wal"))
+
+    events = debezium_file_source(
+        spark, str(tmp_path / "wal"), _row_schema(), streaming=False)
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), TABLE_SCHEMA,
+                               ["repo", "path"], 8)
+    cfg = EngineConfig(table_path=str(tmp_path / "t"), n_buckets=8)
+    cdc_apply(tbl, events, cfg, epoch=0)
+
+    exp = expected_final_state(ch)
+    got = tbl.read()
+    key = ["repo", "path"]
+    h = lambda d: d.select(*key, F.sha2(F.coalesce("content", F.lit("\x00")), 256).alias("h"))
+    assert h(exp).exceptAll(h(got)).count() == 0
+    assert h(got).exceptAll(h(exp)).count() == 0
+
+    # streaming flavor exposes the same schema
+    stream = debezium_file_source(spark, str(tmp_path / "wal"), _row_schema())
+    assert stream.isStreaming and "lsn" in stream.columns and "op" in stream.columns
