@@ -638,6 +638,59 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_debezium_roundtrip(spark, sf):
+    """Debezium wire-format codec (sources/debezium.py): cast the events
+    table into a CDC shape, encode as JSON envelopes, decode back, and
+    aggregate. encode∘decode is the identity, so the oracle computes the
+    same aggregate straight off the table — any codec asymmetry (op
+    mapping, delete before-images, null handling) breaks the hash."""
+    from data_migration_service_spark.sources.debezium import (
+        decode_debezium,
+        encode_debezium,
+    )
+
+    typed = _t(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.col("event_id").cast("string").alias("path"),
+        F.col("props").alias("content"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.col("ts"),
+    )
+    rs = T.StructType([
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+    ])
+    dec = decode_debezium(
+        encode_debezium(typed, ["repo", "path", "content"]), rs)
+    return dec.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lsn").alias("sum_lsn"),
+        F.sum(F.length("content")).alias("content_chars"),
+        F.countDistinct("repo").alias("n_repos"),
+    )
+
+
+_DEBEZIUM_ROUNDTRIP_SQL = """
+SELECT op, count(*) AS n, sum(lsn) AS sum_lsn,
+       sum(length(content)) AS content_chars,
+       count(DISTINCT repo) AS n_repos
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS repo,
+         props AS content,
+         CASE WHEN event_type = 'signup' THEN 'insert'
+              WHEN event_type = 'error' THEN 'delete'
+              ELSE 'update' END AS op,
+         event_id AS lsn
+  FROM events
+)
+GROUP BY op
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -679,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,      # rows-only
         "multimodal_features": q_multimodal_features,    # rows-only
+        "debezium_roundtrip": q_debezium_roundtrip,
     }
 
 
@@ -687,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
         "changefeed": _CHANGEFEED_SQL,
+        "debezium_roundtrip": _DEBEZIUM_ROUNDTRIP_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id

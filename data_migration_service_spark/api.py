@@ -265,6 +265,37 @@ class Engine:
 
         return table_changes(self.table, from_snapshot, to_snapshot)
 
+    def export_changes(self, from_snapshot: int, to_path: str,
+                       to_snapshot: int | None = None,
+                       format: str = "parquet") -> int:
+        """Publish the changefeed for downstream consumers: `parquet`
+        (the engine's typed event shape, replayable by another Engine) or
+        `debezium` (newline-JSON envelopes any standard CDC consumer
+        reads — sources/debezium.py). Returns the event count. Paired with
+        `verify_incremental`, this is the replication loop: export from
+        the primary, replay on the replica, verify only changed buckets."""
+        ch = self.changes(from_snapshot, to_snapshot).cache()
+        try:
+            if format == "parquet":
+                ch.write.mode("append").parquet(to_path)
+            elif format == "debezium":
+                from data_migration_service_spark.sources.debezium import (
+                    encode_debezium,
+                )
+
+                row_cols = [c for c in ch.columns if c not in ("op", "lsn")]
+                enc = encode_debezium(
+                    ch, row_cols,
+                    source_table=os.path.basename(
+                        self.cfg.table_path.rstrip("/")),
+                )
+                enc.write.mode("append").text(to_path)
+            else:
+                raise ValueError(f"unknown export format: {format!r}")
+            return ch.count()
+        finally:
+            ch.unpersist()
+
     # ---- maintenance ----
     def compact(self, tombstone_watermark: int | None = None) -> int:
         return compact(self.table, self.cfg,

@@ -248,6 +248,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     dirname = table.write_buckets(
         deduped, [], new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
         salt_factor=salt, write_schema=out_schema,
+        sort=False,  # L0 deltas: write-hot, folded at compact_threshold
     )
     lineage = table.dir_lineage(dirname, cfg.lsn_col)
     affected = sorted(lineage)

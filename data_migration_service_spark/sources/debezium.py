@@ -137,6 +137,8 @@ def encode_debezium(
     inv = {v: k for k, v in DEBEZIUM_OPS.items() if v != "insert"}
     inv["insert"] = "c"
     op_map = F.create_map(*[F.lit(x) for kv in inv.items() for x in kv])
+    ts = (F.col(ts_col) if ts_col in df.columns
+          else F.lit(None).cast("timestamp"))  # tables without an event-time col
 
     image = _row_image(row_cols)
     null_image = F.lit(None).cast(
@@ -148,14 +150,14 @@ def encode_debezium(
         F.when(~is_del, image).otherwise(null_image).alias("after"),
         F.struct(
             F.col(lsn_col).cast("long").alias("lsn"),
-            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+            F.unix_millis(ts).alias("ts_ms"),
             F.lit(None).cast("string").alias("db"),
             F.lit(None).cast("string").alias("schema"),
             F.lit(source_table).cast("string").alias("table"),
             F.lit(None).cast("long").alias("txId"),
         ).alias("source"),
         op_map[F.col(op_col)].alias("op"),
-        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        F.unix_millis(ts).alias("ts_ms"),
     )
     body = F.struct(payload.alias("payload")) if wrapped else payload
     # Debezium emits explicit nulls ("after": null on delete); Spark's

@@ -260,6 +260,7 @@ class SnapshotTable:
         new_buckets_dir: str | None = None,
         salt_factor: int = 1,
         write_schema: T.StructType | None = None,
+        sort: bool = True,
     ) -> str:
         """Write `df` (which must carry BUCKET_COL and DELETED_COL) as the new
         content of `affected` buckets under one new snap dir; returns dir name.
@@ -275,14 +276,36 @@ class SnapshotTable:
         # few files while a hot bucket still fans out across salt_factor
         # writer tasks. A fixed n_buckets*salt_factor count over-schedules
         # small batches and under-parallelizes huge ones.
+        snap = self.current()
         if salt_factor > 1:
-            keys = [c for c in self.current().key_cols if c in df.columns]
+            keys = [c for c in snap.key_cols if c in df.columns]
             salt_src = keys or [c for c in df.columns if c != BUCKET_COL][:2]
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src], F.lit("salt")),
                           F.lit(salt_factor))
             part = df.repartition(F.col(BUCKET_COL), salt)
         else:
             part = df.repartition(F.col(BUCKET_COL))
+        # Key-sorted files: each writer task sorts its slice by the merge
+        # key, so every parquet file carries ordered row-group min/max stats
+        # on the key columns — point lookups and semi-join replays skip row
+        # groups instead of scanning the whole bucket. Off via table prop
+        # write_sort=none for pure-append throughput workloads.
+        # Key-sorted files, LSM-style: callers writing LONG-LIVED files
+        # (cow rewrite, compaction, rebucket) sort; the MOR delta append
+        # passes sort=False — deltas are small, short-lived (folded at
+        # compact_threshold) and write-hot, so paying ~10% sort cost there
+        # buys nothing (measured A/B in BENCH.md).
+        # The sort MUST lead with BUCKET_COL: the dynamic-partition writer
+        # requires its output ordered by the partition column and inserts
+        # its own (non-stable) sort when the child ordering doesn't already
+        # satisfy that — which would scramble a keys-only secondary sort
+        # whenever a task holds rows of several buckets (always true under
+        # salting). Leading with BUCKET_COL makes the writer skip its sort.
+        sort_keys = [c for c in snap.key_cols if c in df.columns]
+        default_sort = os.environ.get("DMS_WRITE_SORT", "keys")  # A/B knob
+        if (sort and sort_keys
+                and snap.props.get("write_sort", default_sort) != "none"):
+            part = part.sortWithinPartitions(BUCKET_COL, *sort_keys)
         (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out))
         # parquet partitionBy drops BUCKET_COL from files; record the physical
         # file schema (without the partition col)

@@ -305,3 +305,38 @@ def test_facade_streaming_with_registry_evolution(spark, tmp_path):
     eng.replay(str(tmp_path / "raw"), streaming=True, timeout_sec=180)
     assert_state_matches(eng.table, ch)
     assert eng.status()["schema_version"] == 2
+
+
+def test_export_changes_debezium_replication_loop(spark, tmp_path):
+    """Primary exports its changefeed as Debezium envelopes; a replica
+    replays the decoded stream and reaches the identical state — the
+    engine interoperates with the standard CDC wire format in BOTH
+    directions (export half of sources/debezium.py)."""
+    import pyspark.sql.types as T
+    from data_migration_service_spark.sources.debezium import (
+        debezium_file_source,
+    )
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    primary = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 2500, n_repos=8, n_paths_per_repo=20).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    primary.replay(str(tmp_path / "events"), streaming=False)
+
+    n = primary.export_changes(1, str(tmp_path / "wire"), format="debezium")
+    assert n > 0
+
+    row_schema = T.StructType(
+        [f for f in TABLE_SCHEMA.fields if f.name != "lsn"])
+    decoded = debezium_file_source(
+        spark, str(tmp_path / "wire"), row_schema, streaming=False)
+
+    SnapshotTable.create(spark, str(tmp_path / "replica"), TABLE_SCHEMA,
+                         ["repo", "path"], 16)
+    rcfg = EngineConfig(table_path=str(tmp_path / "replica"), n_buckets=16)
+    replica = Engine(spark, rcfg)
+    cdc_apply(replica.table, decoded, rcfg, epoch=0)
+
+    a = primary.table.read().select("repo", "path", "content")
+    b = replica.table.read().select("repo", "path", "content")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

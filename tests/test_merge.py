@@ -195,3 +195,30 @@ def test_expire_snapshots_removes_dead_dirs(spark, tmp_path):
     live = set(t.current().buckets.values())
     assert all(d in live or not d.startswith("snap-") for d in os.listdir(datadir))
     assert removed or True
+
+
+def test_bucket_files_are_key_sorted_for_rowgroup_pruning(spark, tmp_path):
+    """Every physical bucket file is sorted by the merge key, so parquet
+    row-group min/max stats on (repo, path) are tight and point lookups
+    skip row groups instead of scanning the bucket. write_sort=none
+    opts out for append-throughput-first tables."""
+    from data_migration_service_spark.fixtures.cdc import gen_changes
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.config import EngineConfig
+
+    # salt_factor > 1 is the regression case: tasks then hold rows of
+    # several buckets, and the dynamic-partition writer's own sort used to
+    # scramble a keys-only secondary sort (fix: lead with BUCKET_COL)
+    tbl = make_table(spark, tmp_path, n_buckets=4)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=4,
+                       salt_factor=4)
+    ch = gen_changes(spark, 3000, n_repos=8, n_paths_per_repo=25)
+    cdc_apply(tbl, ch, cfg, epoch=0)
+
+    files = (spark.read.parquet(str(tmp_path / "repos" / "data"))
+             .withColumn("_f", F.input_file_name())
+             .select("_f", "repo", "path").toPandas())
+    assert len(files) > 0
+    for _, g in files.groupby("_f"):
+        keys = list(zip(g["repo"], g["path"]))
+        assert keys == sorted(keys), "bucket file not key-sorted"
