@@ -137,8 +137,10 @@ def encode_debezium(
     inv = {v: k for k, v in DEBEZIUM_OPS.items() if v != "insert"}
     inv["insert"] = "c"
     op_map = F.create_map(*[F.lit(x) for kv in inv.items() for x in kv])
+    # cast covers tables without an event-time col (NULL) and TIMESTAMP_NTZ
+    # sources (unix_millis accepts only TIMESTAMP; session tz is UTC)
     ts = (F.col(ts_col) if ts_col in df.columns
-          else F.lit(None).cast("timestamp"))  # tables without an event-time col
+          else F.lit(None)).cast("timestamp")
 
     image = _row_image(row_cols)
     null_image = F.lit(None).cast(
