@@ -118,8 +118,13 @@ class ReplayEngine:
         max_files_per_trigger: int | None = None,
         await_termination: bool = True,
         timeout_sec: int | None = None,
+        source_format: str = "parquet",
     ):
         """Tail a growing directory of event files (the binlog/WAL analogue).
+
+        `source_format="parquet"` expects RAW_EVENT_SCHEMA files;
+        `"debezium"` tails newline-JSON Debezium envelopes
+        (sources/debezium.py) decoded JVM-side into the same typed shape.
 
         Uses the file source's checkpointed offsets for resume; availableNow
         drains everything present then stops — kill the query mid-run and a
@@ -131,10 +136,31 @@ class ReplayEngine:
                 "streaming replay requires a checkpoint location — set "
                 "EngineConfig.checkpoint_path (offsets/resume live there)"
             )
-        stream = file_event_source(
-            self.spark, source_path,
-            max_files_per_trigger=max_files_per_trigger,
-        )
+        if source_format == "debezium":
+            from pyspark.sql import types as T
+
+            from data_migration_service_spark.sources.debezium import (
+                debezium_file_source,
+            )
+
+            from data_migration_service_spark.tables.lake import DELETED_COL
+
+            lsn_col = self.cfg.lsn_col
+            row_schema = T.StructType([
+                f for f in self.table.current().schema().fields
+                if f.name not in (lsn_col, "ts", DELETED_COL)
+            ])
+            stream = debezium_file_source(
+                self.spark, source_path, row_schema,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+        elif source_format == "parquet":
+            stream = file_event_source(
+                self.spark, source_path,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+        else:
+            raise ValueError(f"unknown source_format: {source_format!r}")
 
         def _sink(df: DataFrame, batch_id: int) -> None:
             self.apply_batch(df, epoch=int(batch_id))

@@ -44,6 +44,9 @@ BASE_SCHEMA = T.StructType(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", required=True, help="change-event parquet dir (RAW_EVENT_SCHEMA)")
+    ap.add_argument("--source-format", choices=["parquet", "debezium"],
+                    default="parquet",
+                    help="debezium = newline-JSON envelope files")
     ap.add_argument("--table", required=True, help="target SnapshotTable root")
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--registry", help="schema-registry JSON (optional)")
@@ -77,6 +80,7 @@ def main() -> int:
         args.source,
         max_files_per_trigger=args.max_files_per_trigger,
         timeout_sec=args.timeout_sec,
+        source_format=args.source_format,
     )
     snap = table.current()
     print(json.dumps({
