@@ -638,6 +638,62 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_topk_per_group(spark, sf):
+    """Top-3 orders per customer by price (dense window rank) — the
+    bounded-fanout per-key ranking every retention/sampling pipeline
+    needs; partitioned window, no global sort."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"), "rk")
+    )
+
+
+_TOPK_PER_GROUP_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
+def q_rollup_revenue(spark, sf):
+    """ROLLUP (nation, mktsegment) revenue — hierarchical totals in one
+    pass (partial aggregation per grouping set; Catalyst expands the
+    rollup without re-reading the scan)."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.rollup("c_nationkey", "c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL"))
+            .alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "revenue", "n_orders",
+        )
+    )
+
+
+_ROLLUP_REVENUE_SQL = """
+SELECT coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+"""
+
+
 def q_debezium_roundtrip(spark, sf):
     """Debezium wire-format codec (sources/debezium.py): cast the events
     table into a CDC shape, encode as JSON envelopes, decode back, and
@@ -733,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,      # rows-only
         "multimodal_features": q_multimodal_features,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
+        "topk_per_group": q_topk_per_group,
+        "rollup_revenue": q_rollup_revenue,
     }
 
 
@@ -742,6 +800,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
         "changefeed": _CHANGEFEED_SQL,
         "debezium_roundtrip": _DEBEZIUM_ROUNDTRIP_SQL,
+        "topk_per_group": _TOPK_PER_GROUP_SQL,
+        "rollup_revenue": _ROLLUP_REVENUE_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id
