@@ -638,6 +638,33 @@ def q_multimodal_features(spark, sf):
     )
 
 
+# DuckDB twin of the multimodal stub chain (operators/multimodal.py):
+# payload bytes are the UTF-8 of repeat(sha256_hex('42'||id), id%8+1), so
+# sha256(payload) == DuckDB's VARCHAR sha256 of the same text; feature i =
+# round(byte_i(digest)/255, 6), summed and re-rounded like the Spark query.
+_MULTIMODAL_SQL = """
+WITH m AS (
+  SELECT id AS media_id,
+         ['image','audio','video'][CAST(id % 3 AS INT) + 1] AS kind,
+         repeat(sha256('42' || CAST(id AS VARCHAR)),
+                CAST(id % 8 AS INT) + 1) AS payload_text
+  FROM range(64) t(id)
+), f AS (
+  SELECT media_id, kind,
+         CAST(length(payload_text) AS BIGINT) AS n_bytes,
+         sha256(payload_text) AS h2
+  FROM m
+), b AS (
+  SELECT media_id, kind, n_bytes,
+         round(CAST('0x' || substr(h2, CAST(2 * i + 1 AS INT), 2) AS INT)
+               / 255.0, 6) AS fv
+  FROM f, range(8) r(i)
+)
+SELECT media_id, kind, n_bytes, round(sum(fv), 6) AS feature_sum
+FROM b GROUP BY media_id, kind, n_bytes
+"""
+
+
 def q_topk_per_group(spark, sf):
     """Top-3 orders per customer by price (dense window rank) — the
     bounded-fanout per-key ranking every retention/sampling pipeline
@@ -747,6 +774,112 @@ GROUP BY op
 """
 
 
+def q_scd2_history(spark, sf):
+    """Type-2 history of the derived CDC log (operators/scd.py): one row
+    per version with [valid_from, valid_to) in LSN order; deletes close
+    intervals without emitting rows. Single key-partitioned window."""
+    from data_migration_service_spark.operators.scd import scd2_history
+
+    log = _derived_changes(spark, sf)
+    hist = scd2_history(log, keys=["repo", "path"], lsn_col="lsn",
+                        op_col="op", data_cols=["content"])
+    return hist.select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha256"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+_SCD2_SQL = _DERIVED_CHANGES_SQL + """
+, led AS (
+  SELECT repo, path, content, op, lsn AS valid_from,
+         lead(lsn) OVER (PARTITION BY repo, path ORDER BY lsn) AS valid_to
+  FROM log
+)
+SELECT repo, path, sha256(content) AS content_sha256, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM led WHERE op <> 'delete'
+"""
+
+
+def q_asof_lookup(spark, sf):
+    """As-of join (operators/asof.py): for every (key, lsn+5) probe, the
+    latest log event at or before the probe ordinate — union-and-carry
+    window plan, one shuffle, no range join. DuckDB's native ASOF JOIN is
+    the oracle."""
+    from data_migration_service_spark.operators.asof import asof_join
+
+    log = _derived_changes(spark, sf)
+    probe = log.select("repo", "path", (F.col("lsn") + 5).alias("probe_lsn"))
+    out = asof_join(probe, log.select("repo", "path", "lsn", "content"),
+                    keys=["repo", "path"], probe_ord="probe_lsn",
+                    build_ord="lsn", value_cols=["content"], how="inner")
+    return out.select(
+        "repo", "path", "probe_lsn", "matched_lsn",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+_ASOF_SQL = _DERIVED_CHANGES_SQL + """
+, probe AS (SELECT repo, path, lsn + 5 AS probe_lsn FROM log)
+SELECT p.repo, p.path, p.probe_lsn, b.lsn AS matched_lsn,
+       sha256(b.content) AS content_sha256
+FROM probe p ASOF JOIN log b
+  ON p.repo = b.repo AND p.path = b.path AND p.probe_lsn >= b.lsn
+"""
+
+
+def q_incremental_agg(spark, sf):
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): build the table in two epochs, bootstrap
+    the per-repo rollup at the first snapshot, then roll it forward with a
+    bucket-pruned signed delta — never rescanning unchanged buckets. The
+    oracle recomputes the same rollup from scratch over the final LWW
+    state, so any drift in the delta algebra (deletes, re-inserts,
+    double-counts) breaks the hash."""
+    from data_migration_service_spark.operators.incremental import (
+        agg_delta,
+        agg_snapshot,
+        apply_agg_delta,
+    )
+
+    ch = _derived_changes(spark, sf)
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = tempfile.mkdtemp(prefix="dms_incr_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       merge_mode="mor")
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    cdc_apply(t, ch.where(F.col("lsn") <= mid), cfg, epoch=0)
+    s_mid = t.current().snapshot_id
+    measures = {"n_files": F.lit(1), "total_chars": F.length("content")}
+    state = agg_snapshot(t, ["repo"], measures)          # bootstrap at mid
+    cdc_apply(t, ch.where(F.col("lsn") > mid), cfg, epoch=1)
+    delta = agg_delta(t, ["repo"], measures, from_snapshot=s_mid)
+    return apply_agg_delta(state, delta, ["repo"],
+                           ["n_files", "total_chars"],
+                           drop_when_zero="n_files")
+
+
+_INCREMENTAL_AGG_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(length(content)) AS BIGINT) AS total_chars
+FROM last WHERE rn = 1 AND op <> 'delete'
+GROUP BY repo
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -791,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_roundtrip": q_debezium_roundtrip,
         "topk_per_group": q_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
+        "scd2_history": q_scd2_history,
+        "asof_lookup": q_asof_lookup,
+        "incremental_agg": q_incremental_agg,
     }
 
 
@@ -802,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
         "debezium_roundtrip": _DEBEZIUM_ROUNDTRIP_SQL,
         "topk_per_group": _TOPK_PER_GROUP_SQL,
         "rollup_revenue": _ROLLUP_REVENUE_SQL,
+        "scd2_history": _SCD2_SQL,
+        "asof_lookup": _ASOF_SQL,
+        "incremental_agg": _INCREMENTAL_AGG_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id
@@ -987,8 +1126,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
-        # minhash_lsh_pairs_fast (xxhash64: no DuckDB twin) and
-        # multimodal_features (binary stub): rows-only check
+        # the media payload is ASCII-hex bytes (gen_media_fixture), so the
+        # stub decoder's sha256(payload) has an exact VARCHAR twin here —
+        # the whole Arrow mapInPandas path is value-checked, not rows-only
+        "multimodal_features": _MULTIMODAL_SQL,
+        # minhash_lsh_pairs_fast (xxhash64: no DuckDB twin): rows-only check
     }
 
 

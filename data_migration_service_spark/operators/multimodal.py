@@ -95,7 +95,11 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def gen_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic binary fixture: payload = sha256 bytes repeated."""
+    """Deterministic binary fixture: payload = sha256 hex text repeated,
+    UTF-8-encoded to bytes. The payload is an opaque BinaryType column to
+    the operator (the decode stub hashes raw bytes either way); keeping the
+    bytes ASCII lets the DuckDB oracle re-derive sha256(payload) with its
+    VARCHAR-only sha256(), making the whole mapInPandas path value-checkable."""
     df = spark.range(n).select(
         F.col("id").alias("media_id"),
         F.element_at(
@@ -103,10 +107,10 @@ def gen_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
             (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.lit("application/octet-stream").alias("mime"),
-        F.to_binary(
+        F.encode(
             F.repeat(F.sha2(F.concat(F.lit(seed), F.col("id")), 256),
                      (F.pmod(F.col("id"), F.lit(8)) + 1).cast("int")),
-            F.lit("hex"),
+            "UTF-8",
         ).alias("payload"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
