@@ -162,7 +162,7 @@ def main() -> int:
                 "quality_score", "simhash", "minhash_lsh_pairs",
                 "minhash_lsh_pairs_fast", "embedding_topk",
                 "embedding_near_dup_lsh", "semi_join_replay",
-                "recheck_values",
+                "recheck_values", "scd2_history", "asof_lookup",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

@@ -236,6 +236,63 @@ class Engine:
             .join(F.broadcast(kdf), list(snap.key_cols), "left_semi")
         )
 
+    def read_as_of(self, epoch: int | None = None,
+                   snapshot: int | None = None) -> DataFrame:
+        """Time travel: the table's live state at a past epoch (resolved
+        through the snapshot ledger's epoch tags) or an explicit snapshot
+        id. Epoch resolution is metadata-only; the read itself is the
+        normal pruned scan of that snapshot's manifest."""
+        if snapshot is None:
+            if epoch is None:
+                raise ValueError("need epoch or snapshot")
+            hits = [h["snapshot_id"] for h in self.history()
+                    if h["epoch"] == epoch]
+            if not hits:
+                raise ValueError(f"no retained snapshot tagged epoch={epoch}")
+            snapshot = hits[-1]  # epoch's final snapshot (apply + compaction)
+        return self.table.read(snapshot=self.table.load_snapshot(snapshot))
+
+    def table_stats(self) -> dict[str, Any]:
+        """Physical-layout report from manifest + filesystem metadata only
+        (no Spark job): per-bucket base/delta file counts and bytes, plus
+        totals — the ops signal for compaction scheduling and skew checks
+        (reference: per-step counters, DataMigrationService.java:263-296)."""
+        snap = self.table.current()
+        data = self.table._datadir
+
+        def dir_stats(dirname: str, bucket: int) -> tuple[int, int]:
+            p = os.path.join(data, dirname, f"_bucket={bucket}")
+            n = size = 0
+            if os.path.isdir(p):
+                for e in os.scandir(p):
+                    if e.name.endswith(".parquet"):
+                        n += 1
+                        size += e.stat().st_size
+            return n, size
+
+        buckets = {}
+        for b in sorted(set(snap.buckets) | set(snap.deltas)):
+            bn = bs = dn = ds = 0
+            if b in snap.buckets:
+                bn, bs = dir_stats(snap.buckets[b], b)
+            for d in snap.deltas.get(b, []):
+                n, s = dir_stats(d, b)
+                dn += n
+                ds += s
+            buckets[b] = {"base_files": bn, "base_bytes": bs,
+                          "delta_files": dn, "delta_bytes": ds}
+        return {
+            "snapshot_id": snap.snapshot_id,
+            "n_buckets": snap.n_buckets,
+            "buckets": buckets,
+            "total_files": sum(v["base_files"] + v["delta_files"]
+                               for v in buckets.values()),
+            "total_bytes": sum(v["base_bytes"] + v["delta_bytes"]
+                               for v in buckets.values()),
+            "max_delta_depth": max(
+                (len(v) for v in snap.deltas.values()), default=0),
+        }
+
     # ---- history (GET /jobs run listing) ----
     def history(self) -> list[dict[str, Any]]:
         """All retained snapshots oldest-first: id, parent, operation,

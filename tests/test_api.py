@@ -340,3 +340,46 @@ def test_export_changes_debezium_replication_loop(spark, tmp_path):
     a = primary.table.read().select("repo", "path", "content")
     b = replica.table.read().select("repo", "path", "content")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_read_as_of_and_table_stats(spark, tmp_path):
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 3000, n_repos=10, n_paths_per_repo=20).cache()
+    mid = 1500
+    cdc_apply(eng.table, ch.where(F.col("lsn") <= mid), eng.cfg, epoch=0)
+    rows_e0 = eng.table.read().count()
+    cdc_apply(eng.table, ch.where(F.col("lsn") > mid), eng.cfg, epoch=1)
+
+    # time travel to epoch 0 reproduces that state exactly
+    past = eng.read_as_of(epoch=0)
+    assert past.count() == rows_e0
+    want = expected_final_state(ch.where(F.col("lsn") <= mid))
+    diff = (
+        past.select("repo", "path", F.sha2("content", 256).alias("h"))
+        .join(want.select("repo", "path", F.sha2("content", 256).alias("h")),
+              ["repo", "path", "h"], "full_outer")
+        .where(F.col("h").isNull())
+    )
+    assert diff.count() == 0
+    try:
+        eng.read_as_of(epoch=99)
+        raise AssertionError("expected ValueError for unknown epoch")
+    except ValueError:
+        pass
+
+    # layout stats agree with the filesystem and expose MOR delta depth
+    st = eng.table_stats()
+    assert st["n_buckets"] == 16
+    assert st["total_files"] > 0 and st["total_bytes"] > 0
+    assert st["max_delta_depth"] >= 1  # two MOR epochs, no compaction yet
+    import os as _os
+
+    n_fs = sum(
+        1
+        for root, _dirs, files in _os.walk(str(tmp_path / "repos" / "data"))
+        for f in files
+        if f.endswith(".parquet")
+    )
+    assert st["total_files"] == n_fs

@@ -62,3 +62,27 @@ def test_lww_merge_aggregate_not_single_partition(spark, tmp_path):
     merged = df.groupBy("repo", "path").agg(
         F.max_by(row, F.col("lsn")).alias("_w")).select("_w.*")
     assert single_partition_exchanges(merged) == 0
+
+
+def test_asof_and_scd2_plans_are_key_partitioned(spark):
+    """The temporal operators must never degrade into range/theta joins or
+    single-partition windows — the two shapes that kill them at 10^10 rows."""
+    from data_migration_service_spark.operators.asof import asof_join
+    from data_migration_service_spark.operators.scd import scd2_history
+    from data_migration_service_spark.plans.inspect import (
+        has_cartesian,
+        single_partition_exchanges,
+    )
+
+    log = spark.createDataFrame(
+        [("r1", "a", "v1", 1, "insert"), ("r1", "a", "v2", 3, "update")],
+        ["repo", "path", "content", "lsn", "op"],
+    )
+    probe = spark.createDataFrame([("r1", "a", 2)], ["repo", "path", "at"])
+    joined = asof_join(probe, log, keys=["repo", "path"], probe_ord="at",
+                       build_ord="lsn", value_cols=["content"])
+    assert not has_cartesian(joined)
+    assert single_partition_exchanges(joined) == 0
+
+    hist = scd2_history(log, keys=["repo", "path"])
+    assert single_partition_exchanges(hist) == 0

@@ -45,8 +45,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(master: str, events: int, epochs: int, sf_dir: str,
-            content_blocks: int, steady: bool = False) -> dict:
+            content_blocks: int, steady: bool = False,
+            heap_per_core_gb: int | None = None) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if heap_per_core_gb:
+        # cluster-faithful memory model: N->4N executors brings 4x total
+        # heap (each executor owns its own), so each level's single local
+        # JVM gets heap proportional to its core count. A fixed total heap
+        # across levels hands the LOW level 4x the heap-per-thread (fewer
+        # GCs per unit of work) — an anti-scaling bias no cluster has.
+        cores = int(master.split("[")[1].rstrip("]"))
+        env["SPARK_DRIVER_MEMORY"] = f"{heap_per_core_gb * cores}g"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
@@ -81,6 +90,9 @@ def main() -> int:
     ap.add_argument("--content-blocks", type=int, default=8)
     ap.add_argument("--jvm-reps", type=int, default=8,
                     help="fresh-JVM runs per level, interleaved (protocol)")
+    ap.add_argument("--heap-per-core", type=int, default=None, metavar="GB",
+                    help="per-level JVM heap = GB * cores (cluster-faithful "
+                         "memory scaling; default: fixed host-sized heap)")
     ap.add_argument("--steady", action="store_true",
                     help="sample = 2nd timed replay per JVM (steady state)")
     args = ap.parse_args()
@@ -90,7 +102,8 @@ def main() -> int:
     for i in range(args.jvm_reps):
         for level in (args.low, args.high):  # interleaved by construction
             r = run_one(f"local[{level}]", args.events, args.epochs,
-                        args.sf_dir, args.content_blocks, steady=args.steady)
+                        args.sf_dir, args.content_blocks, steady=args.steady,
+                        heap_per_core_gb=args.heap_per_core)
             samples[level].append(r["cdc"])
             final_rows[level].add(r["cdc"]["final_rows"])
             print(json.dumps({"rep": i, "cores": level,
@@ -127,6 +140,8 @@ def main() -> int:
     print(json.dumps(result))
 
     mode = "steady " if args.steady else ""
+    if args.heap_per_core:
+        mode += f"heap {args.heap_per_core}g/core "
     row = (f"| {args.events:,} | {args.epochs} | {mode}{args.jvm_reps}x2 interleaved "
            f"| local[{args.low}] {r_lo:,.0f} ev/s (mob3 {stat[args.low]:.2f}s; "
            f"all {result['low_all_apply_sec']}) "
