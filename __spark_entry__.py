@@ -880,6 +880,81 @@ GROUP BY repo
 """
 
 
+def q_event_quarantine(spark, sf):
+    """Dead-letter validation (operators/quarantine.py): corrupt the
+    derived log deterministically (null keys/LSN, unknown op), split
+    valid/quarantined, count per machine-readable reason — the engine's
+    re-expression of the reference's skip/skipLimit policy
+    (DataMigrationService.java:51,160)."""
+    from data_migration_service_spark.operators.quarantine import (
+        REASONS_COL,
+        split_quarantine,
+    )
+
+    ev = _t(spark, sf, "events")
+    raw = ev.select(
+        F.when(F.pmod("event_id", F.lit(103)) == 0, F.lit(None))
+        .otherwise(F.col("event_id")).alias("lsn"),
+        F.when(F.pmod("event_id", F.lit(97)) == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("r"), F.pmod("user_id", F.lit(20))
+                            .cast("string"))).alias("repo"),
+        F.when(F.pmod("event_id", F.lit(101)) == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("f"), F.pmod("event_id", F.lit(997))
+                            .cast("string"))).alias("path"),
+        F.when(F.pmod("event_id", F.lit(89)) == 0, F.lit("upsert"))
+        .when(F.pmod("event_id", F.lit(10)) == 0, F.lit("delete"))
+        .when(F.pmod("event_id", F.lit(3)) == 0, F.lit("insert"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.col("props").alias("content"),
+    )
+    valid, bad = split_quarantine(raw, ["repo", "path"])
+    bad_counts = (
+        bad.select(F.explode(REASONS_COL).alias("reason"))
+        .groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+    )
+    valid_count = valid.agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("valid").alias("reason"), "n")
+    # left-join onto the full reason list so zero-count reasons still
+    # appear (keeps the shape stable across scale factors, like the oracle)
+    reasons = spark.createDataFrame(
+        [("null_lsn",), ("bad_op",), ("null_key:repo",), ("null_key:path",),
+         ("valid",)], ["reason"])
+    counts = bad_counts.unionByName(valid_count)
+    return reasons.join(counts, "reason", "left").select(
+        "reason", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+_EVENT_QUARANTINE_SQL = """
+WITH raw AS (
+  SELECT CASE WHEN event_id % 103 = 0 THEN NULL ELSE event_id END AS lsn,
+         CASE WHEN event_id % 97 = 0 THEN NULL
+              ELSE 'r' || CAST(user_id % 20 AS VARCHAR) END AS repo,
+         CASE WHEN event_id % 101 = 0 THEN NULL
+              ELSE 'f' || CAST(event_id % 997 AS VARCHAR) END AS path,
+         CASE WHEN event_id % 89 = 0 THEN 'upsert'
+              WHEN event_id % 10 = 0 THEN 'delete'
+              WHEN event_id % 3 = 0 THEN 'insert'
+              ELSE 'update' END AS op
+  FROM events
+), flags AS (
+  SELECT (lsn IS NULL) AS f_lsn,
+         (op NOT IN ('insert','update','delete')) AS f_op,
+         (repo IS NULL) AS f_repo, (path IS NULL) AS f_path
+  FROM raw
+)
+SELECT 'null_lsn' AS reason, CAST(count(*) FILTER (f_lsn) AS BIGINT) AS n FROM flags
+UNION ALL
+SELECT 'bad_op', CAST(count(*) FILTER (f_op) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'null_key:repo', CAST(count(*) FILTER (f_repo) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'null_key:path', CAST(count(*) FILTER (f_path) AS BIGINT) FROM flags
+UNION ALL
+SELECT 'valid', CAST(count(*) FILTER (NOT f_lsn AND NOT f_op AND NOT f_repo
+                                      AND NOT f_path) AS BIGINT) FROM flags
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -927,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "asof_lookup": q_asof_lookup,
         "incremental_agg": q_incremental_agg,
+        "event_quarantine": q_event_quarantine,
     }
 
 
@@ -941,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "asof_lookup": _ASOF_SQL,
         "incremental_agg": _INCREMENTAL_AGG_SQL,
+        "event_quarantine": _EVENT_QUARANTINE_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id

@@ -34,6 +34,14 @@ class EngineConfig:
         checkpoint_path: streaming checkpoint + lineage root.
         mismatch_report_cap: verification report row cap (reference
             DataVerificationService.java:45-46 caps at 100 + "..more").
+        quarantine_path: dead-letter dir for malformed events (null key /
+            null LSN / unknown op). None = any malformed event fails the
+            batch. The Spark re-expression of the reference's skip policy
+            (DataMigrationService.java:51,160: skip DuplicateKeyException
+            up to skipLimit, then fail the step).
+        skip_limit: max malformed events per batch before the batch fails
+            even with a quarantine dir (reference skipLimit = 10; default
+            kept for parity — raise it for lenient tails). None = no limit.
     """
 
     table_path: str
@@ -46,4 +54,6 @@ class EngineConfig:
     mismatch_report_cap: int = 100
     merge_mode: str = "cow"        # "cow" | "mor" (see operators/merge.py)
     compact_threshold: int = 8     # mor: compact a bucket at this delta depth
+    quarantine_path: str | None = None
+    skip_limit: int | None = 10    # reference skipLimit constant
     table_props: dict = field(default_factory=dict)

@@ -73,8 +73,21 @@ class ReplayEngine:
                 # actually observed in the stream
                 applied = int(self.table.current().props.get("schema_version", "1"))
                 batch = resolve_batch(batch, self.registry, to_version=applied)
+        n_quarantined = 0
+        if self.cfg.quarantine_path is not None:
+            from data_migration_service_spark.operators.quarantine import (
+                quarantine_and_filter,
+            )
+
+            batch, n_quarantined = quarantine_and_filter(
+                batch, list(self.cfg.key_cols), self.cfg.quarantine_path,
+                epoch=epoch, skip_limit=self.cfg.skip_limit,
+                lsn_col=self.cfg.lsn_col, op_col=self.cfg.op_col,
+            )
         stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch)
         stats.extra["wall_sec"] = round(time.monotonic() - t0, 3)
+        if n_quarantined:
+            stats.extra["rows_quarantined"] = n_quarantined
         self._record_lineage(stats)
         return stats
 
@@ -92,6 +105,7 @@ class ReplayEngine:
             "affected_buckets": stats.affected_buckets,
             "partitions": stats.extra.get("bucket_lineage", {}),
             "wall_sec": stats.extra.get("wall_sec"),
+            "rows_quarantined": stats.extra.get("rows_quarantined", 0),
         }
         path = os.path.join(self.checkpoint, "lineage", f"epoch-{stats.epoch:08d}.json")
         tmp = path + ".tmp"

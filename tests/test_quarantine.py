@@ -1,0 +1,90 @@
+"""Dead-letter quarantine: validation split, skip-limit policy, replay
+integration (the reference's skip/skipLimit fault tolerance re-expressed)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.operators.quarantine import (
+    REASONS_COL,
+    SkipLimitExceeded,
+    quarantine_and_filter,
+    split_quarantine,
+)
+from data_migration_service_spark.streaming.replay import ReplayEngine
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+COLS = ["repo", "path", "content", "lsn", "op"]
+EVENTS = [
+    ("r1", "a.py", "v1", 1, "insert"),       # valid
+    ("r1", "b.py", "v2", 2, "insert"),       # valid
+    (None, "c.py", "v3", 3, "insert"),       # null_key:repo
+    ("r2", None, "v4", 4, "insert"),         # null_key:path
+    ("r2", "d.py", "v5", None, "insert"),    # null_lsn
+    ("r2", "e.py", "v6", 6, "upsert"),       # bad_op
+    (None, None, "v7", None, "nope"),        # all four reasons
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(EVENTS, COLS)
+
+
+def test_split_reasons(spark):
+    valid, bad = split_quarantine(_df(spark), ["repo", "path"])
+    assert valid.count() == 2
+    assert REASONS_COL not in valid.columns
+    reasons = {tuple(sorted(r[REASONS_COL]))
+               for r in bad.select(REASONS_COL).collect()}
+    assert ("null_key:repo",) in reasons
+    assert ("null_key:path",) in reasons
+    assert ("null_lsn",) in reasons
+    assert ("bad_op",) in reasons
+    assert ("bad_op", "null_key:path", "null_key:repo", "null_lsn") in reasons
+
+
+def test_quarantine_writes_and_limits(spark, tmp_path):
+    qdir = str(tmp_path / "dead_letter")
+    valid, n = quarantine_and_filter(
+        _df(spark), ["repo", "path"], qdir, epoch=3, skip_limit=10)
+    assert n == 5 and valid.count() == 2
+    written = spark.read.parquet(os.path.join(qdir, "epoch=3"))
+    assert written.count() == 5 and REASONS_COL in written.columns
+
+    # beyond the limit: batch fails, but evidence is on disk FIRST
+    with pytest.raises(SkipLimitExceeded) as ei:
+        quarantine_and_filter(
+            _df(spark), ["repo", "path"], qdir, epoch=4, skip_limit=2)
+    assert ei.value.n_bad == 5 and ei.value.limit == 2
+    assert spark.read.parquet(os.path.join(qdir, "epoch=4")).count() == 5
+
+    # no quarantine dir: any malformed event is an error, never a drop
+    with pytest.raises(SkipLimitExceeded):
+        quarantine_and_filter(_df(spark), ["repo", "path"], None)
+
+
+def test_replay_with_quarantine_lineage(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    SnapshotTable.create(spark, str(tmp_path / "t"), schema,
+                         ["repo", "path"], 8)
+    cfg = EngineConfig(
+        table_path=str(tmp_path / "t"), n_buckets=8, merge_mode="mor",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "dead_letter"), skip_limit=10,
+    )
+    table = SnapshotTable(spark, str(tmp_path / "t"))
+    eng = ReplayEngine(spark, table, cfg)
+    stats = eng.apply_batch(_df(spark), epoch=0)
+    # only the 2 valid rows were applied; lineage records the quarantine
+    assert table.read().count() == 2
+    assert stats.extra.get("rows_quarantined") == 5
+    assert eng.lineage()[-1]["rows_quarantined"] == 5
