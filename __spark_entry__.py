@@ -493,6 +493,18 @@ def q_minhash_lsh_pairs_fast(spark, sf):
     return est.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
+def q_dedup_clusters(spark, sf):
+    """MinHash-LSH pairs composed transitively into duplicate CLUSTERS
+    (hash-min connected components) — every doc labeled with its cluster's
+    min doc_id and a keep/drop canonical flag. Oracle: recursive-CTE
+    transitive closure over the identical pair set."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4,
+                                  max_bucket=50)
+    return D.dedup_clusters(docs, pairs, "doc_id")
+
+
 def q_windowed_agg(spark, sf):
     from data_migration_service_spark.streaming.windows import windowed_counts
 
@@ -989,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1182,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1283,6 +1297,30 @@ def _minhash_lsh_sql() -> str:
         JOIN sig sa ON sa.doc_id = p.id_a
         JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
         GROUP BY p.id_a, p.id_b
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the LSH pair graph: every doc's cluster_id =
+    min doc_id reachable through pairs (recursive CTE); singletons label
+    themselves. First-principles twin of the Spark hash-min propagation."""
+    ctes = _MINHASH_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    return ctes + r"""
+        , edges AS (
+          SELECT id_a AS x, id_b AS y FROM pairs
+          UNION
+          SELECT id_b AS x, id_a AS y FROM pairs
+        ), reach AS (
+          SELECT x, x AS lab FROM (SELECT DISTINCT x FROM edges) t
+          UNION
+          SELECT e.x, r.lab FROM edges e JOIN reach r ON e.y = r.x
+        ), clusters AS (
+          SELECT x AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY x
+        )
+        SELECT d.doc_id,
+               coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+        FROM documents d LEFT JOIN clusters c USING (doc_id)
     """
 
 

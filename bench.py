@@ -35,10 +35,20 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
-               n_buckets: int, content_blocks: int = 8) -> dict:
+               n_buckets: int, content_blocks: int = 8,
+               verify: bool = False) -> dict:
     """Generate a seed-stable event log, then replay it through the engine in
     `n_epochs` epoch-tagged merges. Returns timings + row counts. Generation
-    is materialized to parquet first so the measured window is pure apply."""
+    is materialized to parquet first so the measured window is pure apply.
+
+    `verify=True` extends the timed window with the metric's OTHER half
+    (BASELINE.json: throughput "to exact final-table-state match (sha256 per
+    row)"): re-derive the expected final state from the log and assert
+    per-row sha256(content) equality against the engine-materialized table.
+    The verification plan hashes EARLY — sha256 map-side over the raw log,
+    LWW via max_by over (key, lsn, hash) — so the shuffle carries 32-byte
+    fingerprints, never KB-sized contents; at 100 TB that is the only
+    verification plan that works, and it is the one timed here."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -101,14 +111,51 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
             cdc_apply(table, events.where(F.col("lsn").between(lo, hi)),
                       cfg, epoch=e, collect_stats=False)
         apply_sec = time.monotonic() - t0
-        final_rows = table.read().count()
-        return {
+        out = {
             "n_events": n_events,
             "n_epochs": n_epochs,
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
-            "final_rows": final_rows,
         }
+        if verify:
+            # timed sha256 final-state verification (hash-early plan):
+            # 1. fingerprint every event map-side (sha256 over content);
+            # 2. LWW per key with max_by ordered by lsn — partial agg
+            #    collapses hot keys before a fingerprint-only shuffle;
+            # 3. fingerprint the materialized table, full-outer join, and
+            #    require zero mismatches / zero missing rows.
+            t1 = time.monotonic()
+            exp = (
+                events.select(
+                    "repo", "path", "lsn", "op",
+                    F.sha2(F.coalesce("content", F.lit("\x00")), 256).alias("h"),
+                )
+                .groupBy("repo", "path")
+                .agg(F.max_by(F.struct("op", "h"), "lsn").alias("last"))
+                .where(F.col("last.op") != "delete")
+                .select("repo", "path", F.col("last.h").alias("src_hash"))
+            )
+            got = table.read().select(
+                "repo", "path",
+                F.sha2(F.coalesce("content", F.lit("\x00")), 256).alias("tgt_hash"),
+            )
+            diff = exp.join(got, ["repo", "path"], "full_outer")
+            agg = diff.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum((~F.col("src_hash").eqNullSafe(F.col("tgt_hash")))
+                      .cast("long")).alias("bad"),
+            ).collect()[0]
+            verify_sec = time.monotonic() - t1
+            if int(agg["bad"] or 0) != 0:
+                raise AssertionError(
+                    f"sha256 final-state mismatch: {agg['bad']} of {agg['rows']} rows")
+            out["verify_sec"] = round(verify_sec, 3)
+            out["apply_verify_sec"] = round(apply_sec + verify_sec, 3)
+            out["final_rows"] = int(agg["rows"])
+            out["events_per_sec"] = round(n_events / (apply_sec + verify_sec), 1)
+        else:
+            out["final_rows"] = table.read().count()
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -128,6 +175,9 @@ def main() -> int:
     ap.add_argument("--content-blocks", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2,
                     help="repeat the replay, report the best (host-noise guard)")
+    ap.add_argument("--verify", action="store_true",
+                    help="time apply + sha256 final-state verification "
+                         "(the full north-rule metric window)")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -140,13 +190,15 @@ def main() -> int:
 
     spark = get_spark(app_name="dms-bench", master=master)
     try:
+        t_key = "apply_verify_sec" if args.verify else "apply_sec"
         reps = [run_replay(spark, n_events, args.epochs,
                            salt_factor=2, n_buckets=64,
-                           content_blocks=args.content_blocks)
+                           content_blocks=args.content_blocks,
+                           verify=args.verify)
                 for _ in range(max(args.reps, 1))]
-        replay = min(reps, key=lambda r: r["apply_sec"])
+        replay = min(reps, key=lambda r: r[t_key])
         if len(reps) > 1:
-            replay = dict(replay, all_apply_sec=[r["apply_sec"] for r in reps])
+            replay = dict(replay, all_apply_sec=[r[t_key] for r in reps])
         queries: dict[str, float] = {}
         queries["cdc_replay"] = replay["apply_sec"]
 

@@ -224,3 +224,82 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster labels from a pair graph: (node, cluster_id) where
+    cluster_id = min node id reachable through the pairs.
+
+    LSH emits near-dup PAIRS; a dedup pipeline needs CLUSTERS (keep one
+    canonical doc per group, drop the rest), and pairs compose transitively
+    (A~B, B~C => one group even if A,C never shared a bucket). This is
+    hash-min label propagation — each iteration every node adopts the
+    smallest label in its neighborhood:
+
+    - one iteration = one equi-join (edges x labels) + one min-aggregate,
+      both key-partitioned shuffles, no driver data;
+    - converges in O(cluster diameter) iterations — near-dup clusters are
+      shallow (stars/cliques around a template), so 3-4 iterations in
+      practice; `max_iter` bounds adversarial chains;
+    - `localCheckpoint` truncates the growing lineage each round (without
+      it the plan doubles per iteration and the optimizer re-walks it);
+    - the convergence probe is a scalar count, not a collect of rows.
+
+    At larger diameters the two-phase large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    halves rounds; for dedup graphs the plain hash-min is the better
+    constant. Reference has no analogue (its dedup is PK collision skip,
+    DataMigrationService.java:160).
+    """
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = (
+        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select("x").distinct().withColumn("lab", F.col("x"))
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("x").alias("y"), "lab"), "y"
+        ).select("x", "lab")
+        new_labels = (
+            labels.unionByName(prop).groupBy("x").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "_old"), "x")
+            .where(F.col("lab") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("node"), F.col("lab").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full-corpus cluster assignment: every doc gets a cluster_id (docs in
+    no pair are their own singleton cluster) and an `is_canonical` flag
+    (true for the cluster's min-id member — the row a dedup pipeline keeps).
+    One left join against the component labels; the corpus itself never
+    enters the iterative loop."""
+    labels = connected_components(pairs, id_a, id_b, max_iter)
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+    )

@@ -58,7 +58,14 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         try:
-            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else 32
+            if master.startswith("local-cluster["):
+                # local-cluster[n_workers, cores_per_worker, mem_mb]
+                nw, cw, _ = master.split("[")[1].rstrip("]").split(",")
+                n = int(nw) * int(cw)
+            elif "[" in master:
+                n = int(master.split("[")[1].rstrip("]*"))
+            else:
+                n = 32
         except ValueError:
             n = 32
         # 4x cores, NOT 1x: hash-aggregate tasks over wide rows anti-scale
@@ -98,6 +105,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local-cluster["):
+        # separate executor JVMs (the truest sandbox analogue of "N
+        # executors"): per-executor heap comes from the master string; give
+        # executors the same pre-touched-heap + GC treatment as the
+        # local-mode driver, and keep the (now mostly idle) driver small.
+        mem_mb = int(master.split("[")[1].rstrip("]").split(",")[2])
+        b = (
+            b.config("spark.executor.memory", f"{mem_mb}m")
+            .config("spark.executor.extraJavaOptions",
+                    f"-XX:+AlwaysPreTouch -Xms{mem_mb}m")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_DRIVER_MEMORY", "4g"))
+            .config("spark.driver.extraJavaOptions", "-XX:+AlwaysPreTouch")
+        )
     if local_dirs:
         # shuffle/spill in big tmpfs only (sandbox: one ~390MB/s disk that a
         # real multi-executor cluster would multiply per node)

@@ -228,3 +228,33 @@ def test_minhash_unknown_family_rejected(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
         D.minhash_signatures(docs, "doc_id", "text", hash_family="md5")
+
+
+def test_connected_components_transitive_chain(spark):
+    # A-B and B-C share no bucket necessarily — clusters must still merge;
+    # isolated pair D-E stays its own cluster; F is untouched (not in pairs).
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11)], ["id_a", "id_b"])
+    labels = {r["node"]: r["cluster_id"]
+              for r in D.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_labels_whole_corpus(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 7)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], ["id_a", "id_b"])
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in D.dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert out == {1: (1, True), 2: (2, True), 3: (3, True),
+                   4: (1, False), 5: (1, False), 6: (6, True)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for hash-min; all nodes
+    # must end labeled 0 within max_iter
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  ["id_a", "id_b"])
+    rows = D.connected_components(pairs, max_iter=15).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == 10

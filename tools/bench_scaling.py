@@ -46,21 +46,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_one(master: str, events: int, epochs: int, sf_dir: str,
             content_blocks: int, steady: bool = False,
-            heap_per_core_gb: int | None = None) -> dict:
+            heap_per_core_gb: int | None = None,
+            verify: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    if heap_per_core_gb:
+    if heap_per_core_gb and not master.startswith("local-cluster["):
         # cluster-faithful memory model: N->4N executors brings 4x total
         # heap (each executor owns its own), so each level's single local
         # JVM gets heap proportional to its core count. A fixed total heap
         # across levels hands the LOW level 4x the heap-per-thread (fewer
         # GCs per unit of work) — an anti-scaling bias no cluster has.
+        # (Executor mode needs no emulation: each executor JVM's heap is
+        # fixed in the master string, identical at both levels.)
         cores = int(master.split("[")[1].rstrip("]"))
         env["SPARK_DRIVER_MEMORY"] = f"{heap_per_core_gb * cores}g"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
          "--content-blocks", str(content_blocks),
-         "--reps", "2" if steady else "1"],
+         "--reps", "2" if steady else "1"]
+        + (["--verify"] if verify else []),
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -95,15 +99,30 @@ def main() -> int:
                          "memory scaling; default: fixed host-sized heap)")
     ap.add_argument("--steady", action="store_true",
                     help="sample = 2nd timed replay per JVM (steady state)")
+    ap.add_argument("--verify", action="store_true",
+                    help="timed window = apply + sha256 final-state "
+                         "verification (the full north-rule metric: "
+                         "events/sec TO exact sha256 state match)")
+    ap.add_argument("--executors", action="store_true",
+                    help="levels are EXECUTOR-JVM counts, not thread counts: "
+                         "each level runs Spark local-cluster[level, "
+                         "--exec-cores, --exec-mem-mb] — N separate executor "
+                         "JVMs of identical fixed spec, the truest sandbox "
+                         "analogue of the criterion's N vs 4N executors")
+    ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     args = ap.parse_args()
 
     samples: dict[int, list[dict]] = {args.low: [], args.high: []}
     final_rows: dict[int, set] = {args.low: set(), args.high: set()}
     for i in range(args.jvm_reps):
         for level in (args.low, args.high):  # interleaved by construction
-            r = run_one(f"local[{level}]", args.events, args.epochs,
+            m = (f"local-cluster[{level},{args.exec_cores},{args.exec_mem_mb}]"
+                 if args.executors else f"local[{level}]")
+            r = run_one(m, args.events, args.epochs,
                         args.sf_dir, args.content_blocks, steady=args.steady,
-                        heap_per_core_gb=args.heap_per_core)
+                        heap_per_core_gb=args.heap_per_core,
+                        verify=args.verify)
             samples[level].append(r["cdc"])
             final_rows[level].add(r["cdc"]["final_rows"])
             print(json.dumps({"rep": i, "cores": level,
@@ -119,6 +138,9 @@ def main() -> int:
     eff = (r_hi / r_lo) / (args.high / args.low)
     rows_match = (final_rows[args.low] == final_rows[args.high]
                   and len(final_rows[args.low]) == 1)
+    lvl_name = (lambda n: f"local-cluster[{n},{args.exec_cores},"
+                f"{args.exec_mem_mb}]") if args.executors else (
+                lambda n: f"local[{n}]")
     result = {
         "protocol": ("interleaved fresh-JVM reps, median-of-best-3 per level"
                      + (", steady-state (2nd replay per JVM)" if args.steady
@@ -140,12 +162,17 @@ def main() -> int:
     print(json.dumps(result))
 
     mode = "steady " if args.steady else ""
+    if args.verify:
+        mode += "apply+sha256-verify "
+    if args.executors:
+        mode += (f"executor-JVMs x{args.exec_cores}c/"
+                 f"{args.exec_mem_mb}m ")
     if args.heap_per_core:
         mode += f"heap {args.heap_per_core}g/core "
     row = (f"| {args.events:,} | {args.epochs} | {mode}{args.jvm_reps}x2 interleaved "
-           f"| local[{args.low}] {r_lo:,.0f} ev/s (mob3 {stat[args.low]:.2f}s; "
+           f"| {lvl_name(args.low)} {r_lo:,.0f} ev/s (mob3 {stat[args.low]:.2f}s; "
            f"all {result['low_all_apply_sec']}) "
-           f"| local[{args.high}] {r_hi:,.0f} ev/s (mob3 {stat[args.high]:.2f}s; "
+           f"| {lvl_name(args.high)} {r_hi:,.0f} ev/s (mob3 {stat[args.high]:.2f}s; "
            f"all {result['high_all_apply_sec']}) "
            f"| **{eff:.3f}** | {rows_match} |")
     bench_md = os.path.join(REPO, "BENCH.md")
