@@ -465,6 +465,24 @@ def q_doc_fingerprint(spark, sf):
     return X.doc_fingerprint(_t(spark, sf, "documents"), "doc_id", "text", k=8)
 
 
+def q_tf_idf_top_terms(spark, sf):
+    """Per-doc top-3 TF-IDF keywords — explode + two hash aggregates + a
+    dictionary join; top-k via per-doc sort_array/slice (no corpus-wide
+    window)."""
+    return X.tf_idf_top_terms(_t(spark, sf, "documents"), "doc_id", "text",
+                              top_k=3)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sample (downsample dominant 'en', keep all
+    'zh'): membership is a pure hex-hash-threshold function of doc_id —
+    identical row set at ANY partitioning/cluster size, unlike sampleBy."""
+    docs = _t(spark, sf, "documents")
+    out = X.stratified_sample(docs, "doc_id", "lang",
+                              {"en": 0.3, "zh": 1.0}, default_fraction=0.5)
+    return out.select("doc_id", "lang")
+
+
 def q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), "doc_id", "text", bits=16)
 
@@ -607,6 +625,48 @@ def _ann_lsh_sql(k: int = 25) -> str:
     """
 
 
+def _ivf_topk_sql(k: int = 25, n_centroids: int = 8, n_probe: int = 2,
+                  dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of `q_embedding_ivf_topk`: same hash-derived centroid
+    literals, same argmin assignment (score = |c|^2 - 2 v·c, index
+    tie-break via lexicographic [score, idx]), same top-`n_probe` cell
+    choice for the query vector, same exact-cosine rerank."""
+    from data_migration_service_spark.operators.similarity import pseudo_centroids
+
+    cents = pseudo_centroids(dim=dim, n_centroids=n_centroids, seed=seed)
+    rows = ", ".join(
+        "({i}, [{c}]::DOUBLE[], {ss!r})".format(
+            i=i, c=", ".join(repr(x) for x in c), ss=sum(x * x for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+          SELECT e AS qe FROM v WHERE vec_id = 0
+        ), cent(ci, c, ss) AS (
+          SELECT * FROM (VALUES {rows})
+        ), assign AS (
+          SELECT v.vec_id, v.e,
+                 CAST(min([c.ss - 2.0 * list_dot_product(v.e, c.c),
+                           CAST(c.ci AS DOUBLE)])[2] AS INT) AS cell
+          FROM v CROSS JOIN cent c GROUP BY v.vec_id, v.e
+        ), probes AS (
+          SELECT c.ci FROM cent c CROSS JOIN q
+          ORDER BY [c.ss - 2.0 * list_dot_product(q.qe, c.c),
+                    CAST(c.ci AS DOUBLE)]
+          LIMIT {n_probe}
+        )
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.e, (SELECT qe FROM q)), 4) AS cosine
+        FROM assign a
+        WHERE a.cell IN (SELECT ci FROM probes)
+        ORDER BY round(list_cosine_similarity(a.e, (SELECT qe FROM q)), 6) DESC,
+                 a.vec_id
+        LIMIT {k}
+    """
+
+
 def q_embedding_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -628,14 +688,17 @@ def q_embedding_ann_lsh(spark, sf):
 
 
 def q_embedding_ivf_topk(spark, sf):
-    """IVF ANN (trained coarse quantizer + probe search). Rows-only: the
-    k-means centroids come from Spark ML training, which DuckDB cannot
-    reproduce; correctness (assignment math, recall vs brute force,
-    exactness at full probe) is pinned by tests/test_similarity.py."""
+    """IVF ANN probe search over deterministic hash-derived centroids
+    (`pseudo_centroids`) — the assignment argmin, probe-cell pruning, and
+    exact-cosine rerank are the very pipeline `ivf_fit`-trained centroids
+    run, but with centroids DuckDB can re-derive, so the query is fully
+    oracle-checked. The TRAINED path (Spark ML k-means) is pinned by
+    tests/test_similarity.py (recall vs brute force, exactness at full
+    probe)."""
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in
           emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
-    cents = S.ivf_fit(emb, "embedding", n_centroids=8, seed=42)
+    cents = S.pseudo_centroids(dim=64, n_centroids=8, seed=42)
     out = S.ivf_topk(emb, "vec_id", "embedding", qv, cents, k=25, n_probe=2)
     return out.withColumn("cosine", F.round("cosine", 4))
 
@@ -998,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "stratified_sample": q_stratified_sample,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
@@ -1007,7 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
-        "embedding_ivf_topk": q_embedding_ivf_topk,      # rows-only
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_features": q_multimodal_features,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
         "topk_per_group": q_topk_per_group,
@@ -1193,6 +1258,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, min(sha256(shingle)) AS fingerprint FROM sh GROUP BY doc_id
         """,
+        "tf_idf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, lower(t) AS term
+              FROM documents,
+                   LATERAL unnest(list_filter(
+                     regexp_split_to_array(trim(text), '\s+'),
+                     x -> x <> '')) AS u(t)
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+              SELECT count(DISTINCT doc_id) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * ln((nd.n + 1.0) / (dfreq.df + 1.0)), 6) AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            ), ranked AS (
+              SELECT doc_id, term, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term DESC) AS rn
+              FROM scored
+            )
+            SELECT doc_id, term, score AS tfidf FROM ranked WHERE rn <= 3
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CASE
+              WHEN lang = 'en' THEN
+                substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{format(int(0.3 * 16 ** 8), "08x")}'
+              WHEN lang = 'zh' THEN TRUE
+              ELSE
+                substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{format(int(0.5 * 16 ** 8), "08x")}'
+            END
+        """,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
@@ -1217,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
+        "embedding_ivf_topk": _ivf_topk_sql(k=25),
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only

@@ -166,6 +166,22 @@ def lsh_bucket(df: DataFrame, vec_col: str, n_planes: int = 8, seed: int = 42,
     return bucket
 
 
+def pseudo_centroids(dim: int, n_centroids: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hash-derived centroids in [-1, 1]^dim — an UNTRAINED
+    coarse quantizer. Same re-derivable-anywhere property as `_hyperplane`
+    (nothing to broadcast/version), and — unlike k-means output — exactly
+    reproducible outside Spark, which gives the IVF probe/rerank pipeline an
+    ANSI-SQL oracle. Recall quality of the cells is data-independent, so for
+    production indexes prefer `ivf_fit`; this is the verification twin."""
+    import hashlib
+
+    return [
+        [(hashlib.sha256(f"c:{seed}:{i}:{d}".encode()).digest()[0] / 127.5) - 1.0
+         for d in range(dim)]
+        for i in range(n_centroids)
+    ]
+
+
 def ivf_fit(df: DataFrame, vec_col: str, n_centroids: int = 16,
             seed: int = 42, max_iter: int = 20) -> list[list[float]]:
     """Train the IVF coarse quantizer (k-means centroids) with Spark ML.

@@ -96,3 +96,104 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
     return sh.groupBy(id_col).agg(
         F.min(F.sha2(F.col("shingle"), 256)).alias("fingerprint")
     )
+
+
+def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                     top_k: int = 3, min_df: int = 1) -> DataFrame:
+    """Top-`top_k` TF-IDF keywords per document.
+
+    Plan shape at corpus scale (the classic two-aggregate formulation):
+    1. one explode -> (doc, term, tf) hash aggregate (map-side combine);
+    2. document frequency = second aggregate over the (doc, term) pairs —
+       already deduplicated by the first, so df counts docs, not tokens;
+    3. idf join back on term (term dictionary is corpus-vocabulary-sized —
+       Zipf-small next to the token stream; AQE broadcasts it when small);
+    4. per-doc top-k via max_by over (score, term) structs — an aggregate,
+       NOT a row_number window: no per-doc sort, ties broken by term for
+       determinism and oracle agreement.
+
+    idf = ln((n_docs + 1) / (df + 1)) — the smoothed form, so a term in
+    every document scores 0 rather than dividing by zero. Scores rounded
+    to 6 (float portability with the oracle).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dfreq.where(F.col("df") >= min_df)
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)))
+        .alias("_score"),
+    )
+    # top-k per doc without a window sort: k nested max_by aggregates would
+    # need k passes; instead collect the per-doc (score, term) pairs that
+    # survive a greatest-k filter via sort_array(slice(...)). The per-doc
+    # array is vocabulary-bounded per doc (distinct terms in ONE doc), fine
+    # at any corpus size — the corpus never aggregates into one array.
+    per_doc = scored.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(
+                    F.round("_score", 6).alias("score"),
+                    F.col("term"),
+                )),
+                asc=False,
+            ),
+            1, top_k,
+        ).alias("_top")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.explode("_top").alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_t.term").alias("term"),
+        F.col("_t.score").alias("tfidf"),
+    )
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum sampling — reproducible train/eval splits.
+
+    `df.sampleBy` draws from an RNG seeded per partition, so the selected
+    set changes with partitioning/cluster size — poison for training-data
+    reproducibility and for incremental pipelines (a re-run must keep the
+    same rows). Here membership is a pure function of the row's id:
+
+        keep iff  first 8 hex chars of sha256(salt || ':' || id)
+                  <  hex(floor(fraction(stratum) * 16^8))
+
+    The comparison stays in HEX-STRING space (fixed 8 lowercase chars,
+    lexicographic == numeric order), so the identical rule is one
+    expression in any engine — no base conversion, no float division to
+    diverge. Stable under repartitioning, restarts, and cluster size;
+    changing `salt` redraws independently; per-stratum fractions give the
+    class-balance control (e.g. downsample boilerplate, keep all
+    rare-language docs).
+    """
+    h = F.substring(
+        F.sha2(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")), 256),
+        1, 8)
+
+    def thr(f: float) -> F.Column:
+        if f >= 1.0:
+            return F.lit(True)
+        if f <= 0.0:
+            return F.lit(False)
+        return h < F.lit(format(int(f * 16 ** 8), "08x"))
+
+    keep = None
+    for stratum, f in fractions.items():
+        cond = F.col(strata_col) == stratum
+        keep = F.when(cond, thr(f)) if keep is None else keep.when(cond, thr(f))
+    keep = (keep.otherwise(thr(default_fraction))
+            if keep is not None else thr(default_fraction))
+    return df.where(keep)
