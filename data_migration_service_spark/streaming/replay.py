@@ -64,6 +64,17 @@ class ReplayEngine:
 
     def apply_batch(self, batch: DataFrame, epoch: int) -> MergeStats:
         t0 = time.monotonic()
+        if self.registry is None and "payload" in batch.columns:
+            # Without a registry the JSON payload would never be decoded and
+            # cdc_apply would NULL-fill every value column — silent data
+            # corruption. Fail loudly instead (found via submit_smoke: a
+            # spark-submit replay without --registry wrote an all-NULL
+            # table that still passed row-count checks).
+            raise ValueError(
+                "batch carries a 'payload' column but ReplayEngine has no "
+                "SchemaRegistry; pass registry= (or --registry to "
+                "tools/submit_replay.py) so payloads can be decoded"
+            )
         if self.registry is not None and "payload" in batch.columns:
             vmax = batch.agg(F.max("schema_version")).collect()[0][0]
             if vmax is not None:

@@ -2,6 +2,7 @@
 evolution (added + renamed columns via registry name-lineage), lineage."""
 
 import pyspark.sql.types as T
+import pytest
 from pyspark.sql import functions as F
 
 from data_migration_service_spark.config import EngineConfig
@@ -163,3 +164,17 @@ def test_stream_replay_debezium_source(spark, tmp_path):
     assert exp.select(k).exceptAll(got.select(k)).count() == 0
     assert got.select(k).exceptAll(exp.select(k)).count() == 0
     assert len(eng.lineage()) >= 2
+
+
+def test_payload_stream_without_registry_fails_loudly(spark, tmp_path):
+    """A raw-payload source with no registry must raise, not NULL-fill.
+
+    Regression: submit_replay without --registry used to write a table whose
+    every value column was NULL (payload never decoded) while row counts and
+    epochs looked healthy."""
+    ch, raw, _reg, t, _eng = _setup(spark, tmp_path)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=16,
+                       checkpoint_path=str(tmp_path / "ckpt2"))
+    eng = ReplayEngine(spark, t, cfg, registry=None)
+    with pytest.raises(ValueError, match="SchemaRegistry"):
+        eng.apply_batch(raw.limit(100), epoch=0)

@@ -53,7 +53,11 @@ def main() -> int:
         ckpt = os.path.join(root, "ckpt")
 
         # stage the raw event files with a small throwaway LOCAL session
-        from data_migration_service_spark.fixtures.cdc import gen_changes, to_raw_events
+        from data_migration_service_spark.fixtures.cdc import (
+            default_registry,
+            gen_changes,
+            to_raw_events,
+        )
         from data_migration_service_spark.session import get_spark
 
         spark = get_spark(app_name="submit-smoke-gen", master="local[4]",
@@ -61,6 +65,10 @@ def main() -> int:
         ch = gen_changes(spark, n_events, n_repos=40, n_paths_per_repo=80)
         to_raw_events(ch).coalesce(4).write.parquet(src)
         spark.stop()
+        # the registry ships alongside the job (payload decode + evolution);
+        # v2/v3 boundaries mirror gen_changes' defaults
+        reg_path = os.path.join(root, "registry.json")
+        default_registry((2 * n_events) // 3 + 1, n_events + 1).save(reg_path)
 
         env = dict(os.environ, SPARK_DRIVER_MEMORY="2g")
         proc = subprocess.run(
@@ -71,6 +79,7 @@ def main() -> int:
              "--py-files", zpath,
              os.path.join(REPO, "tools", "submit_replay.py"),
              "--source", src, "--table", table, "--checkpoint", ckpt,
+             "--registry", reg_path,
              "--mode", "mor", "--n-buckets", "16", "--salt-factor", "2"],
             capture_output=True, text=True, env=env,
             cwd=root,  # NOT the repo: the executors must import from the zip
