@@ -200,6 +200,50 @@ FROM cls WHERE op IS NOT NULL
 """
 
 
+def _bootstrap_then_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-tail handoff: one-pass bootstrap of the LWW state at
+    the half-way LSN (no merge shuffle), then a CDC tail whose batches
+    DELIBERATELY overlap the bootstrapped prefix — the bootstrap_lsn
+    watermark must prune them and LWW must absorb the rest, landing on the
+    identical final state as a pure replay (same oracle SQL)."""
+    from data_migration_service_spark.operators.merge import bootstrap_load
+    from data_migration_service_spark.streaming.replay import ReplayEngine
+    from pyspark.sql import Window as W
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_boot_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=2, merge_mode="mor")
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    mid = hi // 2
+    # consistent source snapshot at lsn <= mid (unique keys, live rows only)
+    win = W.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+    snap_df = (ch.where(F.col("lsn") <= mid)
+               .withColumn("_rn", F.row_number().over(win))
+               .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+               .drop("_rn", "op"))
+    bootstrap_load(t, snap_df, cfg, epoch=0)
+    eng = ReplayEngine(spark, t, cfg)
+    q3 = (3 * hi) // 4
+    # both tail batches overlap already-applied LSNs on purpose
+    eng.apply_batch(ch.where(F.col("lsn") <= q3), epoch=1)
+    eng.apply_batch(ch, epoch=2)
+    return t.read().select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha256"),
+        F.col("lsn").alias("last_lsn"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the hash-diff verification fixture: deterministic corruption of lineitem
 # ---------------------------------------------------------------------------
@@ -481,6 +525,55 @@ def q_stratified_sample(spark, sf):
     out = X.stratified_sample(docs, "doc_id", "lang",
                               {"en": 0.3, "zh": 1.0}, default_fraction=0.5)
     return out.select("doc_id", "lang")
+
+
+def q_redact_pii(spark, sf):
+    """PII redaction over documents with deterministically injected
+    email/IP/hex-secret tokens (the corpus itself is letter-only word
+    salad, so injection makes the check non-trivial; the oracle injects
+    identically)."""
+    docs = _t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact: user"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 token deadbeefdeadbeefdeadbeefdeadbeef0123"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return X.redact_pii(injected, "doc_id", "text")
+
+
+def _redact_pii_sql() -> str:
+    from data_migration_service_spark.operators.text import PII_PATTERNS
+
+    red = "text"
+    for _, p, repl in PII_PATTERNS:
+        # DuckDB regexp_replace is single-match unless the 'g' flag is given
+        # (Spark's is global by default)
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+    cnt = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for _, p, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH inj AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact: user' || CAST(doc_id % 50 AS VARCHAR)
+                        || '@example.com from 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7 token deadbeefdeadbeefdeadbeefdeadbeef0123'
+                 ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id, {red} AS redacted, CAST({cnt} AS INT) AS n_redactions
+        FROM inj
+    """
 
 
 def q_simhash(spark, sf):
@@ -1038,6 +1131,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _replay_final_state,
+        "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
         "lww_dedup": q_lww_dedup,
         "count_per_group": q_count_per_group,
@@ -1063,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
@@ -1088,6 +1183,9 @@ def oracle_sql() -> dict[str, str]:
     sep = "chr(31)"
     return {
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
+        # bootstrap+tail must land on the *identical* final state as a pure
+        # replay of the full log — the handoff adds nothing and loses nothing
+        "bootstrap_then_tail": _REPLAY_FINAL_STATE_SQL,
         "changefeed": _CHANGEFEED_SQL,
         "debezium_roundtrip": _DEBEZIUM_ROUNDTRIP_SQL,
         "topk_per_group": _TOPK_PER_GROUP_SQL,
@@ -1295,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
                   < '{format(int(0.5 * 16 ** 8), "08x")}'
             END
         """,
+        "redact_pii": _redact_pii_sql(),
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -215,7 +215,7 @@ def main() -> int:
                 "minhash_lsh_pairs_fast", "embedding_topk",
                 "embedding_near_dup_lsh", "semi_join_replay",
                 "recheck_values", "scd2_history", "asof_lookup",
-                "tf_idf_top_terms", "dedup_clusters",
+                "tf_idf_top_terms", "dedup_clusters", "redact_pii",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

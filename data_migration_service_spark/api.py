@@ -116,6 +116,25 @@ class Engine:
             if self.lock is not None:
                 self.lock.release()
 
+    # ---- initial full load (snapshot-then-tail handoff) ----
+    def bootstrap(self, snapshot_df: DataFrame, epoch: int = 0):
+        """One-pass initial load of a consistent source snapshot (the
+        reference's flagship full-table migration), recording the LSN
+        high-watermark; a subsequent `replay()` tail prunes events at or
+        below it. See operators/merge.bootstrap_load."""
+        from data_migration_service_spark.operators.merge import bootstrap_load
+
+        if self.lock is not None:
+            if not self.lock.acquire():
+                raise RuntimeError(
+                    f"job already running for table {self.cfg.table_path}")
+        try:
+            return bootstrap_load(self.table, snapshot_df, self.cfg,
+                                  epoch=epoch)
+        finally:
+            if self.lock is not None:
+                self.lock.release()
+
     # ---- POST /jobs/migrateSpecificRecords ----
     def replay_keys(self, events: DataFrame, keys: DataFrame,
                     epoch: int | None = None):

@@ -393,3 +393,72 @@ def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
                        summary={"buckets": len(hit_buckets)},
                        expected_parent=snap.snapshot_id)
     return new.snapshot_id
+
+
+def bootstrap_load(table: SnapshotTable, snapshot_df: DataFrame,
+                   cfg: EngineConfig, epoch: int = 0) -> MergeStats:
+    """Initial full load — the reference's flagship table-to-table migration
+    (the chunk loop over the whole source, DataMigrationService.java:151-165)
+    as ONE distributed pass, followed by the CDC tail.
+
+    A consistent source snapshot has unique keys, so the LWW aggregate and
+    the target read are both unnecessary: the only shuffle is the
+    (bucket, salt) repartition in front of the writer. Loading 100 TB costs
+    one pass over 100 TB — no merge, no dedup, no window.
+
+    Commits with `bootstrap_lsn` = the snapshot's LSN high-watermark, read
+    from the parquet FOOTERS of the files just written (no second scan).
+    The streaming tail prunes events at or below it before they enter the
+    merge — LWW already makes them no-ops, the watermark makes them free.
+
+    Requires an empty table (bootstrap is not an upsert; replaying a
+    partially-loaded table is what `cdc_apply` is for).
+    """
+    snap = table.current()
+    if snap.buckets or snap.deltas:
+        raise ValueError(
+            "bootstrap_load requires an empty table; use cdc_apply to merge "
+            "into existing state"
+        )
+    if epoch is not None and epoch <= int(snap.props.get("epoch", "-1")):
+        return MergeStats(epoch=epoch, skipped=True,
+                          snapshot_id=snap.snapshot_id)
+
+    schema = snap.schema()
+    data_fields = [f for f in schema.fields
+                   if f.name not in (BUCKET_COL, DELETED_COL)]
+    src = snapshot_df
+    for f in data_fields:
+        if f.name not in src.columns and f.name != cfg.lsn_col:
+            src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
+    src = src.select(
+        *[F.col(f.name) for f in data_fields if f.name != cfg.lsn_col],
+        F.col(cfg.lsn_col).cast("long").alias(cfg.lsn_col),
+        F.lit(False).alias(DELETED_COL),
+    ).withColumn(BUCKET_COL, bucket_expr(list(cfg.key_cols), snap.n_buckets))
+
+    # salt_factor=0 means per-batch auto-probe (a MOR feature); the initial
+    # load is the largest write the table will ever see, so fan out wide
+    dirname = table.write_buckets(src, [], salt_factor=cfg.salt_factor or 8,
+                                  write_schema=schema)
+    lineage = table.dir_lineage(dirname, cfg.lsn_col)
+    if not lineage:  # empty snapshot: commit the epoch tag only
+        new = table.commit("bootstrap", {},
+                           props_update={"epoch": str(epoch)},
+                           summary={"rows": 0},
+                           expected_parent=snap.snapshot_id)
+        return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
+    rows = sum(v["rows"] for v in lineage.values())
+    hi = max(v["lsn_max"] for v in lineage.values() if v["lsn_max"] is not None)
+    new = table.commit(
+        "bootstrap", {b: dirname for b in lineage},
+        props_update={"epoch": str(epoch), "bootstrap_lsn": str(int(hi))},
+        summary={"rows": rows, "bootstrap_lsn": int(hi)},
+        expected_parent=snap.snapshot_id,
+    )
+    st = MergeStats(epoch=epoch, rows_in_batch=rows, rows_after_dedup=rows,
+                    rows_inserted=rows, affected_buckets=len(lineage),
+                    snapshot_id=new.snapshot_id)
+    st.extra["bucket_lineage"] = lineage
+    st.extra["bootstrap_lsn"] = int(hi)
+    return st

@@ -197,3 +197,41 @@ def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
     keep = (keep.otherwise(thr(default_fraction))
             if keep is not None else thr(default_fraction))
     return df.where(keep)
+
+
+# (name, pattern, replacement) — patterns restricted to the syntax subset
+# Java regex and RE2/DuckDB agree on: no backrefs, no lookaround, [0-9] not
+# \d (unicode-digit divergence). Order matters: hex runs last so it can't
+# eat the local part of an already-replaced email.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("hex32", r"\b[0-9a-f]{32,}\b", "<HEX>"),
+]
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII/secret redaction for training corpora (emails, IPv4 literals,
+    long hex tokens — credentials, digests) — the C4/Gopher-style cleanup
+    step a code-corpus pipeline runs before tokenization.
+
+    Pure chained `regexp_replace` + `regexp_count`: whole-stage codegen,
+    no UDF, no shuffle — a map-only pass that scales to any corpus size
+    and pushes column pruning to the scan. Counts are taken BEFORE any
+    replacement so patterns can't hide each other's matches.
+
+    Returns (id, redacted, n_redactions).
+    """
+    text = F.col(text_col)
+    counts = [F.regexp_count(text, F.lit(p)) for _, p, _ in PII_PATTERNS]
+    red = text
+    for _, p, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, p, repl)
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
+    return df.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n.cast("int").alias("n_redactions"),
+    )

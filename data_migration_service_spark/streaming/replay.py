@@ -64,6 +64,13 @@ class ReplayEngine:
 
     def apply_batch(self, batch: DataFrame, epoch: int) -> MergeStats:
         t0 = time.monotonic()
+        # Bootstrap high-watermark: events at or below the initial load's
+        # LSN are already reflected in the table. LWW makes them no-ops;
+        # this filter (pushed to the source scan) makes them free — the
+        # standard snapshot-then-tail handoff.
+        wm = self.table.current().props.get("bootstrap_lsn")
+        if wm is not None and self.cfg.lsn_col in batch.columns:
+            batch = batch.where(F.col(self.cfg.lsn_col) > int(wm))
         if self.registry is None and "payload" in batch.columns:
             # Without a registry the JSON payload would never be decoded and
             # cdc_apply would NULL-fill every value column — silent data
@@ -187,8 +194,28 @@ class ReplayEngine:
         else:
             raise ValueError(f"unknown source_format: {source_format!r}")
 
+        # Epoch identity is scoped to THIS checkpoint: micro-batch ids always
+        # start at 0 for a fresh checkpoint, so tagging epochs with the raw
+        # batch id collides with epochs already on the table (bootstrap, a
+        # prior batch-mode replay, an earlier stream) — and the guard would
+        # then silently SKIP real new data. The base is fixed at the
+        # checkpoint's first use and persisted beside the offsets: on resume
+        # batch ids continue and re-delivered ids map to their original
+        # epochs (guard no-ops them); on checkpoint LOSS the base moves past
+        # all applied epochs, everything re-applies, and LWW absorbs it —
+        # at-least-once degraded to, state still exact.
+        base_path = os.path.join(self.checkpoint, "epoch_base")
+        try:
+            with open(base_path, "x") as f:
+                base = (int(self.table.current().props.get("epoch", "-1"))
+                        + 1)
+                f.write(str(base))
+        except FileExistsError:
+            with open(base_path) as f:
+                base = int(f.read().strip())
+
         def _sink(df: DataFrame, batch_id: int) -> None:
-            self.apply_batch(df, epoch=int(batch_id))
+            self.apply_batch(df, epoch=base + int(batch_id))
 
         q = (
             stream.writeStream.foreachBatch(_sink)

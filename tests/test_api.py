@@ -383,3 +383,36 @@ def test_read_as_of_and_table_stats(spark, tmp_path):
         if f.endswith(".parquet")
     )
     assert st["total_files"] == n_fs
+
+
+def test_bootstrap_then_streaming_tail_via_facade(spark, tmp_path):
+    """Full lifecycle through the facade: one-pass bootstrap of the LWW
+    state at the half-way LSN, then a streaming tail over the WHOLE raw log
+    — the bootstrap_lsn watermark absorbs the overlap — landing on the
+    pure-replay final state."""
+    from pyspark.sql import Window as W
+
+    from data_migration_service_spark.fixtures.cdc import (
+        default_registry,
+        to_raw_events,
+    )
+
+    eng = make_engine(spark, tmp_path)
+    n = 2000
+    ch = gen_changes(spark, n, n_repos=10, n_paths_per_repo=20).cache()
+    mid = n // 2
+    win = W.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+    snap_df = (ch.where(F.col("lsn") <= mid)
+               .withColumn("_rn", F.row_number().over(win))
+               .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+               .drop("_rn", "op", "ts", "schema_version"))
+    st = eng.bootstrap(snap_df)
+    assert st.rows_inserted > 0 and not st.skipped
+    # stream the FULL raw log (payload-enveloped, mixed versions)
+    src = str(tmp_path / "events")
+    to_raw_events(ch).coalesce(2).write.parquet(src)
+    eng.registry = eng._replayer.registry = default_registry(
+        (2 * n) // 3 + 1, n + 1)
+    eng.replay(src)
+    res = eng.verify(expected_final_state(ch))
+    assert res.consistent, res.report

@@ -109,14 +109,19 @@ def test_stream_replay_and_checkpoint_resume(spark, tmp_path):
     assert all(not r["skipped"] for r in lin)
 
 
-def test_replayed_epoch_after_checkpoint_loss_is_skipped(spark, tmp_path):
-    """Checkpoint wiped (offsets lost) -> source replays everything; the
-    sink-side epoch guard must no-op the already-applied epochs."""
+def test_replay_after_checkpoint_loss_is_lww_absorbed(spark, tmp_path):
+    """Checkpoint wiped (offsets lost) -> the source replays everything
+    under a FRESH epoch base (epoch identity is per-checkpoint). The
+    re-delivery degrades to at-least-once and last-writer-wins absorbs it:
+    the final state is exactly unchanged, every re-applied row classifies
+    as matched (zero inserts), and the new epochs don't collide with the
+    applied ones — crucially, a fresh checkpoint can never silently skip
+    genuinely new data (the bug the old raw-batch-id tagging had)."""
     ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=1000, v2_at=401, v3_at=701)
     src = str(tmp_path / "events_src")
     raw.coalesce(2).write.mode("append").parquet(src)
     eng.replay_stream(src)
-    sid = t.current().snapshot_id
+    epoch_before = int(t.current().props["epoch"])
     # simulate losing the offsets but not the table: fresh checkpoint dir
     cfg2 = EngineConfig(table_path=eng.cfg.table_path, n_buckets=16,
                         checkpoint_path=str(tmp_path / "ckpt2"))
@@ -124,8 +129,37 @@ def test_replayed_epoch_after_checkpoint_loss_is_skipped(spark, tmp_path):
     eng2.replay_stream(src)
     _assert_final(t, ch)
     lin2 = eng2.lineage()
-    assert lin2 and all(r["skipped"] for r in lin2)
-    assert t.current().snapshot_id == sid
+    assert lin2 and all(not r["skipped"] for r in lin2)
+    assert all(r["rows_inserted"] == 0 for r in lin2)
+    assert int(t.current().props["epoch"]) > epoch_before
+
+
+def test_fresh_checkpoint_on_bootstrapped_table_applies_new_data(spark, tmp_path):
+    """Regression for the epoch-collision data-loss bug: a table whose
+    epoch counter already advanced (here via bootstrap at epoch 0) must
+    still apply batch 0 of a brand-new stream."""
+    from data_migration_service_spark.operators.merge import bootstrap_load
+
+    ch, raw, reg, t, eng = _setup(spark, tmp_path)
+    from pyspark.sql import Window as PW
+
+    # bootstrap inside the schema-v1 era (v2_at=801): the snapshot's shape
+    # matches the table's creation schema; later columns arrive via the
+    # stream's registry DDL
+    mid = 800
+    win = PW.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+    snap_df = (ch.where(F.col("lsn") <= mid)
+               .withColumn("_rn", F.row_number().over(win))
+               .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+               .drop("_rn", "op", "ts", "schema_version"))
+    bootstrap_load(t, snap_df, eng.cfg, epoch=0)
+    src = str(tmp_path / "events_src")
+    raw.coalesce(2).write.mode("append").parquet(src)
+    eng.replay_stream(src)  # whole log; watermark prunes the prefix
+    _assert_final(t, ch)
+    lin = eng.lineage()
+    assert lin and all(not r["skipped"] for r in lin)
+    assert all(r["epoch"] >= 1 for r in lin)
 
 
 def test_stream_replay_debezium_source(spark, tmp_path):

@@ -83,3 +83,39 @@ def test_tf_idf_plan_has_no_cartesian_or_global_window(spark, tmp_path):
     assert not has_cartesian(out)
     # top-k is per-doc aggregate, never a corpus-wide single-partition sort
     assert single_partition_exchanges(out) == 0
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from data_migration_service_spark.operators.text import redact_pii
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "server 192.168.1.254 and 8.8.8.8 are up"),
+            (3, "key deadbeefcafebabe0123456789abcdef0011 leaked"),
+            (4, "all clean words only here"),
+            (5, "combo bob@x.io at 10.0.0.1 key "
+                "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> today"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["redacted"] == "server <IP> and <IP> are up"
+    assert out[2]["n_redactions"] == 2
+    assert "<HEX>" in out[3]["redacted"] and out[3]["n_redactions"] == 1
+    assert out[4]["redacted"] == "all clean words only here"
+    assert out[4]["n_redactions"] == 0
+    assert out[5]["n_redactions"] == 3
+    for tag in ("<EMAIL>", "<IP>", "<HEX>"):
+        assert tag in out[5]["redacted"]
+
+
+def test_redact_pii_is_map_only(spark, tmp_path):
+    from data_migration_service_spark.operators.text import redact_pii
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).selectExpr(
+        "id AS doc_id", "'txt ' || id AS text").write.parquet(p)
+    out = redact_pii(spark.read.parquet(p), "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle: pure projection over the scan
