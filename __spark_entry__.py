@@ -576,6 +576,41 @@ def _redact_pii_sql() -> str:
     """
 
 
+def q_pack_offsets(spark, sf):
+    """Pretraining sequence-packing layout: token counts -> deterministic
+    shard + per-shard prefix-sum offsets + spanned fixed-length training
+    sequences. One shard shuffle + one in-partition window — never a
+    corpus-wide sort."""
+    docs = _t(spark, sf, "documents")
+    counts = X.token_count(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return X.pack_offsets(counts, "doc_id", "n_tokens", seq_len=256,
+                          shard_chars=1)
+
+
+_PACK_OFFSETS_SQL = r"""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             sha256('pack:' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM counts
+    ), cum AS (
+      SELECT doc_id, substr(okey, 1, 1) AS shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY substr(okey, 1, 1)
+                                 ORDER BY okey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM keyed
+    )
+    SELECT doc_id, shard, c - n_tokens AS offset, n_tokens,
+           CAST(floor((c - n_tokens) / 256.0) AS BIGINT) AS seq_first,
+           CAST(floor((c - 1) / 256.0) AS BIGINT) AS seq_last
+    FROM cum
+"""
+
+
 def q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), "doc_id", "text", bits=16)
 
@@ -1158,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
+        "pack_offsets": q_pack_offsets,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
@@ -1394,6 +1430,7 @@ def oracle_sql() -> dict[str, str]:
             END
         """,
         "redact_pii": _redact_pii_sql(),
+        "pack_offsets": _PACK_OFFSETS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

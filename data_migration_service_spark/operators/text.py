@@ -235,3 +235,46 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         red.alias("redacted"),
         n.cast("int").alias("n_redactions"),
     )
+
+
+def pack_offsets(df: DataFrame, id_col: str, n_tokens_col: str,
+                 seq_len: int, shard_chars: int = 2,
+                 salt: str = "pack") -> DataFrame:
+    """Concat-and-chunk packing layout (GPT-style pretraining data prep):
+    documents are deterministically sharded, ordered, and concatenated;
+    each doc gets its token OFFSET in the shard's stream plus the range of
+    fixed-`seq_len` training sequences it spans.
+
+    Plan shape at corpus scale: one hash shuffle on `shard` + one
+    in-partition window prefix-sum — NEVER a corpus-wide window (the shard
+    count bounds every partition's sort). The shard is the first
+    `shard_chars` hex chars of the order key (16^shard_chars shards: 2 ->
+    256, 3 -> 4096 — size so one shard's docs fit an executor); order
+    within a shard is by (order_key = sha2(salt:id), id). Both are pure
+    functions of the doc id, so the layout is identical under any
+    partitioning/cluster size and any re-run — the property that makes
+    checkpoint-resumable tokenization jobs safe — and exactly
+    reproducible in ANSI SQL (no engine-specific hash).
+
+    Returns (id, shard, offset, n_tokens, seq_first, seq_last) where
+    seq_first/seq_last = floor(offset / seq_len), floor((offset + n - 1) /
+    seq_len): the training sequences this doc's tokens land in.
+    """
+    okey = F.sha2(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")), 256)
+    shard = F.substring(okey, 1, shard_chars)
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy("shard")
+         .orderBy("_okey", id_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    out = (df.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("_n"),
+                     shard.alias("shard"), okey.alias("_okey"))
+           .withColumn("_cum", F.sum("_n").over(w)))
+    return out.select(
+        F.col(id_col),
+        "shard",
+        (F.col("_cum") - F.col("_n")).alias("offset"),
+        F.col("_n").alias("n_tokens"),
+        F.floor((F.col("_cum") - F.col("_n")) / seq_len).cast("long").alias("seq_first"),
+        F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("seq_last"),
+    )

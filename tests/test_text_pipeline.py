@@ -119,3 +119,41 @@ def test_redact_pii_is_map_only(spark, tmp_path):
     out = redact_pii(spark.read.parquet(p), "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle: pure projection over the scan
+
+
+def test_pack_offsets_contiguous_and_deterministic(spark):
+    from data_migration_service_spark.operators.text import pack_offsets
+    df = spark.range(500).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 37 AS LONG) AS n_tokens")
+    out = pack_offsets(df, "doc_id", "n_tokens", seq_len=64, shard_chars=1)
+    rows = out.collect()
+    # within each shard the doc stream is gapless: offsets tile exactly
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["offset"])
+        cursor = 0
+        for d in docs:
+            assert d["offset"] == cursor
+            assert d["seq_first"] == d["offset"] // 64
+            assert d["seq_last"] == (d["offset"] + d["n_tokens"] - 1) // 64
+            cursor += d["n_tokens"]
+    # identical layout at any input partitioning
+    out2 = pack_offsets(df.repartition(17), "doc_id", "n_tokens",
+                        seq_len=64, shard_chars=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_pack_offsets_no_global_window(spark, tmp_path):
+    from data_migration_service_spark.operators.text import pack_offsets
+    from data_migration_service_spark.plans.inspect import (
+        single_partition_exchanges,
+    )
+    p = str(tmp_path / "c.parquet")
+    spark.range(300).selectExpr(
+        "id AS doc_id", "CAST(1 + id % 11 AS LONG) AS n_tokens"
+    ).write.parquet(p)
+    out = pack_offsets(spark.read.parquet(p), "doc_id", "n_tokens",
+                       seq_len=128, shard_chars=2)
+    assert single_partition_exchanges(out) == 0
