@@ -576,6 +576,52 @@ def _redact_pii_sql() -> str:
     """
 
 
+def q_contamination(spark, sf):
+    """Benchmark decontamination: flag documents whose token 3-grams
+    overlap a held-out eval set (here: every 37th doc's first 240 chars,
+    so overlap is partial and non-trivial). Broadcast benchmark grams +
+    map-only corpus pass — no corpus-wide shuffle of text."""
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 37 == 0).select(
+        "doc_id", F.substring("text", 1, 240).alias("text"))
+    return X.contamination(docs, bench, "doc_id", "text", n=3)
+
+
+_CONTAMINATION_SQL = r"""
+    WITH dg AS (
+      SELECT doc_id,
+             list_distinct(
+               [sha256(array_to_string(ts[p:p+2], ' '))
+                FOR p IN range(1, greatest(len(ts) - 1, 1))]) AS gs
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t <> '') AS ts
+            FROM documents)
+    ), bg AS (
+      SELECT DISTINCT unnest(
+               [sha256(array_to_string(ts[p:p+2], ' '))
+                FOR p IN range(1, greatest(len(ts) - 1, 1))]) AS g
+      FROM (SELECT list_filter(
+                     string_split_regex(trim(substr(text, 1, 240)), '\s+'),
+                     t -> t <> '') AS ts
+            FROM documents WHERE doc_id % 37 = 0)
+    ), m AS (
+      SELECT doc_id, count(*) AS n_matched
+      FROM (SELECT doc_id, unnest(gs) AS g FROM dg) dx
+      JOIN bg USING (g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.gs) AS BIGINT) AS n_grams,
+           CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+           CASE WHEN len(d.gs) > 0
+                THEN coalesce(m.n_matched, 0) / CAST(len(d.gs) AS DOUBLE)
+                ELSE 0.0 END AS contamination_ratio,
+           coalesce(m.n_matched, 0) >= 1 AS contaminated
+    FROM dg d LEFT JOIN m USING (doc_id)
+"""
+
+
 def q_pack_offsets(spark, sf):
     """Pretraining sequence-packing layout: token counts -> deterministic
     shard + per-shard prefix-sum offsets + spanned fixed-length training
@@ -1194,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
+        "contamination": q_contamination,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
@@ -1431,6 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),

@@ -36,7 +36,7 @@ def _sf_of(sf_dir: str) -> float:
 
 def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
                n_buckets: int, content_blocks: int = 8,
-               verify: bool = False) -> dict:
+               verify: bool = False, events_path: str | None = None) -> dict:
     """Generate a seed-stable event log, then replay it through the engine in
     `n_epochs` epoch-tagged merges. Returns timings + row counts. Generation
     is materialized to parquet first so the measured window is pure apply.
@@ -63,14 +63,33 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
     bench_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     root = tempfile.mkdtemp(prefix="dms_bench_", dir=bench_root)
     try:
-        ev_path = os.path.join(root, "events")
-        # input splits must at least match cluster parallelism or map stages
-        # run under-subscribed regardless of core count
-        n_parts = max(spark.sparkContext.defaultParallelism,
-                      n_events // 250_000)
-        gen_changes(spark, n_events, n_repos=max(50, n_events // 5_000),
-                    n_paths_per_repo=200, partitions=n_parts,
-                    content_blocks=content_blocks).write.parquet(ev_path)
+        # `events_path` shares one pre-generated log across runs/JVMs (the
+        # scaling protocol replays the IDENTICAL input at every level, and
+        # generation is untimed either way). Level-independent partition
+        # count so the file layout is byte-identical no matter which level
+        # generated it first.
+        ev_path = events_path or os.path.join(root, "events")
+        if not (events_path and os.path.exists(
+                os.path.join(ev_path, "_SUCCESS"))):
+            n_parts = max(16, spark.sparkContext.defaultParallelism,
+                          n_events // 250_000)
+            gen_changes(spark, n_events, n_repos=max(50, n_events // 5_000),
+                        n_paths_per_repo=200, partitions=n_parts,
+                        content_blocks=content_blocks).write.mode(
+                            "overwrite").parquet(ev_path)
+        # Size input splits to the cluster: a few-hundred-MB log under the
+        # stock 128MB maxPartitionBytes (+ small-file packing) collapses to
+        # 2-3 map splits, starving every level above 2 cores — the scan
+        # must fan out to >= ~4 tasks/core at ANY input size, exactly as a
+        # real 100 TB scan would by sheer file count.
+        ev_bytes = sum(
+            os.path.getsize(os.path.join(ev_path, f))
+            for f in os.listdir(ev_path) if f.endswith(".parquet"))
+        split = min(128 * 1024**2,
+                    max(4 * 1024**2,
+                        ev_bytes // (4 * spark.sparkContext.defaultParallelism)))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1024**2))
         events = spark.read.parquet(ev_path)
 
         schema = T.StructType([
@@ -173,6 +192,10 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--content-blocks", type=int, default=8)
+    ap.add_argument("--events-path", default=None,
+                    help="persistent dir for the generated event log; "
+                         "reused if it already exists (scaling protocol: "
+                         "identical input at every level)")
     ap.add_argument("--reps", type=int, default=2,
                     help="repeat the replay, report the best (host-noise guard)")
     ap.add_argument("--verify", action="store_true",
@@ -194,7 +217,7 @@ def main() -> int:
         reps = [run_replay(spark, n_events, args.epochs,
                            salt_factor=2, n_buckets=64,
                            content_blocks=args.content_blocks,
-                           verify=args.verify)
+                           verify=args.verify, events_path=args.events_path)
                 for _ in range(max(args.reps, 1))]
         replay = min(reps, key=lambda r: r[t_key])
         if len(reps) > 1:

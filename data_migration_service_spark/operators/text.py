@@ -278,3 +278,57 @@ def pack_offsets(df: DataFrame, id_col: str, n_tokens_col: str,
         F.floor((F.col("_cum") - F.col("_n")) / seq_len).cast("long").alias("seq_first"),
         F.floor((F.col("_cum") - 1) / seq_len).cast("long").alias("seq_last"),
     )
+
+
+def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
+                  text_col: str, n: int = 3,
+                  min_matches: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose token
+    `n`-grams overlap a held-out benchmark/eval set (the standard
+    train-test-overlap hygiene step before pretraining).
+
+    Plan shape at corpus scale: the benchmark gram set is tiny (eval sets
+    are MBs against a 100 TB corpus), so it BROADCASTS — the corpus side is
+    one map-only pass (tokenize -> n-gram -> hash -> array_distinct, all
+    inside whole-stage codegen; per-doc dedup happens in the array, NOT via
+    a distinct shuffle) followed by a single count aggregate on the doc id
+    with map-side combine. No corpus-wide shuffle of text, no join shuffle.
+
+    Grams are sha2-256 over the space-joined token window — engine-portable,
+    so the DuckDB oracle reproduces them bit-for-bit. Documents shorter
+    than `n` tokens have zero grams and are never flagged.
+
+    Returns (id, n_grams, n_matched, contamination_ratio, contaminated).
+    """
+    def grams(df: DataFrame, ic: str, tc: str):
+        toks = tokens(tc)
+        pos = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        g = F.array_distinct(F.transform(
+            pos, lambda p: F.sha2(F.concat_ws(" ", F.slice(toks, p, n)), 256)
+        ))
+        return df.select(F.col(ic), g.alias("_grams"))
+
+    bench_grams = (grams(benchmark, id_col, text_col)
+                   .select(F.explode("_grams").alias("_g")).distinct())
+    doc_grams = grams(docs, id_col, text_col)
+    exploded = doc_grams.select(id_col, F.explode("_grams").alias("_g"))
+    matched = (exploded.join(F.broadcast(bench_grams), "_g", "inner")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_matched")))
+    sizes = doc_grams.select(F.col(id_col), F.size("_grams").alias("n_grams"))
+    out = (sizes.join(matched, id_col, "left")
+           .withColumn("n_matched", F.coalesce("n_matched", F.lit(0))))
+    # plain IEEE double division (NOT rounded): bit-identical in any
+    # engine, so the oracle needs no tolerance
+    ratio = F.when(F.col("n_grams") > 0,
+                   F.col("n_matched") / F.col("n_grams")) \
+             .otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        ratio.alias("contamination_ratio"),
+        (F.col("n_matched") >= min_matches).alias("contaminated"),
+    )

@@ -104,6 +104,16 @@ def get_spark(
                 f"-XX:+AlwaysPreTouch -Xms{heap}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (max_by/min_by — the LWW dedup path) falls
+        # back to SORT-based aggregation after only 128 distinct keys per
+        # task by default, which turns every partial agg over a CDC batch
+        # into a full sort of KB-sized rows. Measured: +20% apply wall at
+        # both 2 and 8 cores on a 16M-event replay. Per-task key counts are
+        # bounded by split size (maxPartitionBytes / row width) map-side and
+        # by AQE-coalesced partition size reduce-side, so 1M keys in-map is
+        # safe at any scale where splits are sized sanely.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                os.environ.get("DMS_AGG_FALLBACK_KEYS", "1048576"))
     )
     if master.startswith("local-cluster["):
         # separate executor JVMs (the truest sandbox analogue of "N

@@ -261,12 +261,15 @@ class SnapshotTable:
         salt_factor: int = 1,
         write_schema: T.StructType | None = None,
         sort: bool = True,
+        pre_partitioned: bool = False,
     ) -> str:
         """Write `df` (which must carry BUCKET_COL and DELETED_COL) as the new
         content of `affected` buckets under one new snap dir; returns dir name.
 
         `salt_factor` > 1 splits each bucket into several writer tasks/files —
         explicit hot-bucket skew handling for the copy-on-write path.
+        `pre_partitioned=True` asserts the caller already hash-distributed the
+        frame by (bucket, salt) so this write adds NO extra exchange.
         """
         dirname = new_buckets_dir or f"snap-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._datadir, dirname)
@@ -277,7 +280,14 @@ class SnapshotTable:
         # writer tasks. A fixed n_buckets*salt_factor count over-schedules
         # small batches and under-parallelizes huge ones.
         snap = self.current()
-        if salt_factor > 1:
+        if pre_partitioned:
+            # caller guarantees df is already hash-distributed by
+            # (bucket, key-salt) AND sorted within partitions leading with
+            # BUCKET_COL (e.g. the window-dedup plan, whose one exchange
+            # this write reuses) — adding a repartition here would pay a
+            # second full shuffle for nothing
+            part = df
+        elif salt_factor > 1:
             keys = [c for c in snap.key_cols if c in df.columns]
             salt_src = keys or [c for c in df.columns if c != BUCKET_COL][:2]
             salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src], F.lit("salt")),

@@ -157,3 +157,36 @@ def test_pack_offsets_no_global_window(spark, tmp_path):
     out = pack_offsets(spark.read.parquet(p), "doc_id", "n_tokens",
                        seq_len=128, shard_chars=2)
     assert single_partition_exchanges(out) == 0
+
+
+def test_contamination_flags_overlap_only(spark):
+    from data_migration_service_spark.operators.text import contamination
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma other words here"),   # shares 'alpha beta gamma'
+         (3, "zeta eta theta iota kappa"),           # no overlap
+         (4, "al be"),                               # < n tokens: 0 grams
+         (5, "beta gamma delta unrelated tail")],    # shares 'beta gamma delta'
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            contamination(docs, bench, "doc_id", "text", n=3).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_matched"] == 2
+    assert rows[2]["contaminated"] and rows[2]["n_matched"] == 1
+    assert not rows[3]["contaminated"] and rows[3]["n_matched"] == 0
+    assert rows[4]["n_grams"] == 0 and not rows[4]["contaminated"]
+    assert rows[5]["contaminated"] and rows[5]["n_matched"] == 1
+    assert rows[1]["contamination_ratio"] == 2 / 3
+
+
+def test_contamination_benchmark_is_broadcast(spark):
+    from data_migration_service_spark.operators.text import contamination
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id % 17, ' tok', id % 7, ' tok', id % 5, ' tok', id % 3) AS text")
+    bench = docs.where("doc_id % 50 = 0")
+    out = contamination(docs, bench, "doc_id", "text", n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
+    assert out.count() == 200

@@ -40,6 +40,7 @@ import os
 import statistics
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,10 +60,16 @@ def run_one(master: str, events: int, epochs: int, sf_dir: str,
         # fixed in the master string, identical at both levels.)
         cores = int(master.split("[")[1].rstrip("]"))
         env["SPARK_DRIVER_MEMORY"] = f"{heap_per_core_gb * cores}g"
+    # one shared pre-generated event log for the WHOLE protocol: every
+    # JVM at every level replays the byte-identical input (generation is
+    # untimed; reuse also cuts protocol wall time ~3x at 16M events)
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ev_path = os.path.join(shm, f"dms_scaling_ev_{events}_{content_blocks}")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
          "--content-blocks", str(content_blocks),
+         "--events-path", ev_path,
          "--reps", "2" if steady else "1"]
         + (["--verify"] if verify else []),
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
