@@ -59,6 +59,61 @@ from data_migration_service_spark.tables.lake import (
 )
 
 SIDE_COL = "_side"  # 0 = target, 1 = incoming batch (tie-break on equal lsn)
+SALT_COL = "_dms_salt"  # transient writer-fanout column, never persisted
+
+
+def salt_expr(keys: list[str], salt: int):
+    """Deterministic per-key writer-fanout id in [0, salt) — a pure function
+    of the merge key, so one key's duplicates always share a salt value."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in keys], F.lit("salt")), F.lit(max(salt, 1))
+    )
+
+
+def lww_fused(df: DataFrame, keys: list[str], order,
+              salt: int, struct_cols: list[str]) -> DataFrame:
+    """LWW dedup and write-layout partitioning FUSED into one exchange.
+
+    The naive pipeline pays two full shuffles of KB-wide rows:
+    `groupBy(keys)` (hash(keys) exchange) and then the writer's
+    `repartition(bucket, salt)`. But `bucket` and `salt` are both
+    deterministic functions of the key columns, so hash-distributing by
+    (bucket, salt) FIRST co-locates every key's duplicates, and a
+    `groupBy(bucket, salt, *keys)` on top groups identically to
+    `groupBy(keys)` while Catalyst recognizes HashPartitioning(bucket,
+    salt) ⊆ ClusteredDistribution(bucket, salt, keys) and inserts NO
+    second exchange (pinned by tests/test_plans.py). The result is already
+    distributed exactly as `SnapshotTable.write_buckets(pre_partitioned=
+    True)` needs — the whole apply moves each row over the wire ONCE.
+
+    Trade-off (measured, BENCH.md): the old plan's map-side partial agg
+    collapsed same-key duplicates before its shuffle, but with duplicates
+    scattered across input splits that collapse is ~1.2x while the second
+    exchange cost a full 1.0x — fusion wins by ~2x on shuffled bytes.
+    Aggregate parallelism becomes n_buckets*salt — the same bound the
+    writer's repartition always had — which at a sanely-bucketed table
+    (~16k buckets at 100 TB) is never the binding constraint.
+
+    `df` must carry BUCKET_COL; `order` is the max_by ordering expression
+    ((lsn) for batch-internal dedup, (lsn, side) for merge-vs-target).
+    Returns winners with `struct_cols` + BUCKET_COL, plus `_n`/`_has_src`
+    bookkeeping columns when SIDE_COL is present (cow stats).
+    """
+    with_salt = df.withColumn(SALT_COL, salt_expr(keys, salt))
+    pre = with_salt.repartition(F.col(BUCKET_COL), F.col(SALT_COL))
+    row_struct = F.struct(*[F.col(c) for c in struct_cols])
+    aggs = [F.max_by(row_struct, order).alias("_w")]
+    has_side = SIDE_COL in df.columns
+    if has_side:
+        aggs += [
+            F.max(SIDE_COL).alias("_has_src"),
+            F.min(SIDE_COL).alias("_has_tgt_min"),
+        ]
+    out = pre.groupBy(BUCKET_COL, SALT_COL, *keys).agg(*aggs)
+    cols = [BUCKET_COL, "_w.*"]
+    if has_side:
+        cols += ["_has_src", "_has_tgt_min"]
+    return out.select(*cols)
 
 
 @dataclass
@@ -147,25 +202,19 @@ def cdc_apply(
     tgt = tgt.select(*data_cols, F.col(DELETED_COL), F.col(BUCKET_COL)) \
              .withColumn(SIDE_COL, F.lit(0))
 
-    # 4. LWW in ONE hash aggregate: winner = max_by(row, (lsn, side)).
-    # Batch-internal duplicates, cross-batch ordering, and tombstone
-    # precedence all resolve through the same (lsn, side) order.
+    # 4. LWW dedup + write layout in ONE exchange (see lww_fused): winner =
+    # max_by(row, (lsn, side)). Batch-internal duplicates, cross-batch
+    # ordering, and tombstone precedence all resolve through the same
+    # (lsn, side) order, and the output lands already distributed by
+    # (bucket, salt) for the writer.
     unioned = tgt.unionByName(src)
-    row_struct = F.struct(
-        *[F.col(c) for c in data_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
-    )
     order = F.struct(F.col(cfg.lsn_col), F.col(SIDE_COL))
     merged = (
-        unioned.groupBy(*keys)
-        .agg(
-            F.max_by(row_struct, order).alias("_w"),
-            F.max(SIDE_COL).alias("_has_src"),
-            F.min(SIDE_COL).alias("_has_tgt_min"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+        lww_fused(unioned, keys, order, max(cfg.salt_factor, 1),
+                  struct_cols=data_cols + [DELETED_COL])
         .withColumn("_matched",
                     (F.col("_has_src") == 1) & (F.col("_has_tgt_min") == 0))
-        .select("_matched", "_has_src", F.col("_w.*"))
+        .drop("_has_tgt_min")
     )
 
     stats = MergeStats(epoch=epoch)
@@ -189,7 +238,7 @@ def cdc_apply(
         data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
     )
     dirname = table.write_buckets(
-        out, affected, salt_factor=cfg.salt_factor, write_schema=out_schema
+        out, affected, write_schema=out_schema, pre_partitioned=True
     )
     new = table.commit(
         "merge",
@@ -223,14 +272,6 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
 
     keys = list(cfg.key_cols)
     data_cols = [f.name for f in data_fields]
-    row_struct = F.struct(
-        *[F.col(c) for c in data_cols], F.col(DELETED_COL), F.col(BUCKET_COL)
-    )
-    deduped = (
-        src.groupBy(*keys)
-        .agg(F.max_by(row_struct, F.col(cfg.lsn_col)).alias("_w"))
-        .select("_w.*")
-    )
 
     salt = cfg.salt_factor
     if salt == 0:  # auto: pick fan-out from THIS batch's key histogram
@@ -239,15 +280,21 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
             suggest_salt_factor,
         )
 
-        salt = suggest_salt_factor(bucket_histogram(deduped),
+        # probed on the RAW batch (pre-dedup): an upper bound on the
+        # deduped load, so the fan-out errs toward splitting — and the
+        # fused dedup below needs the salt BEFORE its one exchange
+        salt = suggest_salt_factor(bucket_histogram(src),
                                    n_buckets=snap.n_buckets)
+
+    deduped = lww_fused(src.drop(SIDE_COL), keys, F.col(cfg.lsn_col), salt,
+                        struct_cols=data_cols + [DELETED_COL])
 
     out_schema = T.StructType(
         data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
     )
     dirname = table.write_buckets(
         deduped, [], new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
-        salt_factor=salt, write_schema=out_schema,
+        write_schema=out_schema, pre_partitioned=True,
         sort=False,  # L0 deltas: write-hot, folded at compact_threshold
     )
     lineage = table.dir_lineage(dirname, cfg.lsn_col)
@@ -330,16 +377,26 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
     todo = sorted(b for b in (buckets or snap.deltas) if snap.deltas.get(b))
     if not todo:
         return snap.snapshot_id
-    merged = table.read(snapshot=snap, buckets=todo, include_deleted=True) \
-                  .drop(BUCKET_COL)
+    # raw (unreduced) read + fused LWW: one exchange does both the
+    # base-vs-delta reduce and the writer's (bucket, salt) layout.
+    raw = table.read(snapshot=snap, buckets=todo, include_deleted=True,
+                     reduce=False)
+    schema = snap.schema()
+    data_cols = [f.name for f in schema.fields
+                 if f.name not in (BUCKET_COL, DELETED_COL)]
+    merged = lww_fused(raw, list(snap.key_cols), F.col(cfg.lsn_col),
+                       max(cfg.salt_factor, 1),
+                       struct_cols=data_cols + [DELETED_COL])
     if tombstone_watermark is not None:
+        # AFTER the reduce, never before: dropping an expired tombstone
+        # from the raw union would hand the win to an older live version
+        # of the key (resurrection); dropping the WINNING tombstone
+        # correctly removes the key from the rewritten base.
         merged = merged.where(
             ~(F.col(DELETED_COL) & (F.col(cfg.lsn_col) <= tombstone_watermark))
         )
-    merged = merged.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
-    schema = snap.schema()
-    dirname = table.write_buckets(merged, todo, salt_factor=cfg.salt_factor,
-                                  write_schema=schema)
+    dirname = table.write_buckets(merged, todo, write_schema=schema,
+                                  pre_partitioned=True)
     new = table.commit("compact", {b: dirname for b in todo},
                        summary={"buckets": len(todo)},
                        expected_parent=snap.snapshot_id)

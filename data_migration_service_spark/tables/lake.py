@@ -181,6 +181,7 @@ class SnapshotTable:
         snapshot: Snapshot | None = None,
         buckets: Iterable[int] | None = None,
         include_deleted: bool = False,
+        reduce: bool = True,
     ) -> DataFrame:
         """Read the table (optionally one snapshot / a bucket subset).
 
@@ -194,7 +195,12 @@ class SnapshotTable:
         Merge-on-read: if any requested bucket carries delta dirs, base and
         delta rows are reduced to one row per key by max LSN (one hash
         aggregate with map-side combine). A fully-compacted table skips the
-        aggregate entirely.
+        aggregate entirely. `reduce=False` (compaction's fast path) returns
+        the RAW base+delta union — per-key duplicates included — so the
+        caller can fuse the LWW reduce with its own downstream partitioning
+        instead of paying a second exchange; it implies include_deleted
+        semantics for correctness (a caller that drops duplicates itself
+        must see tombstones to drop the keys they beat).
         """
         snap = snapshot or self.current()
         want = set(buckets) if buckets is not None else None
@@ -237,12 +243,16 @@ class SnapshotTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
-        if has_delta:
+        if has_delta and reduce:
             lsn_col = snap.props.get("lsn_col", "lsn")
             winner = F.max_by(
                 F.struct(*[F.col(c) for c in out_cols]), F.col(lsn_col)
             ).alias("_w")
             df = df.groupBy(*snap.key_cols).agg(winner).select("_w.*")
+        if not reduce:
+            return df.withColumn(
+                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+            )
         if include_deleted:
             # bucket id is derived, not stored: recomputing the key hash is
             # cheaper and safer than parquet partition-dir discovery

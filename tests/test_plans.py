@@ -86,3 +86,70 @@ def test_asof_and_scd2_plans_are_key_partitioned(spark):
 
     hist = scd2_history(log, keys=["repo", "path"])
     assert single_partition_exchanges(hist) == 0
+
+
+def test_fused_apply_is_one_exchange(spark):
+    """The whole apply pipeline — LWW dedup AND the writer's (bucket, salt)
+    layout — must move each row over the wire exactly once. bucket and salt
+    are functions of the merge key, so hash-distributing by (bucket, salt)
+    first lets groupBy(bucket, salt, keys) reuse the same exchange
+    (merge.lww_fused); a second Exchange here means the fusion regressed."""
+    from data_migration_service_spark.operators.merge import lww_fused
+    from data_migration_service_spark.tables.lake import BUCKET_COL, bucket_expr
+    from data_migration_service_spark.plans.inspect import physical_plan
+
+    df = spark.range(0, 5_000).select(
+        F.concat(F.lit("r"), F.pmod("id", F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.pmod("id", F.lit(97)).cast("string")).alias("path"),
+        F.col("id").alias("lsn"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+        (F.pmod("id", F.lit(13)) == 0).alias("_deleted"),
+    ).withColumn(BUCKET_COL, bucket_expr(["repo", "path"], 16))
+    fused = lww_fused(df, ["repo", "path"], F.col("lsn"), 2,
+                      struct_cols=["repo", "path", "lsn", "content", "_deleted"])
+    assert physical_plan(fused).count("Exchange ") == 1
+
+    naive = (df.groupBy("repo", "path")
+             .agg(F.max_by(F.struct("repo", "path", "lsn", "content",
+                                    "_deleted"), F.col("lsn")).alias("_w"))
+             .select("_w.*"))
+    got = fused.drop(BUCKET_COL)
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_compact_read_fuses_reduce_with_layout(spark, tmp_path):
+    """Compaction reads base+deltas RAW (read(reduce=False)) and fuses the
+    LWW reduce with the rewrite layout — one exchange for the whole fold,
+    and the raw read must include every duplicate so the reduce sees them."""
+    from pyspark.sql import types as T
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.operators.merge import cdc_apply, lww_fused
+    from data_migration_service_spark.tables.lake import (
+        BUCKET_COL, DELETED_COL, SnapshotTable)
+    from data_migration_service_spark.plans.inspect import physical_plan
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), schema,
+                               key_cols=["repo", "path"], n_buckets=4)
+    cfg = EngineConfig(table_path=str(tmp_path / "t"),
+                       key_cols=("repo", "path"), merge_mode="mor",
+                       salt_factor=1, n_buckets=4, compact_threshold=99)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "repo string, path string, content string, lsn long, op string")
+    cdc_apply(tbl, mk([("r", "a", "v1", 1, "insert")]), cfg, epoch=0)
+    cdc_apply(tbl, mk([("r", "a", "v2", 2, "update")]), cfg, epoch=1)
+
+    raw = tbl.read(include_deleted=True, reduce=False)
+    assert raw.where("repo='r' and path='a'").count() == 2  # both versions
+    fused = lww_fused(raw, ["repo", "path"], F.col("lsn"), 1,
+                      struct_cols=["repo", "path", "content", "lsn",
+                                   DELETED_COL])
+    assert physical_plan(fused).count("Exchange ") == 1
+    rows = fused.where("repo='r' and path='a'").collect()
+    assert len(rows) == 1 and rows[0]["content"] == "v2"
