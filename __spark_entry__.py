@@ -1204,6 +1204,53 @@ SELECT 'valid', CAST(count(*) FILTER (NOT f_lsn AND NOT f_op AND NOT f_repo
 """
 
 
+def q_table_profile(spark, sf):
+    """Column-profile gate (operators/profile.py): one aggregate pass over
+    `orders` emitting count/nulls/distinct/min/max per column — the cheap
+    pre-check run before the per-row hash diff (reference verification,
+    DataVerificationService.java:126-252). exact_distinct=True here for
+    oracle parity; the scale path is HLL (approx_count_distinct)."""
+    from data_migration_service_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf, "orders"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        exact_distinct=True,
+    )
+
+
+_TABLE_PROFILE_SQL = """
+SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+  SELECT 'o_orderkey' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_val
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_orderstatus) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_totalprice) AS BIGINT),
+         CAST(count(DISTINCT o_totalprice) AS BIGINT),
+         CAST(CAST(min(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+         CAST(CAST(max(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(o_orderdate) AS BIGINT),
+         CAST(count(DISTINCT o_orderdate) AS BIGINT),
+         CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+  FROM orders
+)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1259,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_lookup": q_asof_lookup,
         "incremental_agg": q_incremental_agg,
         "event_quarantine": q_event_quarantine,
+        "table_profile": q_table_profile,
     }
 
 
@@ -1277,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_lookup": _ASOF_SQL,
         "incremental_agg": _INCREMENTAL_AGG_SQL,
         "event_quarantine": _EVENT_QUARANTINE_SQL,
+        "table_profile": _TABLE_PROFILE_SQL,
         "lww_dedup": """
             SELECT user_id, event_type, round(value, 2) AS last_value,
                    event_id AS last_event_id

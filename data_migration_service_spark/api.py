@@ -271,6 +271,25 @@ class Engine:
             snapshot = hits[-1]  # epoch's final snapshot (apply + compaction)
         return self.table.read(snapshot=self.table.load_snapshot(snapshot))
 
+    def rollback(self, epoch: int | None = None,
+                 snapshot: int | None = None) -> int:
+        """Resume-from-any-epoch, the strong form: point the table back at
+        a past epoch's final snapshot (metadata-only commit, no data moved)
+        and return the new snapshot id. Replaying epochs > `epoch`
+        afterwards is a normal forward replay — the exactly-once guard keys
+        off the restored epoch tag. Use a FRESH streaming checkpoint after
+        a rollback: an old checkpoint's batch ids still reflect the
+        pre-rollback epoch base and would skip the re-applied range."""
+        if snapshot is None:
+            if epoch is None:
+                raise ValueError("need epoch or snapshot")
+            hits = [h["snapshot_id"] for h in self.history()
+                    if h["epoch"] == epoch]
+            if not hits:
+                raise ValueError(f"no retained snapshot tagged epoch={epoch}")
+            snapshot = hits[-1]
+        return self.table.rollback(snapshot).snapshot_id
+
     def table_stats(self) -> dict[str, Any]:
         """Physical-layout report from manifest + filesystem metadata only
         (no Spark job): per-bucket base/delta file counts and bytes, plus

@@ -502,6 +502,35 @@ class SnapshotTable:
             dropped_buckets=sorted(set(cur.buckets) | set(cur.deltas)),
         )
 
+    def rollback(self, sid: int) -> Snapshot:
+        """Roll the table back to snapshot `sid` — METADATA ONLY, like
+        Iceberg's rollback: a NEW snapshot is committed whose bucket/delta
+        manifest, schema, and props (including the epoch tag) are the old
+        snapshot's, so the ledger stays forward-only and auditable and no
+        data moves. Replay resumes from that epoch: the exactly-once guard
+        keys off the restored epoch tag, so re-applying later epochs is a
+        normal forward replay, not a special path.
+
+        The rolled-back-over snapshots' data dirs stay referenced by the
+        retained manifests until `expire_snapshots` drops them — rollback
+        never deletes anything."""
+        cur = self.current()
+        old = self.load_snapshot(sid)
+        snap = Snapshot(
+            snapshot_id=cur.snapshot_id + 1,
+            parent=cur.snapshot_id,
+            schema_json=old.schema_json,
+            n_buckets=old.n_buckets,
+            key_cols=old.key_cols,
+            buckets=dict(old.buckets),
+            renames=dict(old.renames),
+            props=dict(old.props),
+            summary={"operation": "rollback", "to_snapshot": sid},
+            deltas={b: list(d) for b, d in old.deltas.items()},
+        )
+        self._write_snapshot(snap)
+        return snap
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the newest `keep_last` and delete data
         dirs no surviving snapshot references (Iceberg expire_snapshots)."""

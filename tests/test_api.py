@@ -416,3 +416,45 @@ def test_bootstrap_then_streaming_tail_via_facade(spark, tmp_path):
     eng.replay(src)
     res = eng.verify(expected_final_state(ch))
     assert res.consistent, res.report
+
+
+def test_rollback_then_forward_replay(spark, tmp_path):
+    """Resume-from-any-epoch: rollback is a metadata-only commit restoring a
+    past epoch's state; replaying the later epochs forward reproduces the
+    exact original final state (the ledger keeps both timelines until
+    expire)."""
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 3000, n_repos=10, n_paths_per_repo=20).cache()
+    bounds = [(1, 1000), (1001, 2000), (2001, 3000)]
+    for e, (lo, hi) in enumerate(bounds):
+        cdc_apply(eng.table,
+                  ch.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi)),
+                  eng.cfg, epoch=e)
+    final = eng.table.read().select("repo", "path", "content", "lsn").cache()
+    n_final = final.count()
+
+    sid = eng.rollback(epoch=0)
+    assert eng.table.current().snapshot_id == sid
+    # restored state == time-travel view of epoch 0
+    past = eng.read_as_of(epoch=0).select("repo", "path", "content", "lsn")
+    now = eng.table.read().select("repo", "path", "content", "lsn")
+    assert now.exceptAll(past).count() == 0 and past.exceptAll(now).count() == 0
+
+    # epoch guard keys off the RESTORED epoch tag: epoch 0 skips, 1..2 apply
+    st0 = cdc_apply(eng.table, ch.where(F.col("lsn") <= 1000), eng.cfg, epoch=0)
+    assert st0.skipped
+    for e, (lo, hi) in list(enumerate(bounds))[1:]:
+        st = cdc_apply(eng.table,
+                       ch.where((F.col("lsn") >= lo) & (F.col("lsn") <= hi)),
+                       eng.cfg, epoch=e)
+        assert not st.skipped
+    redone = eng.table.read().select("repo", "path", "content", "lsn")
+    assert redone.count() == n_final
+    assert redone.exceptAll(final).count() == 0
+    assert final.exceptAll(redone).count() == 0
+
+    # rollback never deletes: expire keeps dirs the restored HEAD references
+    eng.table.expire_snapshots(keep_last=2)
+    assert eng.table.read().count() == n_final

@@ -147,3 +147,51 @@ def test_verify_row_hashes_tenant_excluded(spark):
     diff2 = verify_row_hashes(df, corrupted, ["id1", "id2"], exclude=("tenant_id",))
     bad = diff2.where(F.col("status") != "OK").collect()
     assert len(bad) == 1 and bad[0]["id1"] == "k000007"
+
+
+def test_profile_table_stats_and_one_pass(spark):
+    """profile_table: exact per-column stats in long format, computed as a
+    single aggregate job (no joins/windows — the cheap pre-gate must stay
+    cheap)."""
+    from data_migration_service_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "a", 2.25), (4, None, 2.25)],
+        "id long, cat string, val double",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert (prof["id"]["min_val"], prof["id"]["max_val"]) == ("1", "4")
+    assert prof["cat"]["n_nulls"] == 1 and prof["cat"]["n_distinct"] == 2
+    assert prof["val"]["n_nulls"] == 1 and prof["val"]["n_distinct"] == 2
+    # fractional normalized through DECIMAL(38,6): engine-portable string
+    assert prof["val"]["min_val"] == "1.500000"
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_profile_diff_statuses(spark):
+    """profile_diff classifies per-column MATCH / MISMATCH / missing
+    columns; equal profiles are all-MATCH (the migration pre-gate)."""
+    from data_migration_service_spark.operators.profile import (
+        profile_diff,
+        profile_table,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, cat string")
+    same = profile_diff(profile_table(src, exact_distinct=True),
+                        profile_table(src, exact_distinct=True))
+    assert {r["status"] for r in same.collect()} == {"MATCH"}
+
+    tgt = spark.createDataFrame(
+        [(1, "a", True), (2, "b", False), (9, None, True)],
+        "id long, cat string, extra boolean")
+    d = {r["col_name"]: r for r in profile_diff(
+        profile_table(src, exact_distinct=True),
+        profile_table(tgt, exact_distinct=True)).collect()}
+    assert d["cat"]["status"] == "MATCH"
+    assert d["id"]["status"] == "MISMATCH" and not d["id"]["max_val_match"]
+    assert d["id"]["n_rows_match"]  # counts agree, values drifted
+    assert d["extra"]["status"] == "TARGET_ONLY"
