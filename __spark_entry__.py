@@ -697,6 +697,24 @@ def q_dedup_clusters(spark, sf):
     return D.dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_minhash_incremental(spark, sf):
+    """CDC-shaped dedup (operators/dedup.incremental_lsh_pairs): a new batch
+    (doc_id % 5 == 0) is shingled/hashed alone and probed against the stored
+    corpus band index — the corpus is never re-hashed. Output = the pairs
+    the batch INTRODUCES (new-vs-corpus and within-batch), with the same
+    combined bucket cap as the full-corpus operator, so the oracle is the
+    full-corpus pair set restricted to pairs having a new member."""
+    docs = _t(spark, sf, "documents")
+    is_new = F.pmod("doc_id", F.lit(5)) == 0
+    corpus_sigs = D.minhash_signatures(docs.where(~is_new), "doc_id", "text",
+                                       k=5, n_hashes=16)
+    index = D.band_signatures(corpus_sigs, "doc_id", bands=4, rows_per_band=4)
+    new_sigs = D.minhash_signatures(docs.where(is_new), "doc_id", "text",
+                                    k=5, n_hashes=16)
+    new_bands = D.band_signatures(new_sigs, "doc_id", bands=4, rows_per_band=4)
+    return D.incremental_lsh_pairs(new_bands, index, "doc_id", max_bucket=50)
+
+
 def q_windowed_agg(spark, sf):
     from data_migration_service_spark.streaming.windows import windowed_counts
 
@@ -1290,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1530,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": """
@@ -1633,6 +1653,20 @@ def _minhash_lsh_sql() -> str:
         JOIN sig sa ON sa.doc_id = p.id_a
         JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
         GROUP BY p.id_a, p.id_b
+    """
+
+
+def _minhash_incremental_sql() -> str:
+    """Twin of `incremental_lsh_pairs` via its invariant: the full-corpus
+    LSH pair set (identical CTEs — per-doc band signatures don't depend on
+    other docs, and the bucket cap counts the combined population either
+    way) restricted to pairs with at least one new (doc_id % 5 = 0) member."""
+    return _MINHASH_CTES + r"""
+        SELECT id_a, id_b,
+               CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'new_new'
+                    ELSE 'new_corpus' END AS pair_kind
+        FROM pairs
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0
     """
 
 

@@ -117,6 +117,29 @@ def minhash_signatures(
     return mins.selectExpr(id_col, f"stack({n_hashes}, {stack}) as (h, minhash)")
 
 
+def band_signatures(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH band rows (id, band, band_sig): band b's signature is the sha256
+    of that doc's sorted minhashes [b*r, (b+1)*r). Each doc's band rows are
+    independent of every other doc, so this is the PERSISTABLE form of the
+    LSH index — write it once per corpus, append each ingested batch's rows
+    (see `incremental_lsh_pairs`). Store partitioned/bucketed by `band` so
+    probes prune."""
+    r = rows_per_band
+    return (
+        signatures.withColumn("band", (F.col("h") / r).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sha2(F.concat_ws("|", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash"))))), 256)
+            .alias("band_sig"))
+        .where(F.col("band") < bands)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -128,15 +151,7 @@ def lsh_candidate_pairs(
     full band signature are candidates. Self-join per bucket with id< id to
     emit unordered pairs once. `max_bucket` caps pathological buckets (the
     boilerplate-cluster skew guard)."""
-    r = rows_per_band
-    banded = (
-        signatures.withColumn("band", (F.col("h") / r).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sha2(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash"))))), 256)
-            .alias("band_sig"))
-        .where(F.col("band") < bands)
-    )
+    banded = band_signatures(signatures, id_col, bands, rows_per_band)
     sized = banded.join(
         banded.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n")),
         ["band", "band_sig"],
@@ -147,6 +162,66 @@ def lsh_candidate_pairs(
         a.join(b, ["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def incremental_lsh_pairs(
+    new_bands: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs INTRODUCED by a new batch, probed against a
+    stored corpus band index (`band_signatures` rows) — the CDC shape of
+    dedup: each ingested epoch shingles/hashes ONLY its own documents,
+    probes the index, then appends its own band rows. The corpus is never
+    re-shingled, re-hashed, or re-joined against itself.
+
+    Plan shape at scale: the index is touched once via a semi-join on the
+    (band, band_sig) keys the NEW docs occupy — AQE broadcasts that key set
+    whenever the batch is small, so the 10^9-row index is scanned (three
+    narrow columns, band-partition-pruned if stored per `band_signatures`)
+    but never shuffled. Pair fan-out happens only inside the capped hit
+    buckets.
+
+    `max_bucket` caps the COMBINED (corpus + new) population of a bucket,
+    identical semantics to running `lsh_candidate_pairs` over the whole
+    union — a boilerplate band_sig shared by thousands of corpus docs is
+    excluded, not exploded. Hence the exact invariant (tested + oracle):
+
+        incremental_lsh_pairs(new, index)
+          == lsh_candidate_pairs(corpus ∪ new) restricted to pairs with
+             at least one new member.
+
+    Precondition: new ids are disjoint from index ids (re-ingests should
+    replace their index rows first). Output: (id_a, id_b, pair_kind) with
+    id_a < id_b and pair_kind in {'new_new', 'new_corpus'}."""
+    cols = [F.col(id_col), F.col("band"), F.col("band_sig")]
+    new_b = new_bands.select(*cols, F.lit(True).alias("_new"))
+    # probe: only index rows in buckets the new batch occupies survive
+    hit = index.select(*cols).join(
+        new_b.select("band", "band_sig").distinct(),
+        ["band", "band_sig"], "left_semi",
+    ).select(*cols, F.lit(False).alias("_new"))
+    both = new_b.unionByName(hit)
+    sized = both.join(
+        both.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n")),
+        ["band", "band_sig"],
+    ).where(F.col("_n") <= max_bucket)
+    a = sized.select("band", "band_sig", F.col(id_col).alias("id_a"),
+                     F.col("_new").alias("_new_a"))
+    b = sized.select("band", "band_sig", F.col(id_col).alias("id_b"),
+                     F.col("_new").alias("_new_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.col("_new_a") | F.col("_new_b")))
+        .select(
+            "id_a", "id_b",
+            F.when(F.col("_new_a") & F.col("_new_b"), F.lit("new_new"))
+            .otherwise(F.lit("new_corpus")).alias("pair_kind"),
+        )
         .distinct()
     )
 

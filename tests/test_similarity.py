@@ -224,6 +224,40 @@ def test_minhash_xxhash_fast_path_recovers_planted_dups(spark):
     assert planted_pairs <= found["xxhash64"]
 
 
+def test_incremental_lsh_matches_full_corpus_restriction(spark):
+    """The CDC-shaped dedup invariant: probing a NEW batch against the
+    stored corpus band index yields exactly the full-corpus LSH pair set
+    restricted to pairs with >= 1 new member — same combined bucket cap,
+    no corpus re-hash. Kinds label new-vs-corpus vs within-batch."""
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen and some more text")
+    rows = []
+    for i in range(24):
+        txt = f"{base} doc {i} " + "pad tokens " * (i % 5)
+        rows.append((i, txt))
+        if i % 3 == 0:  # planted near-dups spread across the new/old split
+            rows.append((100 + i, txt.replace("three", "tree")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    is_new = F.pmod("doc_id", F.lit(4)) == 0
+    sig = lambda df: D.minhash_signatures(df, "doc_id", "text",  # noqa: E731
+                                          k=5, n_hashes=16)
+    index = D.band_signatures(sig(docs.where(~is_new)), "doc_id")
+    new_bands = D.band_signatures(sig(docs.where(is_new)), "doc_id")
+    inc = {(r["id_a"], r["id_b"]): r["pair_kind"]
+           for r in D.incremental_lsh_pairs(new_bands, index,
+                                            "doc_id", max_bucket=50).collect()}
+
+    full = {(r["id_a"], r["id_b"])
+            for r in D.lsh_candidate_pairs(sig(docs), "doc_id",
+                                           max_bucket=50).collect()}
+    expected = {p for p in full if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert set(inc) == expected and len(expected) > 0
+    for (a, b), kind in inc.items():
+        assert kind == ("new_new" if a % 4 == 0 and b % 4 == 0
+                        else "new_corpus")
+    assert "new_corpus" in set(inc.values())
+
+
 def test_minhash_unknown_family_rejected(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
