@@ -697,6 +697,19 @@ def q_dedup_clusters(spark, sf):
     return D.dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware canonical selection (operators/dedup.cluster_canonical):
+    per LSH near-dup cluster keep the highest-quality member (tie: lowest
+    doc_id). One aggregate over cluster labels — the keep/drop decision a
+    training-data pipeline applies after near-dup detection."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4,
+                                  max_bucket=50)
+    scores = X.quality_score(docs, "doc_id", "text").select("doc_id", "quality")
+    return D.cluster_canonical(scores, pairs, "doc_id", "quality")
+
+
 def q_minhash_incremental(spark, sf):
     """CDC-shaped dedup (operators/dedup.incremental_lsh_pairs): a new batch
     (doc_id % 5 == 0) is shingled/hashed alone and probed against the stored
@@ -1311,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": q_minhash_incremental,
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,  # rows-only
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1551,6 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "ngram_jaccard": _ngram_jaccard_sql(),
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1691,6 +1706,56 @@ def _dedup_clusters_sql() -> str:
                coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
         FROM documents d LEFT JOIN clusters c USING (doc_id)
+    """
+
+
+def _dedup_keep_best_sql() -> str:
+    """Twin of `cluster_canonical` over the identical pair set: recursive-CTE
+    components (as in _dedup_clusters_sql) + the quality formula (as in the
+    quality_score oracle) + argmax per cluster (quality DESC, doc_id ASC)."""
+    ctes = _MINHASH_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS")
+    return ctes + r"""
+        , edges AS (
+          SELECT id_a AS x, id_b AS y FROM pairs
+          UNION
+          SELECT id_b AS x, id_a AS y FROM pairs
+        ), reach AS (
+          SELECT x, x AS lab FROM (SELECT DISTINCT x FROM edges) t
+          UNION
+          SELECT e.x, r.lab FROM edges e JOIN reach r ON e.y = r.x
+        ), clusters AS (
+          SELECT x AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY x
+        ), qt AS (
+          SELECT doc_id, text, length(text) AS n_chars,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks,
+                 length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+          FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 round(0.4*least(n_chars/500.0, 1.0)
+                     + 0.3*(1 - CASE WHEN n_chars > 0
+                                     THEN CAST(n_punct AS DOUBLE)/n_chars
+                                     ELSE 0 END)
+                     + 0.3*CASE WHEN len(toks) > 0 THEN
+                         CAST(len(list_filter(toks, x -> lower(x) IN
+                           ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+                         / len(toks) ELSE 0 END
+                     + 1e-9, 4) AS quality
+          FROM qt
+        ), lab AS (
+          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN clusters c USING (doc_id)
+        ), ranked AS (
+          SELECT l.cluster_id, l.doc_id, q.quality,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.quality DESC, l.doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                 max(q.quality) OVER (PARTITION BY l.cluster_id) AS best_score
+          FROM lab l JOIN q USING (doc_id)
+        )
+        SELECT cluster_id, doc_id AS keep_doc_id, n_members, best_score
+        FROM ranked WHERE rn = 1
     """
 
 

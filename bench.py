@@ -190,7 +190,7 @@ def main() -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--events", type=int, default=None)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--content-blocks", type=int, default=8)
     ap.add_argument("--events-path", default=None,
                     help="persistent dir for the generated event log; "
@@ -207,7 +207,11 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = args.master or f"local[{cpus}]"
     sf = _sf_of(sf_dir)
-    n_events = args.events or max(int(5_000_000 * sf), 10_000)
+    # 20M*sf (2M at the driver's sf0.1): per BENCH.md's fixed-cost analysis,
+    # 500k-event runs spent ~30% of wall on per-epoch scheduling, reporting
+    # the harness floor rather than engine throughput — and the 10^10-event
+    # criterion implies batches far larger than either.
+    n_events = args.events or max(int(20_000_000 * sf), 10_000)
 
     from data_migration_service_spark.session import get_spark
 

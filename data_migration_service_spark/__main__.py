@@ -1,0 +1,209 @@
+"""CLI — the reference's REST surface as `python -m data_migration_service_spark`.
+
+The reference exposes its pipeline over REST (readMe.md:51-61,
+controller/DataMigrationController.java); a Spark engine exposes the same
+verbs as a CLI driven by one JSON config file, the analogue of
+application.properties + DBConfigReader.java:14-36:
+
+    {
+      "tables": {
+        "repos": {
+          "table_path":      "/lake/repos",
+          "source":          "/data/changes/repos",
+          "checkpoint_path": "/lake/_ckpt/repos",
+          "n_buckets":       16384,
+          "merge_mode":      "mor",
+          "key_cols":        ["repo", "path"]
+        }
+      }
+    }
+
+Verb mapping (reference -> CLI):
+
+    POST /jobs                    -> jobs run --config c.json
+    POST /jobs/{t}                -> jobs run --config c.json --table t
+    GET  /jobs[/{t}]              -> jobs status [--table t] [--detail]
+    POST /data/verification[/{t}] -> verify --expected <parquet> [--table t]
+    POST /data/cleanup[/{t}]      -> cleanup [--table t]
+
+Every command prints ONE JSON document to stdout (the REST body analogue)
+and exits 0/1. Table creation is on demand (`jobs run` creates missing
+targets from the source's resolved schema via --schema-json or the default
+code-repo schema).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import types as T
+
+from data_migration_service_spark.api import Engine, EngineGroup
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.registry import SchemaRegistry
+from data_migration_service_spark.session import get_spark
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+DEFAULT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ]
+)
+
+_CFG_KEYS = {
+    "table_path", "key_cols", "lsn_col", "op_col", "n_buckets",
+    "salt_factor", "checkpoint_path", "mismatch_report_cap", "merge_mode",
+    "compact_threshold", "quarantine_path", "skip_limit",
+}
+
+
+def load_config(path: str) -> dict[str, dict]:
+    with open(path) as f:
+        raw = json.load(f)
+    tables = raw.get("tables")
+    if not tables:
+        raise SystemExit(f"config {path}: no 'tables' section")
+    return tables
+
+
+def engine_config(name: str, entry: dict) -> EngineConfig:
+    kw = {k: v for k, v in entry.items() if k in _CFG_KEYS}
+    if "table_path" not in kw:
+        raise SystemExit(f"table '{name}': table_path is required")
+    if "key_cols" in kw:
+        kw["key_cols"] = tuple(kw["key_cols"])
+    return EngineConfig(**kw)
+
+
+def _schema_for(entry: dict) -> T.StructType:
+    if "schema_json" in entry:
+        with open(entry["schema_json"]) as f:
+            return T.StructType.fromJson(json.load(f))
+    return DEFAULT_SCHEMA
+
+
+def _registry_for(entry: dict) -> SchemaRegistry | None:
+    if "registry" in entry:
+        return SchemaRegistry.load(entry["registry"])
+    return None
+
+
+def _engines(spark, tables: dict[str, dict], only: str | None,
+             create: bool = False) -> dict[str, Engine]:
+    if only is not None:
+        if only not in tables:
+            raise SystemExit(f"unknown table '{only}' "
+                             f"(configured: {sorted(tables)})")
+        tables = {only: tables[only]}
+    out = {}
+    for name, entry in tables.items():
+        cfg = engine_config(name, entry)
+        if create and not SnapshotTable.exists(cfg.table_path):
+            SnapshotTable.create(spark, cfg.table_path, _schema_for(entry),
+                                 list(cfg.key_cols), cfg.n_buckets,
+                                 lsn_col=cfg.lsn_col)
+        out[name] = Engine(spark, cfg, registry=_registry_for(entry))
+    return out
+
+
+def cmd_jobs_run(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table, create=True)
+    group = EngineGroup.from_engines(spark, engines)
+    sources = {n: tables[n].get("source") for n in engines}
+    result = group.replay_all(sources, streaming=not args.batch)
+    print(json.dumps(result, default=str))
+    bad = [n for n, r in result.items() if r.get("status") == "FAILED"]
+    return 1 if bad else 0
+
+
+def cmd_jobs_status(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    print(json.dumps(
+        {n: e.status(detail=args.detail) for n, e in engines.items()},
+        default=str))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    out, ok = {}, True
+    for name, eng in engines.items():
+        exp_path = args.expected or tables[name].get("expected")
+        if not exp_path:
+            out[name] = {"status": "NO_EXPECTATION"}
+            ok = False
+            continue
+        res = eng.verify(spark.read.parquet(exp_path),
+                         content_col=args.content_col)
+        out[name] = {
+            "status": "CONSISTENT" if res.consistent else "INCONSISTENT",
+            "source_rows": res.source_rows,
+            "target_rows": res.target_rows,
+            "n_mismatch": res.n_mismatch,
+            "n_missing_in_target": res.n_missing_in_target,
+            "n_missing_in_source": res.n_missing_in_source,
+            "report": res.report,
+            "more": res.more,
+        }
+        ok = ok and res.consistent
+    print(json.dumps(out, default=str))
+    return 0 if ok else 1
+
+
+def cmd_cleanup(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    print(json.dumps({n: e.cleanup() for n, e in engines.items()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
+    ap.add_argument("--config", required=True,
+                    help="JSON config: {'tables': {name: {...}}}")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("jobs", help="run or inspect replay jobs")
+    jsub = p.add_subparsers(dest="jobs_cmd", required=True)
+    run = jsub.add_parser("run")
+    run.add_argument("--table", default=None)
+    run.add_argument("--batch", action="store_true",
+                     help="batch replay instead of streaming availableNow")
+    run.set_defaults(fn=cmd_jobs_run)
+    st = jsub.add_parser("status")
+    st.add_argument("--table", default=None)
+    st.add_argument("--detail", action="store_true")
+    st.set_defaults(fn=cmd_jobs_status)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--table", default=None)
+    v.add_argument("--expected", default=None,
+                   help="parquet of expected final state "
+                        "(default: per-table 'expected' in the config)")
+    v.add_argument("--content-col", default="content")
+    v.set_defaults(fn=cmd_verify)
+
+    c = sub.add_parser("cleanup")
+    c.add_argument("--table", default=None)
+    c.set_defaults(fn=cmd_cleanup)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,10 +80,15 @@ class JobLock:
 
 class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig,
-                 registry: SchemaRegistry | None = None):
+                 registry: SchemaRegistry | None = None,
+                 meta_store=None):
+        # meta_store: commit-protocol backend (tables/metastore.py) — None
+        # = local FS; an object-store deployment passes its conditional-PUT
+        # store here and nothing else changes.
         self.spark = spark
         self.cfg = cfg
-        self.table = SnapshotTable(spark, cfg.table_path)
+        self.table = SnapshotTable(spark, cfg.table_path,
+                                   meta_store=meta_store)
         self.registry = registry
         self._replayer = ReplayEngine(spark, self.table, cfg, registry=registry)
         self.lock = (
@@ -399,6 +404,16 @@ class Engine:
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         return self.table.expire_snapshots(keep_last=keep_last)
 
+    def maintenance_plan(self, **kw) -> dict[str, Any]:
+        """Metadata-only table-health advisor: which buckets to compact,
+        whether to rebucket/salt, what expiry reclaims. No Spark job —
+        safe to call per epoch (tables/maintenance.py)."""
+        from data_migration_service_spark.tables.maintenance import (
+            maintenance_plan,
+        )
+
+        return maintenance_plan(self.table, **kw)
+
 
 class EngineGroup:
     """Multi-table orchestration — the reference's flagship POST /jobs.
@@ -425,6 +440,15 @@ class EngineGroup:
             name: Engine(spark, cfg, registry=(registries or {}).get(name))
             for name, cfg in configs.items()
         }
+
+    @classmethod
+    def from_engines(cls, spark: SparkSession,
+                     engines: dict[str, "Engine"]) -> "EngineGroup":
+        """Wrap pre-built engines (e.g. the CLI's, which create missing
+        tables first) in the sweep API without reconstructing them."""
+        g = cls.__new__(cls)
+        g.spark, g.engines = spark, dict(engines)
+        return g
 
     def replay_all(self, sources: dict[str, str],
                    streaming: bool = True, **kw) -> dict[str, dict[str, Any]]:

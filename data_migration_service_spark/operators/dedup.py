@@ -378,3 +378,36 @@ def dedup_clusters(
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("is_canonical"),
     )
+
+
+def cluster_canonical(
+    scores: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per near-dup cluster, the member a training pipeline KEEPS — the
+    highest-`score_col` doc (ties to the lowest id, deterministic). The
+    quality-aware upgrade of `dedup_clusters`'s min-id canonical flag:
+    between five near-identical crawls of one page you keep the cleanest,
+    not the lowest-numbered.
+
+    One row per cluster: (cluster_id, keep_doc_id, n_members, best_score).
+    Plan: component labels (pairs-sized, never corpus-sized) left-joined to
+    the scored corpus, then ONE hash aggregate by cluster_id with map-side
+    combine via max_by — no window over the corpus, no per-cluster explode.
+    Hot clusters are bounded upstream by the LSH bucket cap."""
+    labels = dedup_clusters(scores.select(id_col), pairs, id_col,
+                            id_a, id_b, max_iter)
+    s = scores if id_col == "doc_id" else scores.withColumnRenamed(
+        id_col, "doc_id")
+    j = labels.join(s.select("doc_id", score_col), "doc_id")
+    tie = F.struct(F.col(score_col), (-F.col("doc_id")).alias("_neg"))
+    return j.groupBy("cluster_id").agg(
+        F.max_by(F.col("doc_id"), tie).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(score_col).alias("best_score"),
+    )

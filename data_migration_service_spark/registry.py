@@ -185,4 +185,13 @@ def apply_ddl_for_version(
         for name, typ in sv.columns:
             if name not in prev_names:
                 table.add_column(name, _TYPE[typ])
+            else:
+                cur_schema = table.current().schema()
+                if (name in cur_schema.names
+                        and cur_schema[name].dataType != _TYPE[typ]):
+                    # version widened an existing column (int→long, …):
+                    # metadata-only promotion; widen_column REFUSES lossy
+                    # changes, so a registry declaring a narrowing fails
+                    # loudly here instead of silently truncating at the sink
+                    table.widen_column(name, _TYPE[typ])
     table.commit("schema_version", {}, props_update={"schema_version": str(version)})

@@ -49,6 +49,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_migration_service_spark.tables.metastore import (
+    CommitConflict,
+    LocalFsMetaStore,
+    MetaStore,
+)
+
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
 META_COLS = (BUCKET_COL, DELETED_COL)
@@ -84,11 +90,16 @@ class Snapshot:
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str,
+                 meta_store: MetaStore | None = None):
         self.spark = spark
         self.root = root
-        self._meta = os.path.join(root, "_meta")
-        self._snapdir = os.path.join(self._meta, "snapshots")
+        # ALL commit-critical metadata I/O goes through the store (see
+        # tables/metastore.py): LocalFsMetaStore here, a conditional-PUT
+        # object store / Iceberg catalog at 100 TB. Data files need no such
+        # care — they are immutable, written under unique dir names, and
+        # unreachable until a manifest referencing them commits.
+        self.meta = meta_store or LocalFsMetaStore(root)
         self._datadir = os.path.join(root, "data")
 
     # ---------- catalog ----------
@@ -103,11 +114,12 @@ class SnapshotTable:
         n_buckets: int = 64,
         props: dict[str, str] | None = None,
         lsn_col: str = "lsn",
+        meta_store: MetaStore | None = None,
     ) -> "SnapshotTable":
-        t = cls(spark, root)
+        t = cls(spark, root, meta_store=meta_store)
         props = dict(props or {})
         props.setdefault("lsn_col", lsn_col)
-        os.makedirs(t._snapdir, exist_ok=True)
+        t.meta.ensure_layout()
         os.makedirs(t._datadir, exist_ok=True)
         if DELETED_COL not in schema.names:
             schema = T.StructType(
@@ -132,36 +144,32 @@ class SnapshotTable:
         return os.path.exists(os.path.join(root, "_meta", "HEAD"))
 
     def current(self) -> Snapshot:
-        with open(os.path.join(self._meta, "HEAD")) as f:
-            sid = int(f.read().strip())
+        sid = self.meta.read_head()
+        if sid is None:
+            raise FileNotFoundError(f"no table at {self.root} (missing HEAD)")
         return self.load_snapshot(sid)
 
     def load_snapshot(self, sid: int) -> Snapshot:
-        with open(os.path.join(self._snapdir, f"{sid:08d}.json")) as f:
-            d = json.load(f)
+        d = self.meta.get_manifest(sid)
         d["buckets"] = {int(k): v for k, v in d["buckets"].items()}
         d["deltas"] = {int(k): v for k, v in d.get("deltas", {}).items()}
         return Snapshot(**d)
 
     def snapshots(self) -> list[int]:
-        return sorted(
-            int(p.split(".")[0]) for p in os.listdir(self._snapdir) if p.endswith(".json")
-        )
+        return self.meta.list_manifest_ids()
 
     def _write_snapshot(self, snap: Snapshot) -> None:
-        """Atomic commit: manifest created fail-if-exists (single-writer
+        """Atomic commit: manifest created create-if-absent (single-writer
         guard, the engine's analogue of the reference's table-level job lock,
-        BatchJobParameterHolder.java:44-53), then HEAD flipped via rename."""
+        BatchJobParameterHolder.java:44-53 — raises CommitConflict when a
+        concurrent committer won this id), then HEAD flipped. Both
+        primitives are the meta store's (metastore.py): POSIX locally,
+        conditional PUT + CAS on an object store."""
         d = dict(snap.__dict__)
         d["buckets"] = {str(k): v for k, v in snap.buckets.items()}
         d["deltas"] = {str(k): v for k, v in snap.deltas.items()}
-        path = os.path.join(self._snapdir, f"{snap.snapshot_id:08d}.json")
-        with open(path, "x") as f:  # 'x': concurrent committer loses here
-            json.dump(d, f)
-        tmp = os.path.join(self._meta, f".HEAD.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snap.snapshot_id))
-        os.replace(tmp, os.path.join(self._meta, "HEAD"))
+        self.meta.put_manifest(snap.snapshot_id, d)
+        self.meta.swap_head(snap.snapshot_id)
 
     # ---------- read ----------
 
@@ -396,7 +404,7 @@ class SnapshotTable:
         """
         cur = self.current()
         if expected_parent is not None and cur.snapshot_id != expected_parent:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit: HEAD={cur.snapshot_id}, expected {expected_parent}"
             )
         buckets = dict(cur.buckets)
@@ -440,6 +448,45 @@ class SnapshotTable:
         new = T.StructType(data + [T.StructField(name, dtype, True)] + meta)
         return self.commit("add_column", {}, schema=new,
                            summary={"column": name, "type": dtype.simpleString()})
+
+    # value-preserving widenings (Iceberg's allowed type promotions),
+    # keyed by DataType.simpleString() names
+    _WIDEN_OK = {
+        ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+        ("smallint", "int"), ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+        ("date", "timestamp"),
+    }
+
+    def widen_column(self, name: str, new_type: T.DataType) -> Snapshot:
+        """Widen a column's type (int→long, float→double, …) — metadata-only
+        commit, no rewrite: `read()` already casts each data dir's physical
+        schema to the snapshot's logical schema, so files written before the
+        widening keep their narrow physical type and widen at scan time
+        (exactly Iceberg's type-promotion rule). Narrowing or any lossy
+        change is refused — that needs a rewrite the caller must opt into."""
+        cur = self.current()
+        schema = cur.schema()
+        if name not in schema.names:
+            raise ValueError(f"no such column: {name}")
+        old_t = schema[name].dataType
+        if old_t == new_type:
+            return cur
+        pair = (old_t.simpleString(), new_type.simpleString())
+        if pair not in self._WIDEN_OK:
+            raise ValueError(
+                f"refusing lossy type change {pair[0]} -> {pair[1]} for "
+                f"'{name}' (allowed: {sorted(self._WIDEN_OK)})")
+        fields = [
+            T.StructField(f.name, new_type if f.name == name else f.dataType,
+                          f.nullable)
+            for f in schema.fields
+        ]
+        return self.commit(
+            "widen_column", {}, schema=T.StructType(fields),
+            summary={"column": name, "from": pair[0], "to": pair[1]},
+        )
 
     def rename_column(self, old: str, new: str) -> Snapshot:
         cur = self.current()
@@ -547,7 +594,7 @@ class SnapshotTable:
         removed = []
         for sid in ids:
             if sid not in keep:
-                os.remove(os.path.join(self._snapdir, f"{sid:08d}.json"))
+                self.meta.delete_manifest(sid)
         for d in os.listdir(self._datadir):
             if d.startswith(("snap-", "delta-")) and d not in live_dirs:
                 shutil.rmtree(os.path.join(self._datadir, d))

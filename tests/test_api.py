@@ -458,3 +458,56 @@ def test_rollback_then_forward_replay(spark, tmp_path):
     # rollback never deletes: expire keeps dirs the restored HEAD references
     eng.table.expire_snapshots(keep_last=2)
     assert eng.table.read().count() == n_final
+
+
+def test_maintenance_plan_metadata_only(spark, tmp_path):
+    """Advisor flags deep delta chains, skew, undersized layouts, and expiry
+    reclaim — from manifests and file sizes only (no Spark job runs)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.tables.lake import SnapshotTable
+    from data_migration_service_spark.tables.maintenance import maintenance_plan
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "mt")
+    t = SnapshotTable.create(spark, root, schema, ["repo", "path"], 4)
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       compact_threshold=100)  # never auto-compact
+    # 3 epochs over the same keys -> delta depth 3 on their buckets
+    for e in range(3):
+        rows = [("r", f"p{i}", "x" * 50, e * 10 + i + 1) for i in range(8)]
+        cdc_apply(t, spark.createDataFrame(rows, schema)
+                  .withColumn("op", F.lit("insert" if e == 0 else "update")),
+                  cfg, epoch=e)
+
+    plan = maintenance_plan(t, compact_at=3, target_bucket_bytes=1,
+                            keep_snapshots=1)
+    assert plan["compact"]["max_delta_depth"] == 3
+    assert len(plan["compact"]["buckets"]) >= 1
+    assert plan["rebucket"]["recommend_n_buckets"] is not None
+    assert plan["rebucket"]["recommend_n_buckets"] > 4
+    assert plan["skew"]["peak_bytes"] > 0
+    # nothing unreferenced yet: every delta dir is still live at keep=1
+    assert plan["expire"]["reclaim_bytes"] == 0
+    assert plan["expire"]["expirable_snapshots"] == t.snapshots()[:-1]
+
+    # compaction rewrites the buckets -> delta dirs become unreferenced,
+    # advisor sees reclaimable bytes; a healthy target reports no rebucket
+    from data_migration_service_spark.operators.merge import compact
+    compact(t, cfg)
+    plan2 = maintenance_plan(t, compact_at=3, keep_snapshots=1,
+                             target_bucket_bytes=10**9)
+    assert plan2["compact"]["buckets"] == []
+    assert plan2["expire"]["reclaim_bytes"] > 0
+    assert plan2["rebucket"]["recommend_n_buckets"] is None
+    # facade passthrough
+    eng = Engine(spark, cfg)
+    assert eng.maintenance_plan(keep_snapshots=1)["snapshot_id"] \
+        == t.current().snapshot_id

@@ -1,0 +1,108 @@
+"""CLI surface (python -m data_migration_service_spark) — the reference's
+REST verbs (readMe.md:51-61) as config-driven commands. Runs main() in
+process against the session fixture; each command's stdout is one JSON doc."""
+
+import json
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.__main__ import main
+from data_migration_service_spark.fixtures.cdc import expected_final_state, gen_changes
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ]
+)
+
+
+def _setup(spark, tmp_path, names=("repos_a", "repos_b")):
+    schema_path = str(tmp_path / "schema.json")
+    with open(schema_path, "w") as f:
+        json.dump(TABLE_SCHEMA.jsonValue(), f)
+    tables, changes = {}, {}
+    for i, name in enumerate(names):
+        ch = gen_changes(spark, 800, n_repos=8, n_paths_per_repo=12,
+                         seed=31 + i).cache()
+        src = str(tmp_path / f"events_{name}")
+        ch.write.mode("overwrite").parquet(src)
+        exp = str(tmp_path / f"expected_{name}")
+        expected_final_state(ch).select(
+            "repo", "path", "commit", "lang", "content", "size_bytes",
+            F.col("last_lsn").alias("lsn"),
+        ).write.mode("overwrite").parquet(exp)
+        changes[name] = ch
+        tables[name] = {
+            "table_path": str(tmp_path / f"lake_{name}"),
+            "source": src,
+            "expected": exp,
+            "schema_json": schema_path,
+            "n_buckets": 8,
+            "merge_mode": "mor",
+        }
+    cfg_path = str(tmp_path / "conf.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"tables": tables}, f)
+    return cfg_path, tables, changes
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_jobs_run_status_verify_cleanup(spark, tmp_path, capsys):
+    cfg, tables, changes = _setup(spark, tmp_path)
+
+    rc, res = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+    assert {res[n]["status"] for n in tables} == {"COMPLETED"}
+    for name, entry in tables.items():
+        t = SnapshotTable(spark, entry["table_path"])
+        assert t.read().count() == expected_final_state(changes[name]).count()
+
+    rc, st = _run(capsys, ["--config", cfg, "jobs", "status"])
+    assert rc == 0 and set(st) == set(tables)
+    assert all(s["snapshot_id"] >= 2 and s["epoch"] >= 0 for s in st.values())
+
+    # single-table addressing (POST /jobs/{t} analogue); re-running the
+    # same source is LWW-absorbed — the final state cannot change
+    before = SnapshotTable(spark, tables["repos_a"]["table_path"]).read().count()
+    rc, res1 = _run(capsys, ["--config", cfg, "jobs", "run", "--batch",
+                             "--table", "repos_a"])
+    assert rc == 0 and list(res1) == ["repos_a"]
+    assert SnapshotTable(
+        spark, tables["repos_a"]["table_path"]).read().count() == before
+
+    rc, ver = _run(capsys, ["--config", cfg, "verify"])
+    assert rc == 0
+    assert {ver[n]["status"] for n in tables} == {"CONSISTENT"}
+    assert all(ver[n]["n_mismatch"] == 0 for n in tables)
+
+    rc, cl = _run(capsys, ["--config", cfg, "cleanup", "--table", "repos_b"])
+    assert rc == 0 and cl["repos_b"] > 0
+    assert SnapshotTable(spark, tables["repos_b"]["table_path"]).read().count() == 0
+    # the untargeted table is untouched
+    assert SnapshotTable(spark, tables["repos_a"]["table_path"]).read().count() > 0
+
+    # verification now fails loudly for the truncated table
+    rc, ver2 = _run(capsys, ["--config", cfg, "verify", "--table", "repos_b"])
+    assert rc == 1 and ver2["repos_b"]["status"] == "INCONSISTENT"
+
+
+def test_cli_unknown_table_rejected(spark, tmp_path, capsys):
+    cfg, _, _ = _setup(spark, tmp_path, names=("solo",))
+    try:
+        main(["--config", cfg, "jobs", "status", "--table", "nope"])
+        raise AssertionError("expected SystemExit")
+    except SystemExit as e:
+        assert "unknown table" in str(e.code) or e.code not in (0, None)

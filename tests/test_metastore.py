@@ -1,0 +1,151 @@
+"""Commit-protocol tests: the engine must be metadata-store-agnostic, and
+the store must elect exactly one winner per snapshot id.
+
+The conditional-PUT store is the 100 TB shape (S3 If-None-Match / GCS
+ifGenerationMatch / catalog CAS); the local-FS store is the sandbox shape.
+Both implement the same two primitives, so the whole SnapshotTable +
+cdc_apply stack runs unmodified on either — proven here by replaying the
+same log through both and comparing final states.
+"""
+
+import threading
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import expected_final_state, gen_changes
+from data_migration_service_spark.functions.hashing import content_sha256
+from data_migration_service_spark.operators.merge import cdc_apply
+from data_migration_service_spark.tables.lake import SnapshotTable
+from data_migration_service_spark.tables.metastore import (
+    CommitConflict,
+    ConditionalPutMetaStore,
+    InMemoryBlobStore,
+    LocalFsMetaStore,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ]
+)
+
+
+def _replay(spark, root, meta_store, changes, n_buckets=8):
+    cfg = EngineConfig(table_path=root, n_buckets=n_buckets)
+    t = SnapshotTable.create(spark, root, SCHEMA, ["repo", "path"],
+                             n_buckets, meta_store=meta_store)
+    for e, (lo, hi) in enumerate([(0, 700), (700, 1400), (1400, 10**9)]):
+        batch = changes.where((F.col("lsn") > lo) & (F.col("lsn") <= hi))
+        cdc_apply(t, batch, cfg, epoch=e)
+    return t
+
+
+def test_engine_runs_identically_on_conditional_put_store(spark, tmp_path):
+    """Full replay through the object-store-shaped protocol == local-FS
+    protocol: same final state (sha256 rows), same snapshot count, same
+    epoch tag. The ONLY difference between the two tables is the
+    meta_store constructor arg — the boundary the 100 TB deployment swaps."""
+    changes = gen_changes(spark, 2000, n_repos=20, n_paths_per_repo=15,
+                          seed=11).cache()
+    t_fs = _replay(spark, str(tmp_path / "fs"), None, changes)
+    t_os = _replay(spark, str(tmp_path / "os"),
+                   ConditionalPutMetaStore(InMemoryBlobStore()), changes)
+
+    def state(t):
+        return {
+            tuple(r)
+            for r in t.read()
+            .select("repo", "path", content_sha256("content").alias("h"))
+            .collect()
+        }
+
+    assert state(t_os) == state(t_fs)
+    want = expected_final_state(changes).count()
+    assert t_os.read().count() == want
+    assert t_os.snapshots() == t_fs.snapshots()
+    assert t_os.current().props["epoch"] == t_fs.current().props["epoch"]
+    # time travel + expiry work through the store too
+    first = t_os.load_snapshot(t_os.snapshots()[0])
+    assert t_os.read(snapshot=first).count() == 0
+    removed = t_os.expire_snapshots(keep_last=2)
+    assert t_os.snapshots() == t_fs.snapshots()[-2:]
+    assert isinstance(removed, list)
+    # exactly-once guard keys off store-held props
+    cfg = EngineConfig(table_path=t_os.root, n_buckets=8)
+    assert cdc_apply(t_os, changes.limit(5), cfg, epoch=1).skipped
+
+
+def test_conditional_put_elects_exactly_one_winner(spark, tmp_path):
+    """Two committers race the same snapshot id through one blob store:
+    exactly one manifest PUT wins, the loser raises CommitConflict, and
+    HEAD lands on the winner — the single-writer invariant the reference
+    gets from its in-process lock (BatchJobParameterHolder.java:44-53)."""
+    blobs = InMemoryBlobStore()
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, SCHEMA, ["repo", "path"], 4,
+                             meta_store=ConditionalPutMetaStore(blobs))
+    # both writers observe HEAD=1 and prepare snapshot 2
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def committer(op):
+        try:
+            barrier.wait(timeout=10)
+            t.commit(op, {}, expected_parent=1)
+            outcomes.append(("ok", op))
+        except CommitConflict:
+            outcomes.append(("conflict", op))
+
+    th = [threading.Thread(target=committer, args=(f"op{i}",)) for i in (0, 1)]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert sorted(o for o, _ in outcomes) == ["conflict", "ok"]
+    winner_op = next(op for o, op in outcomes if o == "ok")
+    cur = t.current()
+    assert cur.snapshot_id == 2
+    assert cur.summary["operation"] == winner_op
+
+
+def test_head_cas_never_moves_backwards():
+    """A committer that wins manifest N but flips HEAD late (object-store
+    reality: arbitrary delay between the two calls) must not drag HEAD
+    back over a newer commit N+1."""
+    blobs = InMemoryBlobStore()
+    store = ConditionalPutMetaStore(blobs)
+    store.put_manifest(1, {"snapshot_id": 1})
+    store.swap_head(1)
+    # slow committer wins manifest 2 but stalls before its HEAD flip
+    store.put_manifest(2, {"snapshot_id": 2, "parent": 1})
+    # fast committer (derived from 2 via direct manifest read) lands 3 fully
+    store.put_manifest(3, {"snapshot_id": 3, "parent": 2})
+    store.swap_head(3)
+    assert store.read_head() == 3
+    # the stalled committer now flips for 2: CAS fails, HEAD stays 3
+    store.swap_head(2)
+    assert store.read_head() == 3
+    # losing a create-if-absent surfaces as CommitConflict
+    with pytest.raises(CommitConflict):
+        store.put_manifest(3, {"snapshot_id": 3})
+
+
+def test_local_fs_store_create_if_absent(tmp_path):
+    store = LocalFsMetaStore(str(tmp_path))
+    store.ensure_layout()
+    store.put_manifest(7, {"a": 1})
+    with pytest.raises(CommitConflict):
+        store.put_manifest(7, {"a": 2})
+    assert store.get_manifest(7) == {"a": 1}
+    store.swap_head(7)
+    assert store.read_head() == 7
+    assert store.list_manifest_ids() == [7]
+    store.delete_manifest(7)
+    assert store.list_manifest_ids() == []

@@ -212,3 +212,92 @@ def test_payload_stream_without_registry_fails_loudly(spark, tmp_path):
     eng = ReplayEngine(spark, t, cfg, registry=None)
     with pytest.raises(ValueError, match="SchemaRegistry"):
         eng.apply_batch(raw.limit(100), epoch=0)
+
+
+def test_widen_column_metadata_only_and_lossless(spark, tmp_path):
+    """int→long widening is a metadata-only commit: files written under the
+    narrow type stay on disk untouched and widen at scan time; post-widen
+    appends carry the wide type; narrowing is refused."""
+    from data_migration_service_spark.config import EngineConfig as EC
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("size_bytes", T.IntegerType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "widen")
+    t = SnapshotTable.create(spark, root, schema, ["repo", "path"], 4)
+    cfg = EC(table_path=root, n_buckets=4)
+    rows1 = [("r", f"p{i}", "c", 100 + i, i + 1) for i in range(6)]
+    cdc_apply(t, spark.createDataFrame(rows1, schema)
+              .withColumn("op", F.lit("insert")), cfg, epoch=0)
+    n_dirs_before = len(set(t.current().buckets.values()))
+
+    snap = t.widen_column("size_bytes", T.LongType())
+    assert snap.summary == {"operation": "widen_column", "column": "size_bytes",
+                            "from": "int", "to": "bigint"}
+    assert len(set(t.current().buckets.values())) == n_dirs_before  # no rewrite
+    assert dict(t.read().dtypes)["size_bytes"] == "bigint"
+
+    big = 2**40  # needs the wide type
+    rows2 = [("r", "p0", "c2", big, 100)]
+    wide = T.StructType([
+        f if f.name != "size_bytes"
+        else T.StructField("size_bytes", T.LongType(), True)
+        for f in schema.fields
+    ])
+    cdc_apply(t, spark.createDataFrame(rows2, wide)
+              .withColumn("op", F.lit("update")), cfg, epoch=1)
+    got = {r["path"]: r["size_bytes"] for r in t.read().collect()}
+    assert got["p0"] == big and got["p1"] == 101  # old narrow file still reads
+
+    with pytest.raises(ValueError, match="lossy"):
+        t.widen_column("size_bytes", T.IntegerType())
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column("nope", T.LongType())
+    assert t.widen_column("size_bytes", T.LongType()).snapshot_id \
+        == t.current().snapshot_id  # no-op when already wide
+
+
+def test_registry_version_widens_existing_column(spark, tmp_path):
+    """A registry version that redeclares an existing column wider drives
+    widen_column through apply_ddl_for_version (idempotently); one that
+    narrows fails loudly instead of truncating at the sink."""
+    from data_migration_service_spark.registry import (
+        SchemaRegistry,
+        SchemaVersion,
+        apply_ddl_for_version,
+    )
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("size_bytes", T.IntegerType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    reg = SchemaRegistry([
+        SchemaVersion(1, 1, [("size_bytes", "int")]),
+        SchemaVersion(2, 100, [("size_bytes", "long")]),
+    ])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), schema,
+                             ["repo", "path"], 4)
+    apply_ddl_for_version(t, reg, 2)
+    assert t.current().schema()["size_bytes"].dataType == T.LongType()
+    apply_ddl_for_version(t, reg, 2)  # idempotent re-run
+
+    bad = SchemaRegistry([
+        SchemaVersion(1, 1, [("size_bytes", "long")]),
+        SchemaVersion(2, 100, [("size_bytes", "int")]),
+    ])
+    t2 = SnapshotTable.create(
+        spark, str(tmp_path / "t2"),
+        T.StructType([T.StructField("repo", T.StringType(), False),
+                      T.StructField("path", T.StringType(), False),
+                      T.StructField("size_bytes", T.LongType(), True),
+                      T.StructField("lsn", T.LongType(), False)]),
+        ["repo", "path"], 4)
+    with pytest.raises(ValueError, match="lossy"):
+        apply_ddl_for_version(t2, bad, 2)

@@ -292,3 +292,23 @@ def test_connected_components_long_chain_converges(spark):
     rows = D.connected_components(pairs, max_iter=15).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == 10
+
+
+def test_cluster_canonical_keeps_best_scored_member(spark):
+    """Per cluster the KEEP decision is argmax(score), ties to the lowest
+    doc_id; singletons keep themselves; output is one row per cluster."""
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.2), (7, 0.8), (9, 0.1)],
+        "doc_id long, score double",
+    )
+    # clusters: {1,2,3} (transitively via 1-2, 2-3), {4,7}; 9 singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 7)], "id_a long, id_b long"
+    )
+    got = {r["cluster_id"]: r for r in D.cluster_canonical(
+        scores, pairs, "doc_id", "score").collect()}
+    assert set(got) == {1, 4, 9}
+    assert got[1]["keep_doc_id"] == 2          # 0.9 tie -> lowest id wins
+    assert got[1]["n_members"] == 3 and got[1]["best_score"] == 0.9
+    assert got[4]["keep_doc_id"] == 7 and got[4]["n_members"] == 2
+    assert got[9]["keep_doc_id"] == 9 and got[9]["n_members"] == 1
