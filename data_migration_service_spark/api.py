@@ -81,16 +81,20 @@ class JobLock:
 class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig,
                  registry: SchemaRegistry | None = None,
-                 meta_store=None):
+                 meta_store=None, audit_gate=None):
         # meta_store: commit-protocol backend (tables/metastore.py) — None
         # = local FS; an object-store deployment passes its conditional-PUT
         # store here and nothing else changes.
+        # audit_gate: optional Callable[[DataFrame], bool] — run every
+        # replayed micro-batch under write-audit-publish (streaming/replay).
         self.spark = spark
         self.cfg = cfg
         self.table = SnapshotTable(spark, cfg.table_path,
                                    meta_store=meta_store)
         self.registry = registry
-        self._replayer = ReplayEngine(spark, self.table, cfg, registry=registry)
+        self._replayer = ReplayEngine(spark, self.table, cfg,
+                                      registry=registry,
+                                      audit_gate=audit_gate)
         self.lock = (
             JobLock(os.path.join(cfg.checkpoint_path, "job.lock"))
             if cfg.checkpoint_path else None
@@ -120,6 +124,62 @@ class Engine:
         finally:
             if self.lock is not None:
                 self.lock.release()
+
+    # ---- write-audit-publish (staged epoch, gated visibility) ----
+    def apply_audited(self, batch: DataFrame, epoch: int,
+                      gate=None, expected: DataFrame | None = None,
+                      content_col: str = "content") -> dict[str, Any]:
+        """Apply one epoch under write-audit-publish: the merge commits
+        STAGED (HEAD unchanged, readers keep the pre-batch state), the
+        audit runs against the staged snapshot, and only a passing audit
+        publishes it. A failing audit discards the staged manifest and its
+        data files — the bad epoch never becomes visible and re-applying a
+        corrected batch under the same epoch number just works (the epoch
+        guard keys off PUBLISHED state).
+
+        The audit is `gate(staged_df) -> bool` (any invariant over the
+        would-be table state), or — reference parity: the verification step
+        that gates a migration (DataVerificationService.java:126-252) —
+        pass `expected` to require per-row sha256(content) equality.
+
+        Iceberg analogue: WAP / branch commit + audit + fast-forward; here
+        the staged manifest IS the branch."""
+        if gate is None and expected is None:
+            raise ValueError("apply_audited needs a gate callable or an "
+                             "expected DataFrame")
+        stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
+                          publish=False)
+        if stats.skipped:
+            return {"epoch": epoch, "published": False, "skipped": True,
+                    "snapshot_id": stats.snapshot_id}
+        staged = self.table.load_snapshot(stats.snapshot_id)
+        staged_df = self.table.read(snapshot=staged)
+        if gate is not None:
+            ok = bool(gate(staged_df))
+            audit: dict[str, Any] = {"gate": "callable", "passed": ok}
+        else:
+            res = V.verify_state(
+                expected, staged_df, list(self.cfg.key_cols),
+                content_col=content_col,
+                report_cap=self.cfg.mismatch_report_cap)
+            ok = res.consistent
+            audit = {"gate": "verify_state", "passed": ok,
+                     "n_mismatch": res.n_mismatch,
+                     "n_missing_in_target": res.n_missing_in_target,
+                     "n_missing_in_source": res.n_missing_in_source}
+        if ok:
+            self.table.publish(staged.snapshot_id)
+            # deferred auto-compaction, now on the published snapshot
+            ripe = [b for b, ds in self.table.current().deltas.items()
+                    if len(ds) >= self.cfg.compact_threshold]
+            if ripe:
+                compact(self.table, self.cfg, buckets=ripe)
+        else:
+            self.table.discard_staged(staged.snapshot_id)
+        return {"epoch": epoch, "published": ok, "skipped": False,
+                "snapshot_id": (self.table.current().snapshot_id if ok
+                                else None),
+                "audit": audit}
 
     # ---- initial full load (snapshot-then-tail handoff) ----
     def bootstrap(self, snapshot_df: DataFrame, epoch: int = 0):

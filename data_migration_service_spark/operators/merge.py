@@ -140,8 +140,16 @@ def cdc_apply(
     cfg: EngineConfig,
     epoch: int | None = None,
     collect_stats: bool = True,
+    publish: bool = True,
 ) -> MergeStats:
-    """Apply one micro-batch of change events to `table`. See module doc."""
+    """Apply one micro-batch of change events to `table`. See module doc.
+
+    `publish=False` stages the commit without flipping HEAD
+    (write-audit-publish): readers keep the pre-batch state until the
+    caller audits the staged snapshot and calls `table.publish(sid)` (or
+    `table.discard_staged(sid)` on failure). Auto-compaction is deferred in
+    staged mode — it would be a second commit on top of an unpublished
+    HEAD; run it after publishing."""
     snap = table.current()
     if epoch is not None and epoch <= int(snap.props.get("epoch", "-1")):
         # Replayed epoch (failure re-run): the snapshot for it already
@@ -172,7 +180,7 @@ def cdc_apply(
     if cfg.merge_mode == "mor":
         # single-pass apply: dedup+write, then plan from the written footers
         return _apply_mor(table, src, snap, cfg, epoch, data_fields,
-                          collect_stats)
+                          collect_stats, publish)
 
     # 2. plan the affected-bucket set (tiny driver-side collect, <= n_buckets
     # rows) — the same pass yields per-bucket lineage: rows and LSN range per
@@ -193,7 +201,8 @@ def cdc_apply(
     if not affected:
         new = table.commit("merge", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
-            summary={"rows": 0}, expected_parent=snap.snapshot_id)
+            summary={"rows": 0}, expected_parent=snap.snapshot_id,
+            publish=publish)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
 
     # 3. read ONLY those buckets from the target (tombstones included: their
@@ -251,6 +260,7 @@ def cdc_apply(
             "rows_deleted": stats.rows_deleted,
         },
         expected_parent=snap.snapshot_id,
+        publish=publish,
     )
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
@@ -260,7 +270,7 @@ def cdc_apply(
 
 
 def _apply_mor(table, src, snap, cfg, epoch, data_fields,
-               collect_stats) -> MergeStats:
+               collect_stats, publish: bool = True) -> MergeStats:
     """Merge-on-read apply: LWW-dedup the batch within itself, append it as
     one delta dir, compact buckets whose delta depth hits the threshold.
 
@@ -304,7 +314,8 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     if not affected:
         new = table.commit("merge-mor", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
-            summary={"rows": 0}, expected_parent=snap.snapshot_id)
+            summary={"rows": 0}, expected_parent=snap.snapshot_id,
+            publish=publish)
         stats.snapshot_id = new.snapshot_id
         return stats
 
@@ -342,6 +353,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
             "rows_deleted": stats.rows_deleted,
         },
         expected_parent=snap.snapshot_id,
+        publish=publish,
     )
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
@@ -351,7 +363,10 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
 
     ripe = [b for b in affected
             if len(new.deltas.get(b, [])) >= cfg.compact_threshold]
-    if ripe:
+    if ripe and publish:
+        # staged mode defers this: compaction is a second commit and must
+        # build on the PUBLISHED snapshot (Engine.apply_audited runs it
+        # after the audit passes)
         compact(table, cfg, buckets=ripe)
         stats.extra["compacted_buckets"] = len(ripe)
         stats.snapshot_id = table.current().snapshot_id

@@ -40,7 +40,12 @@ from data_migration_service_spark.sources.cdc_source import (
 )
 from data_migration_service_spark.tables.lake import SnapshotTable
 
-__all__ = ["RAW_EVENT_SCHEMA", "ReplayEngine"]
+__all__ = ["RAW_EVENT_SCHEMA", "AuditFailed", "ReplayEngine"]
+
+
+class AuditFailed(RuntimeError):
+    """A write-audit-publish gate rejected a staged micro-batch; the staged
+    commit was discarded and the table remains at its last audited state."""
 
 
 class ReplayEngine:
@@ -51,11 +56,20 @@ class ReplayEngine:
         cfg: EngineConfig,
         registry: SchemaRegistry | None = None,
         checkpoint: str | None = None,
+        audit_gate=None,
     ):
+        # audit_gate: optional Callable[[DataFrame], bool] — when set, every
+        # micro-batch commits STAGED (write-audit-publish), the gate runs on
+        # the staged snapshot's full state, and only a pass publishes. A
+        # failing gate discards the staged commit and raises AuditFailed:
+        # the stream stops with the table at its last audited state, and a
+        # restart reprocesses the batch from the checkpoint (the offending
+        # epoch was never published, so the epoch guard does not skip it).
         self.spark = spark
         self.table = table
         self.cfg = cfg
         self.registry = registry
+        self.audit_gate = audit_gate
         self.checkpoint = checkpoint or cfg.checkpoint_path
         if self.checkpoint:
             os.makedirs(os.path.join(self.checkpoint, "lineage"), exist_ok=True)
@@ -102,7 +116,29 @@ class ReplayEngine:
                 epoch=epoch, skip_limit=self.cfg.skip_limit,
                 lsn_col=self.cfg.lsn_col, op_col=self.cfg.op_col,
             )
-        stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch)
+        if self.audit_gate is None:
+            stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch)
+        else:
+            stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
+                              publish=False)
+            if not stats.skipped:
+                staged = self.table.load_snapshot(stats.snapshot_id)
+                if self.audit_gate(self.table.read(snapshot=staged)):
+                    self.table.publish(staged.snapshot_id)
+                    ripe = [b for b, ds in staged.deltas.items()
+                            if len(ds) >= self.cfg.compact_threshold]
+                    if ripe and self.cfg.merge_mode == "mor":
+                        from data_migration_service_spark.operators.merge import (
+                            compact,
+                        )
+
+                        compact(self.table, self.cfg, buckets=ripe)
+                else:
+                    self.table.discard_staged(staged.snapshot_id)
+                    raise AuditFailed(
+                        f"epoch {epoch}: audit gate rejected the staged "
+                        f"snapshot {staged.snapshot_id}; table remains at "
+                        f"{self.table.current().snapshot_id}")
         stats.extra["wall_sec"] = round(time.monotonic() - t0, 3)
         if n_quarantined:
             stats.extra["rows_quarantined"] = n_quarantined

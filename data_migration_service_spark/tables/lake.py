@@ -158,18 +158,83 @@ class SnapshotTable:
     def snapshots(self) -> list[int]:
         return self.meta.list_manifest_ids()
 
-    def _write_snapshot(self, snap: Snapshot) -> None:
+    def _write_snapshot(self, snap: Snapshot, publish: bool = True) -> None:
         """Atomic commit: manifest created create-if-absent (single-writer
         guard, the engine's analogue of the reference's table-level job lock,
         BatchJobParameterHolder.java:44-53 — raises CommitConflict when a
         concurrent committer won this id), then HEAD flipped. Both
         primitives are the meta store's (metastore.py): POSIX locally,
-        conditional PUT + CAS on an object store."""
+        conditional PUT + CAS on an object store.
+
+        `publish=False` stages the manifest WITHOUT flipping HEAD
+        (write-audit-publish): the winning committer holds the id, readers
+        keep seeing the parent, and `publish()`/`discard_staged()` decide
+        its fate after the audit."""
         d = dict(snap.__dict__)
         d["buckets"] = {str(k): v for k, v in snap.buckets.items()}
         d["deltas"] = {str(k): v for k, v in snap.deltas.items()}
         self.meta.put_manifest(snap.snapshot_id, d)
-        self.meta.swap_head(snap.snapshot_id)
+        if publish:
+            self.meta.swap_head(snap.snapshot_id)
+
+    # ---------- write-audit-publish ----------
+
+    def staged_snapshots(self) -> list[int]:
+        """Manifest ids committed but never published (id > HEAD): a
+        pending audit, or an orphan left by a committer that died between
+        stage and publish/discard."""
+        head = self.meta.read_head()
+        return [i for i in self.meta.list_manifest_ids()
+                if head is None or i > head]
+
+    def publish(self, sid: int) -> Snapshot:
+        """Flip HEAD to a staged snapshot — the audit passed. Metadata-only
+        (the data files were already in place at stage time, just
+        unreachable); the monotone HEAD swap makes a duplicate publish of
+        an already-published id a no-op."""
+        head = self.meta.read_head()
+        if sid <= (head if head is not None else -1):
+            return self.load_snapshot(sid)  # already published
+        snap = self.load_snapshot(sid)  # raises if never staged
+        if snap.parent != head:
+            raise CommitConflict(
+                f"cannot publish {sid}: parent {snap.parent} is not HEAD "
+                f"{head} (stage chains publish in order)")
+        self.meta.swap_head(sid)
+        return snap
+
+    def discard_staged(self, sid: int | None = None) -> list[int]:
+        """Drop staged (unpublished) snapshots — the audit failed, or a
+        crashed committer left an orphan blocking the id sequence. Deletes
+        each staged manifest plus any data dirs ONLY it references; returns
+        the ids discarded. With `sid=None` discards every staged id."""
+        import shutil
+
+        head = self.meta.read_head()
+        staged = self.staged_snapshots()
+        todo = staged if sid is None else [sid]
+        if sid is not None and sid not in staged:
+            raise ValueError(f"snapshot {sid} is not staged "
+                             f"(staged: {staged}, HEAD: {head})")
+        live: set[str] = set()
+        keep_ids = [i for i in self.meta.list_manifest_ids()
+                    if i not in todo]
+        for i in keep_ids:
+            s = self.load_snapshot(i)
+            live.update(s.buckets.values())
+            for ds in s.deltas.values():
+                live.update(ds)
+        for i in sorted(todo, reverse=True):
+            s = self.load_snapshot(i)
+            dirs = set(s.buckets.values())
+            for ds in s.deltas.values():
+                dirs.update(ds)
+            for d in dirs - live:
+                p = os.path.join(self._datadir, d)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            self.meta.delete_manifest(i)
+        return sorted(todo)
 
     # ---------- read ----------
 
@@ -392,8 +457,12 @@ class SnapshotTable:
         summary: dict[str, Any] | None = None,
         expected_parent: int | None = None,
         delta_append: dict[int, str] | None = None,
+        publish: bool = True,
     ) -> Snapshot:
         """Commit a new snapshot: parent's bucket map + rewrites - drops.
+
+        `publish=False` stages the snapshot without flipping HEAD
+        (write-audit-publish): readers keep the parent until `publish()`.
 
         `delta_append` appends one delta dir per bucket (merge-on-read
         append). A bucket in `rewritten` had its full merged state rewritten
@@ -431,7 +500,7 @@ class SnapshotTable:
             summary={"operation": operation, **(summary or {})},
             deltas=deltas,
         )
-        self._write_snapshot(snap)
+        self._write_snapshot(snap, publish=publish)
         return snap
 
     # ---------- DDL (metadata-only, no rewrite) ----------
@@ -579,12 +648,17 @@ class SnapshotTable:
         return snap
 
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
-        """Drop manifests older than the newest `keep_last` and delete data
-        dirs no surviving snapshot references (Iceberg expire_snapshots)."""
+        """Drop manifests older than the newest `keep_last` PUBLISHED
+        snapshots and delete data dirs no surviving snapshot references
+        (Iceberg expire_snapshots). Staged (unpublished) ids are never
+        expired — they are pending audits; use `discard_staged` for those."""
         import shutil
 
+        head = self.meta.read_head()
         ids = self.snapshots()
-        keep = set(ids[-keep_last:])
+        published = [i for i in ids if head is not None and i <= head]
+        keep = set(published[-keep_last:]) | {i for i in ids
+                                              if i not in published}
         live_dirs: set[str] = set()
         for sid in keep:
             s = self.load_snapshot(sid)

@@ -301,3 +301,58 @@ def test_registry_version_widens_existing_column(spark, tmp_path):
         ["repo", "path"], 4)
     with pytest.raises(ValueError, match="lossy"):
         apply_ddl_for_version(t2, bad, 2)
+
+
+def test_streaming_audit_gate_blocks_bad_batch_then_resumes(spark, tmp_path):
+    """Write-audit-publish on the stream: a micro-batch whose staged state
+    violates the gate is discarded (never visible), the stream stops with
+    AuditFailed, and — because the epoch was never published — a restart
+    from the same checkpoint reprocesses exactly that batch."""
+    from data_migration_service_spark.streaming.replay import AuditFailed
+
+    ch = gen_changes(spark, 1200, n_repos=8, n_paths_per_repo=20,
+                     schema_v2_at=10**9, schema_v3_at=10**9).cache()
+    # poison one surviving v1-schema row in the second half of the WAL
+    poison_lsn = 1100
+    ch = ch.withColumn(
+        "content",
+        F.when((F.col("lsn") == poison_lsn) & (F.col("op") != "delete"),
+               F.lit("POISON")).otherwise(F.col("content")))
+    raw = to_raw_events(ch)
+    reg = default_registry(10**9, 10**9 + 1)
+    t = SnapshotTable.create(spark, str(tmp_path / "repos"), V1_SCHEMA,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=16,
+                       checkpoint_path=str(tmp_path / "ckpt"))
+    src = str(tmp_path / "events_src")
+    raw.where(F.col("lsn") <= 600).coalesce(1) \
+       .write.mode("append").parquet(src)
+    raw.where(F.col("lsn") > 600).coalesce(1) \
+       .write.mode("append").parquet(src)
+
+    def gate(df):
+        return df.where(F.col("content") == "POISON").limit(1).count() == 0
+
+    eng = ReplayEngine(spark, t, cfg, registry=reg, audit_gate=gate)
+    with pytest.raises(Exception, match="audit gate rejected"):
+        eng.replay_stream(src, max_files_per_trigger=1)
+
+    # only the audited prefix is visible; nothing staged left behind
+    assert t.read().where(F.col("content") == "POISON").count() == 0
+    assert t.staged_snapshots() == []
+    head_after_fail = t.current().snapshot_id
+    assert isinstance(AuditFailed("x"), RuntimeError)
+
+    # restart with the poison row allowed (operator accepted the anomaly):
+    # the SAME checkpoint replays the unpublished batch — no data lost
+    eng2 = ReplayEngine(spark, t, cfg, registry=reg)
+    eng2.replay_stream(src, max_files_per_trigger=1)
+    assert t.current().snapshot_id > head_after_fail
+    got = t.read().select(
+        "repo", "path", content_sha256("content").alias("h"), F.col("lsn"))
+    want = expected_final_state(ch).select(
+        "repo", "path", content_sha256("content").alias("h"),
+        F.col("last_lsn").alias("lsn"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert t.read().where(F.col("content") == "POISON").count() == 1
