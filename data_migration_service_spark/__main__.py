@@ -25,6 +25,7 @@ Verb mapping (reference -> CLI):
     GET  /jobs[/{t}]              -> jobs status [--table t] [--detail]
     POST /data/verification[/{t}] -> verify --expected <parquet> [--table t]
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
+    (engine-added)                -> maintain [--apply] [--table t]
 
 Every command prints ONE JSON document to stdout (the REST body analogue)
 and exits 0/1. Table creation is on demand (`jobs run` creates missing
@@ -171,6 +172,32 @@ def cmd_cleanup(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """Metadata-only health report per table; --apply acts on it (compact
+    flagged buckets, expire old snapshots). The advisor never runs a Spark
+    job, so `maintain` without --apply is safe on any schedule."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    out = {}
+    for name, eng in engines.items():
+        plan = eng.maintenance_plan(keep_snapshots=args.keep_snapshots,
+                                    compact_at=args.compact_at)
+        actions = {}
+        if args.apply:
+            if plan["compact"]["buckets"]:
+                from data_migration_service_spark.operators.merge import compact
+
+                actions["compact_snapshot"] = compact(
+                    eng.table, eng.cfg, buckets=plan["compact"]["buckets"])
+                actions["compacted_buckets"] = plan["compact"]["buckets"]
+            actions["expired"] = eng.expire_snapshots(
+                keep_last=args.keep_snapshots)
+        out[name] = {"plan": plan, "actions": actions}
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
     ap.add_argument("--config", required=True,
@@ -200,6 +227,16 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("cleanup")
     c.add_argument("--table", default=None)
     c.set_defaults(fn=cmd_cleanup)
+
+    mt = sub.add_parser("maintain",
+                        help="metadata-only health report; --apply acts")
+    mt.add_argument("--table", default=None)
+    mt.add_argument("--apply", action="store_true",
+                    help="compact flagged buckets and expire old snapshots")
+    mt.add_argument("--keep-snapshots", type=int, default=2)
+    mt.add_argument("--compact-at", type=int, default=4,
+                    help="flag buckets whose MOR delta depth >= this")
+    mt.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -37,6 +37,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fan_out_small_scan(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Spread a narrow scan across the cluster before row-expanding work.
+
+    Explode-heavy operators (shingling multiplies rows by ~text length)
+    inherit the SCAN's partitioning: a small corpus packed into few parquet
+    files — one split — would run the whole downstream hash pipeline on one
+    core while the rest idle (measured 2.2x on the sf0.1 dedup_clusters
+    pipeline, whose input is a single file). Repartition up-front ONLY when
+    the input has fewer splits than the session's parallelism; a corpus at
+    scale arrives with thousands of splits and takes the no-shuffle path."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
              distinct: bool = True) -> DataFrame:
     """Character k-gram shingles via explode(sequence) — JVM-side, no UDF.
@@ -44,6 +61,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5,
 
     `distinct=False` skips the set-dedup shuffle — correct whenever the
     consumer is duplicate-idempotent (min() for MinHash signatures)."""
+    df = fan_out_small_scan(df.select(id_col, text_col))
     n = F.greatest(F.length(text_col) - (k - 1), F.lit(1))
     out = (
         df.select(
@@ -64,19 +82,26 @@ def minhash_signatures(
     hash_i(shingle). Output: (id, h in 0..n_hashes-1, minhash).
 
     `hash_family`:
-    - "sha256" (default): two sha256s sliced into up to 16 hex-string
-      hashes. Hex-string min == numeric min on the uniform hash domain, and
-      is directly portable to the SQL oracle — the correctness-checked path.
-    - "xxhash64": one salted xxhash64 per hash function (minhash is a long).
-      ~one cheap JVM hash vs 2 sha256s per shingle — the production fast
-      path. Same MinHash math on a different hash family, so borderline
-      pairs can band differently than sha256; planted high-similarity dups
-      are recovered identically (tests assert it), and DuckDB has no
-      xxhash64, hence no oracle for this path.
+    - "sha256" (default): two sha256s sliced into up to 16 hashes, each
+      8-hex-char slice parsed to a LONG — the correctness-checked path.
+      Fixed-width lowercase hex is order-isomorphic to its numeric value,
+      so min(long) picks the same shingle as the oracle's min over hex
+      substrings; minhash values themselves never surface in checked
+      output (only pair ids / agreement ratios do), so the representation
+      is free to differ from DuckDB's. The long buffer is WHY: min(string)
+      has an immutable aggregation buffer, forcing SortAggregate — a full
+      sort of the exploded shingle rows; min(long) runs as whole-stage-
+      codegen HashAggregate (measured 3.4x on the sf0.1 pipeline).
+    - "xxhash64": one salted xxhash64 per hash function. ~one cheap JVM
+      hash vs 2 sha256s per shingle — the production fast path. Same
+      MinHash math on a different hash family, so borderline pairs can
+      band differently than sha256; planted high-similarity dups are
+      recovered identically (tests assert it), and DuckDB has no xxhash64,
+      hence no oracle for this path.
 
-    Downstream (`lsh_candidate_pairs`, `minhash_jaccard_estimate`) only
-    compares minhash values for equality, so both output types plug in
-    unchanged.
+    Both families emit (id, h, minhash:long); downstream
+    (`lsh_candidate_pairs`, `minhash_jaccard_estimate`) only compares
+    minhash values for equality.
     """
     if hash_family == "xxhash64":
         sh = shingles(df, id_col, text_col, k, distinct=False)
@@ -95,11 +120,12 @@ def minhash_signatures(
     # min() is idempotent to duplicate shingles — skip the distinct shuffle
     sh = shingles(df, id_col, text_col, k, distinct=False)
     # Two sha256s per shingle, sliced into up to 16 independent 32-bit
-    # hex-string hashes (8 chars each) — 8x fewer hash evaluations than one
-    # sha256 per hash function, with the same min-over-uniform-domain
+    # hashes (8 hex chars -> long each) — 8x fewer hash evaluations than
+    # one sha256 per hash function, with the same min-over-uniform-domain
     # semantics. One wide groupBy(doc) with partial-aggregable mins: the
     # shuffle carries ~n_docs rows (map-side combine), not
-    # n_shingles x n_hashes.
+    # n_shingles x n_hashes. Long mins keep the aggregate hash-based
+    # (see docstring).
     def _src(j):
         if j == 0:
             return F.sha2(F.col("shingle"), 256)
@@ -108,7 +134,8 @@ def minhash_signatures(
     mins = sh.groupBy(id_col).agg(
         *[
             F.min(
-                F.substring(_src(i // 8), (i % 8) * 8 + 1, 8)
+                F.conv(F.substring(_src(i // 8), (i % 8) * 8 + 1, 8),
+                       16, 10).cast("long")
             ).alias(f"_h{i}")
             for i in range(n_hashes)
         ]
@@ -134,7 +161,8 @@ def band_signatures(
         signatures.withColumn("band", (F.col("h") / r).cast("int"))
         .groupBy(id_col, "band")
         .agg(F.sha2(F.concat_ws("|", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("h").cast("string"), F.col("minhash"))))), 256)
+            F.concat_ws(":", F.col("h").cast("string"),
+                        F.col("minhash").cast("string"))))), 256)
             .alias("band_sig"))
         .where(F.col("band") < bands)
     )
@@ -313,22 +341,30 @@ def connected_components(
     LSH emits near-dup PAIRS; a dedup pipeline needs CLUSTERS (keep one
     canonical doc per group, drop the rest), and pairs compose transitively
     (A~B, B~C => one group even if A,C never shared a bucket). This is
-    hash-min label propagation — each iteration every node adopts the
-    smallest label in its neighborhood:
+    hash-min label propagation with POINTER JUMPING — each round every node
+    adopts the smallest label in its neighborhood, then additionally adopts
+    its label's label (path compression):
 
-    - one iteration = one equi-join (edges x labels) + one min-aggregate,
-      both key-partitioned shuffles, no driver data;
-    - converges in O(cluster diameter) iterations — near-dup clusters are
-      shallow (stars/cliques around a template), so 3-4 iterations in
-      practice; `max_iter` bounds adversarial chains;
+    - one round = one equi-join (edges x labels) + one min-aggregate + one
+      self-join on the label table — all key-partitioned shuffles, no
+      driver data;
+    - the jump makes label distance-to-root roughly halve per round:
+      O(log diameter) rounds instead of O(diameter). Measured on the
+      bucket-capped LSH graph at sf0.1 (diameter ~11 — capped buckets
+      chain rather than clique): 12 rounds plain vs 7 with jumping, same
+      labels; `max_iter` bounds adversarial chains;
     - `localCheckpoint` truncates the growing lineage each round (without
       it the plan doubles per iteration and the optimizer re-walks it);
-    - the convergence probe is a scalar count, not a collect of rows.
+    - convergence probe: labels are node-wise non-increasing, so the
+      label-table SUM is strictly decreasing until fixpoint — one scalar
+      aggregate per round (decimal(38,0): no overflow at any node-id
+      scale), no old-vs-new join.
 
-    At larger diameters the two-phase large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    halves rounds; for dedup graphs the plain hash-min is the better
-    constant. Reference has no analogue (its dedup is PK collision skip,
+    The two-phase large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") also bounds total edge
+    duplication on power-law graphs; for bucket-capped LSH graphs (degree
+    already capped upstream) min-label + jumping has the better constant.
+    Reference has no analogue (its dedup is PK collision skip,
     DataMigrationService.java:160).
     """
     edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
@@ -338,22 +374,30 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     labels = edges.select("x").distinct().withColumn("lab", F.col("x"))
+    prev_sum = None
     for _ in range(max_iter):
         prop = edges.join(
             labels.select(F.col("x").alias("y"), "lab"), "y"
         ).select("x", "lab")
         new_labels = (
             labels.unionByName(prop).groupBy("x").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "_old"), "x")
-            .where(F.col("lab") != F.col("_old"))
-            .limit(1)
-            .count()
         )
-        labels = new_labels
-        if changed == 0:
+        # pointer jump: x -> lab(lab(x)) — label ids are node ids, so the
+        # label table doubles as the parent table; left join because a
+        # cluster's root labels itself with an id that has no row when the
+        # root never appeared as a non-min member (coalesce keeps it)
+        parent = new_labels.select(F.col("x").alias("lab"),
+                                   F.col("lab").alias("_lab2"))
+        labels = (
+            new_labels.join(parent, "lab", "left")
+            .select("x", F.coalesce("_lab2", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("x").alias("node"), F.col("lab").alias("cluster_id"))
 
 

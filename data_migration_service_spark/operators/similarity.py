@@ -115,10 +115,12 @@ def near_dup_pairs_lsh(
     `max_bucket` drops pathological buckets (degenerate/constant embeddings)
     — the same skew guard as dedup.lsh_candidate_pairs.
     """
-    ids = df.select(
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
+    ids = fan_out_small_scan(df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ))
     ids = ids.withColumn("_bkt", lsh_bucket(ids, "_v", n_planes, seed, dim))
     if max_bucket is not None:
         sizes = ids.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))

@@ -116,7 +116,9 @@ def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
     every document scores 0 rather than dividing by zero. Scores rounded
     to 6 (float portability with the oracle).
     """
-    toks = df.select(
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
+    toks = fan_out_small_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
     )
@@ -310,9 +312,12 @@ def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
         ))
         return df.select(F.col(ic), g.alias("_grams"))
 
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
     bench_grams = (grams(benchmark, id_col, text_col)
                    .select(F.explode("_grams").alias("_g")).distinct())
-    doc_grams = grams(docs, id_col, text_col)
+    doc_grams = grams(fan_out_small_scan(docs.select(id_col, text_col)),
+                      id_col, text_col)
     exploded = doc_grams.select(id_col, F.explode("_grams").alias("_g"))
     matched = (exploded.join(F.broadcast(bench_grams), "_g", "inner")
                .groupBy(id_col)

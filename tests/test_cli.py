@@ -106,3 +106,41 @@ def test_cli_unknown_table_rejected(spark, tmp_path, capsys):
         raise AssertionError("expected SystemExit")
     except SystemExit as e:
         assert "unknown table" in str(e.code) or e.code not in (0, None)
+
+
+def test_cli_maintain_report_and_apply(spark, tmp_path, capsys):
+    """`maintain` reports table health from metadata only; `--apply`
+    compacts the flagged buckets and expires old snapshots."""
+    cfg, tables, _ = _setup(spark, tmp_path, names=("solo",))
+    # config with a never-auto-compact threshold so deltas accumulate
+    with open(cfg) as f:
+        conf = json.load(f)
+    conf["tables"]["solo"]["compact_threshold"] = 100
+    with open(cfg, "w") as f:
+        json.dump(conf, f)
+
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+    # two more replays of the same source: absorbed by LWW, but each commits
+    # a snapshot — history to expire (delta depth stays modest)
+    for _ in range(2):
+        rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+
+    rc, rep = _run(capsys, ["--config", cfg, "maintain", "--keep-snapshots",
+                            "1", "--compact-at", "2"])
+    assert rc == 0
+    plan = rep["solo"]["plan"]
+    assert plan["compact"]["max_delta_depth"] >= 2
+    assert plan["compact"]["buckets"]
+    assert rep["solo"]["actions"] == {}  # report-only without --apply
+    n_snaps_before = len(SnapshotTable(spark, tables["solo"]["table_path"])
+                         .snapshots())
+    assert plan["expire"]["expirable_snapshots"]
+
+    rc, rep2 = _run(capsys, ["--config", cfg, "maintain", "--apply",
+                             "--keep-snapshots", "1", "--compact-at", "2"])
+    assert rc == 0
+    t = SnapshotTable(spark, tables["solo"]["table_path"])
+    assert len(t.snapshots()) < n_snaps_before
+    assert not any(t.current().deltas.values())  # compacted
+    assert t.read().count() > 0
