@@ -153,3 +153,32 @@ def test_compact_read_fuses_reduce_with_layout(spark, tmp_path):
     assert physical_plan(fused).count("Exchange ") == 1
     rows = fused.where("repo='r' and path='a'").collect()
     assert len(rows) == 1 and rows[0]["content"] == "v2"
+
+
+def test_minhash_signature_agg_is_hash_based(spark):
+    """min(string) buffers force SortAggregate (a full sort of the exploded
+    shingle rows); the hex->long slice parse keeps the signature aggregate
+    whole-stage-codegen HashAggregate. Pins the formulation."""
+    from data_migration_service_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} " * 10) for i in range(50)],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert dict(sigs.dtypes)["minhash"] == "bigint"
+
+
+def test_fan_out_small_scan_conditional(spark):
+    """Single-split inputs spread to the session parallelism before
+    explode-heavy work; already-parallel inputs take the no-shuffle path."""
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(1, "x")], "id long, t string").coalesce(1)
+    assert fan_out_small_scan(small).rdd.getNumPartitions() == par * 2
+    wide = spark.range(0, 10000).repartition(par * 4) \
+        .select("id", F.lit("t").alias("t"))
+    assert fan_out_small_scan(wide).rdd.getNumPartitions() == par * 4
