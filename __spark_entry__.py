@@ -794,6 +794,43 @@ def q_embedding_near_dup_lsh(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+def q_embedding_incremental(spark, sf):
+    """CDC-shaped embedding dedup (similarity.incremental_near_dup_pairs):
+    a new batch (vec_id % 5 == 0) is bucketed alone and probed against the
+    stored corpus vector index; exact invariant (also pinned in pytest):
+    == near_dup_pairs_lsh(union) restricted to pairs with >=1 new member."""
+    emb = _t(spark, sf, "embeddings")
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    index = S.vector_index(old, "vec_id", "embedding", dim=64)
+    new_idx = S.vector_index(new, "vec_id", "embedding", dim=64)
+    out = S.incremental_near_dup_pairs(new_idx, index, "vec_id",
+                                       threshold=0.4, probe_hamming=1)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
+def _embedding_incremental_sql() -> str:
+    """Twin of `incremental_near_dup_pairs` via its invariant: the
+    union-corpus LSH pair set (identical bucket rule) restricted to pairs
+    with at least one new (vec_id % 5 = 0) member, plus the kind tag."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+          SELECT vec_id, e, {_bucket_sql_expr('e')} AS bkt FROM v
+        )
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_cosine_similarity(a.e, b2.e), 4) AS cosine,
+               CASE WHEN a.vec_id % 5 = 0 AND b2.vec_id % 5 = 0
+                    THEN 'new_new' ELSE 'new_corpus' END AS pair_kind
+        FROM b a JOIN b b2
+          ON a.vec_id < b2.vec_id
+         AND bit_count(xor(CAST(a.bkt AS BIGINT), CAST(b2.bkt AS BIGINT))) <= 1
+        WHERE list_cosine_similarity(a.e, b2.e) >= 0.4
+          AND (a.vec_id % 5 = 0 OR b2.vec_id % 5 = 0)
+    """
+
+
 def _near_dup_lsh_sql() -> str:
     return f"""
         WITH v AS (
@@ -1328,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_incremental": q_embedding_incremental,
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -1586,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 25
         """,
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        "embedding_incremental": _embedding_incremental_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
         "embedding_ivf_topk": _ivf_topk_sql(k=25),
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the

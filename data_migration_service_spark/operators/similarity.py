@@ -277,3 +277,94 @@ def lsh_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def vector_index(df: DataFrame, id_col: str, vec_col: str,
+                 n_planes: int = 8, seed: int = 42,
+                 dim: int = 64) -> DataFrame:
+    """Persistable ANN index rows (id, bucket, vec) — the embedding twin of
+    `dedup.band_signatures`. Each row depends only on its own vector (the
+    hyperplanes are hash-derived, nothing trained or broadcast), so the
+    index is built once per corpus and APPENDED per ingested batch. Store
+    partitioned by `bucket` so incremental probes prune to hit buckets."""
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
+    ids = fan_out_small_scan(df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ))
+    return ids.withColumn(
+        "bucket", lsh_bucket(ids, "vec", n_planes, seed, dim))
+
+
+def incremental_near_dup_pairs(
+    new_index: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs INTRODUCED by a new batch, probed against a
+    stored `vector_index` — the CDC shape of embedding dedup (the vector
+    twin of `dedup.incremental_lsh_pairs`): each ingested epoch buckets
+    ONLY its own vectors, probes the index, reranks candidates with exact
+    cosine, then appends its own index rows. The corpus is never re-hashed
+    or re-joined against itself.
+
+    Plan shape at scale: the new batch explodes into its probe buckets
+    (Hamming <= probe_hamming flips); the index is touched once via a
+    semi-join on that bucket set — bucket-partition-pruned when stored per
+    `vector_index`, AQE-broadcast when the batch is small. The flip-mask
+    equi-join finds each qualifying pair exactly once (the mask equal to
+    bucket_a XOR bucket_b is unique), so no distinct pass.
+
+    `max_bucket` caps the COMBINED (corpus + new) bucket population —
+    identical semantics to `near_dup_pairs_lsh` over the union. Exact
+    invariant (tested + oracle):
+
+        incremental_near_dup_pairs(new, index)
+          == near_dup_pairs_lsh(corpus ∪ new) restricted to pairs with
+             at least one new member.
+
+    Precondition: new ids are disjoint from index ids (re-ingests replace
+    their index rows first). Output: (id_a, id_b, cosine, pair_kind) with
+    id_a < id_b and pair_kind in {'new_new', 'new_corpus'}."""
+    new_b = new_index.select(
+        F.col(id_col).alias("_id"), "vec", "bucket",
+        F.lit(True).alias("_new"))
+    flips = _probe_flips(n_planes, probe_hamming)
+    probe_buckets = new_b.select(F.explode(F.array(
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips]
+    )).alias("bucket")).distinct()
+    hit = index.select(
+        F.col(id_col).alias("_id"), "vec", "bucket",
+        F.lit(False).alias("_new"),
+    ).join(probe_buckets, "bucket", "left_semi")
+    both = new_b.unionByName(hit)
+    if max_bucket is not None:
+        sizes = both.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+        both = both.join(sizes, "bucket").where(
+            F.col("_n") <= max_bucket).drop("_n")
+    a = both.select(
+        F.col("_id").alias("id_a"), F.col("vec").alias("_va"),
+        F.col("_new").alias("_new_a"),
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m))
+                            for m in flips])).alias("_pb"))
+    b = both.select(
+        F.col("_id").alias("id_b"), F.col("vec").alias("_vb"),
+        F.col("_new").alias("_new_b"), F.col("bucket").alias("_pb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        a.join(b, "_pb")
+        .where((F.col("id_a") < F.col("id_b"))
+               & (F.col("_new_a") | F.col("_new_b")))
+        .select(
+            "id_a", "id_b", cos.alias("cosine"),
+            F.when(F.col("_new_a") & F.col("_new_b"), F.lit("new_new"))
+            .otherwise(F.lit("new_corpus")).alias("pair_kind"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

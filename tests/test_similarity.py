@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_migration_service_spark.operators import dedup as D
+from data_migration_service_spark.operators import similarity as S
 from data_migration_service_spark.operators.similarity import (
     _probe_flips,
     cosine_topk,
@@ -312,3 +313,47 @@ def test_cluster_canonical_keeps_best_scored_member(spark):
     assert got[1]["n_members"] == 3 and got[1]["best_score"] == 0.9
     assert got[4]["keep_doc_id"] == 7 and got[4]["n_members"] == 2
     assert got[9]["keep_doc_id"] == 9 and got[9]["n_members"] == 1
+
+
+def test_incremental_near_dup_matches_full_corpus_restriction(spark, tmp_path):
+    """The CDC invariant: probing a NEW batch against the stored vector
+    index yields exactly the union-corpus LSH pairs restricted to >=1 new
+    member — under identical probe and bucket-cap parameters — without
+    re-hashing or self-joining the corpus."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, v))
+        if i % 4 == 0:  # planted near-dups across the old/new split
+            rows.append((100 + i, [x + rng.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    new = df.where(F.col("vec_id") >= 100)
+    old = df.where(F.col("vec_id") < 100)
+
+    for cap in (None, 6):
+        idx_dir = str(tmp_path / f"vidx_{cap}")
+        # index persisted bucket-partitioned, then reopened: the probe
+        # works against storage, not a lineage handle
+        S.vector_index(old, "vec_id", "embedding", dim=dim) \
+            .write.partitionBy("bucket").mode("overwrite").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        new_idx = S.vector_index(new, "vec_id", "embedding", dim=dim)
+        inc = S.incremental_near_dup_pairs(
+            new_idx, index, "vec_id", threshold=0.8,
+            probe_hamming=1, max_bucket=cap)
+        got = {(r["id_a"], r["id_b"], r["pair_kind"]) for r in inc.collect()}
+
+        full = S.near_dup_pairs_lsh(df, "vec_id", "embedding", threshold=0.8,
+                                    probe_hamming=1, dim=dim, max_bucket=cap)
+        want = set()
+        for r in full.collect():
+            a_new, b_new = r["id_a"] >= 100, r["id_b"] >= 100
+            if a_new or b_new:
+                kind = "new_new" if (a_new and b_new) else "new_corpus"
+                want.add((r["id_a"], r["id_b"], kind))
+        assert got == want
+        assert any(k == "new_corpus" for _, _, k in got)  # non-trivial
