@@ -76,3 +76,54 @@ def test_any_epoch_partition_matches_oracle(
         assert_state_matches(t, ch)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=2, max_value=N_EVENTS - 1),
+        min_size=1, max_size=3, unique=True,
+    ),
+    fail_first=st.lists(st.booleans(), min_size=4, max_size=4),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_audited_replay_with_rejections_matches_oracle(
+    spark, cuts, fail_first, mode
+):
+    """Write-audit-publish under adversarial audits: for ANY epoch
+    partition, any epoch whose first audit REJECTS (staged commit
+    discarded) and is then re-applied with a passing audit must leave the
+    exact oracle state — no lost epochs, no double-apply, no leftover
+    staged manifests."""
+    from data_migration_service_spark.api import Engine
+
+    ch, _ = _changes(spark)
+    bounds, lo = [], 1
+    for c in sorted(cuts):
+        bounds.append((lo, c - 1))
+        lo = c
+    bounds.append((lo, N_EVENTS))
+
+    root = tempfile.mkdtemp(prefix="prop_wap_")
+    try:
+        t = SnapshotTable.create(spark, f"{root}/repos", TABLE_SCHEMA,
+                                 ["repo", "path"], 8)
+        cfg = EngineConfig(table_path=f"{root}/repos", n_buckets=8,
+                           merge_mode=mode)
+        eng = Engine(spark, cfg)
+        for e, (a, b) in enumerate(bounds):
+            batch = ch.where(F.col("lsn").between(a, b))
+            if fail_first[e % len(fail_first)]:
+                res = eng.apply_audited(batch, e, gate=lambda df: False)
+                assert not res["published"]
+                assert t.staged_snapshots() == []
+            res = eng.apply_audited(batch, e, gate=lambda df: True)
+            assert res["published"] and not res["skipped"]
+        assert t.staged_snapshots() == []
+        assert_state_matches(t, ch)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
