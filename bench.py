@@ -243,7 +243,8 @@ def main() -> int:
                 "embedding_near_dup_lsh", "semi_join_replay",
                 "recheck_values", "scd2_history", "asof_lookup",
                 "tf_idf_top_terms", "dedup_clusters", "redact_pii",
-                "pack_offsets",
+                "pack_offsets", "minhash_incremental",
+                "embedding_incremental",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()
