@@ -147,6 +147,15 @@ class Engine:
         if gate is None and expected is None:
             raise ValueError("apply_audited needs a gate callable or an "
                              "expected DataFrame")
+        # Orphan recovery: a committer that died between stage and
+        # publish/discard leaves a staged manifest holding the next
+        # snapshot id. Under the engine's single-writer-per-table rule
+        # (JobLock / streaming checkpoint), any staged id found at apply
+        # time is such an orphan — unpublished by definition, so discarding
+        # it cannot lose committed data. A concurrent auditor (single-writer
+        # violation) fails loudly at its publish(), never silently.
+        if self.table.staged_snapshots():
+            self.table.discard_staged()
         stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
                           publish=False)
         if stats.skipped:

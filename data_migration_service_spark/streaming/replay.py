@@ -119,6 +119,11 @@ class ReplayEngine:
         if self.audit_gate is None:
             stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch)
         else:
+            if self.table.staged_snapshots():
+                # orphan of a stream killed between stage and publish:
+                # unpublished by definition (see Engine.apply_audited),
+                # discard so this restart's stage can take the id
+                self.table.discard_staged()
             stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
                               publish=False)
             if not stats.skipped:

@@ -178,3 +178,23 @@ def test_apply_audited_defers_compaction_until_published(spark, tmp_path):
     assert "compact" in ops
     assert max((len(ds) for ds in t.current().deltas.values()), default=0) < 2
     assert {r["content"] for r in t.read().collect()} == {"v2"}
+
+
+def test_apply_audited_recovers_from_staged_orphan(spark, tmp_path):
+    """A committer that died between stage and publish leaves a staged
+    manifest holding the next snapshot id; the next audited apply discards
+    the orphan (unpublished by definition) instead of wedging on
+    CommitConflict."""
+    t, cfg = _mk(spark, tmp_path)
+    eng = Engine(spark, cfg)
+    cdc_apply(t, _batch(spark, [("r", "a", "v1", 1, "insert")]), cfg, epoch=0)
+    # simulate the crash: stage epoch 1, never publish/discard
+    orphan = cdc_apply(t, _batch(spark, [("r", "a", "dead", 2, "update")]),
+                       cfg, epoch=1, publish=False)
+    assert t.staged_snapshots() == [orphan.snapshot_id]
+
+    res = eng.apply_audited(_batch(spark, [("r", "a", "v2", 2, "update")]),
+                            epoch=1, gate=lambda df: True)
+    assert res["published"]
+    assert t.staged_snapshots() == []
+    assert {r["content"] for r in t.read().collect()} == {"v2"}
