@@ -85,8 +85,12 @@ def maintenance_plan(
         rebucket_to = n
 
     # --- expiry reclaim (manifest refs + fs sizes) ---
+    # mirrors expire_snapshots: staged (unpublished, id > HEAD) manifests
+    # are pending audits — never counted expirable, always counted live
     ids = table.snapshots()
-    keep = set(ids[-keep_snapshots:])
+    staged = set(table.staged_snapshots())
+    published = [i for i in ids if i not in staged]
+    keep = set(published[-keep_snapshots:]) | staged
     live: set[str] = set()
     for sid in keep:
         s = table.load_snapshot(sid)

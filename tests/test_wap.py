@@ -198,3 +198,20 @@ def test_apply_audited_recovers_from_staged_orphan(spark, tmp_path):
     assert res["published"]
     assert t.staged_snapshots() == []
     assert {r["content"] for r in t.read().collect()} == {"v2"}
+
+
+def test_maintenance_plan_never_flags_staged_as_expirable(spark, tmp_path):
+    """The advisor mirrors expire_snapshots: a pending audit (staged
+    manifest) is live, not history — never listed expirable, its data dirs
+    never counted reclaimable."""
+    from data_migration_service_spark.tables.maintenance import maintenance_plan
+
+    t, cfg = _mk(spark, tmp_path)
+    cdc_apply(t, _batch(spark, [("r", "a", "v1", 1, "insert")]), cfg, epoch=0)
+    staged = cdc_apply(t, _batch(spark, [("r", "a", "v2", 2, "update")]),
+                       cfg, epoch=1, publish=False)
+    plan = maintenance_plan(t, keep_snapshots=1)
+    assert staged.snapshot_id not in plan["expire"]["expirable_snapshots"]
+    staged_dirs = {d for ds in t.load_snapshot(staged.snapshot_id)
+                   .deltas.values() for d in ds}
+    assert staged_dirs.isdisjoint(set(plan["expire"]["unreferenced_dirs"]))
