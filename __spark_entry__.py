@@ -28,6 +28,7 @@ from data_migration_service_spark.functions.hashing import (
     row_sha256_sql,
 )
 from data_migration_service_spark.operators import dedup as D
+from data_migration_service_spark.operators import profile as P
 from data_migration_service_spark.operators import similarity as S
 from data_migration_service_spark.operators import text as X
 from data_migration_service_spark.operators import verify as V
@@ -289,6 +290,46 @@ WITH content_t AS (
 """
 
 
+def _verify_sample_sql() -> str:
+    """DuckDB twin of q_verify_sample: _li_sides with the deterministic
+    1/4 key-sample predicate applied to BOTH sides before the diff."""
+    thr = format(int(16 ** 8 / 4), "08x")
+    pred = ("substr(sha256('epoch7:' || CAST(l_orderkey AS VARCHAR) || ':' "
+            f"|| CAST(l_linenumber AS VARCHAR)), 1, 8) < '{thr}'")
+    return f"""
+WITH content_t AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag || '|' || l_linestatus || '|' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS content
+  FROM lineitem
+), src AS (
+  SELECT * FROM content_t WHERE l_orderkey % 103 <> 0 AND {pred}
+), tgt AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN 'CORRUPT' ELSE content END AS content
+  FROM content_t WHERE l_orderkey % 101 <> 0 AND {pred}
+), diff AS (
+  SELECT CASE WHEN t.l_orderkey IS NULL THEN 'MISSING_IN_TARGET'
+              WHEN s.l_orderkey IS NULL THEN 'MISSING_IN_SOURCE'
+              WHEN sha256(s.content) <> sha256(t.content) THEN 'MISMATCH'
+              ELSE 'OK' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+)
+SELECT status, count(*) AS n FROM diff GROUP BY status
+"""
+
+
+def _numeric_quantiles_sql() -> str:
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        for p in (0.25, 0.5, 0.75):
+            parts.append(
+                f"SELECT '{c}' AS col_name, CAST({p} AS DOUBLE) AS p, "
+                f"round(quantile_cont(CAST({c} AS DOUBLE), {p}), 4) AS q "
+                "FROM lineitem")
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -347,6 +388,33 @@ def q_mismatch_report(spark, sf):
         .limit(100)
         .select("l_orderkey", "l_linenumber", "status")
     )
+
+
+def q_verify_sample(spark, sf):
+    """Sampled verification canary (operators/verify.py:verify_sample —
+    the every-epoch 100 TB gate): the SAME hash-diff verification as
+    `hash_diff_status_counts`, over a deterministic 1/4 key-sample of both
+    sides. Membership = sha256-hex threshold on the KEY (salt 'epoch7'),
+    so the sampled sets agree across engines/partitionings and missing
+    rows stay detectable inside the sample."""
+    src, tgt = _li_sides(spark, sf)
+    pred = V.sample_filter(["l_orderkey", "l_linenumber"], 4, salt="epoch7")
+    diff = V.hash_diff(src.where(pred), tgt.where(pred),
+                       ["l_orderkey", "l_linenumber"],
+                       F.sha2("content", 256), F.sha2("content", 256))
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_numeric_quantiles(spark, sf):
+    """Distribution half of the profile verification gate
+    (operators/profile.py:numeric_quantiles): per-column quantiles in one
+    aggregate pass. exact=True here for the cross-engine oracle (Spark
+    `percentile` == ANSI quantile_cont linear interpolation); the scale
+    path is the same call with the mergeable percentile_approx sketch."""
+    li = _t(spark, sf, "lineitem")
+    return P.numeric_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount"],
+        [0.25, 0.5, 0.75], exact=True, round_digits=4)
 
 
 def _order_sides(spark: SparkSession, sf_dir: str):
@@ -1334,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_keys": q_distinct_keys,
         "row_hash_canonical": q_row_hash_canonical,
         "hash_diff_status_counts": q_hash_diff_status_counts,
+        "verify_sample": q_verify_sample,
+        "numeric_quantiles": q_numeric_quantiles,
         "mismatch_report": q_mismatch_report,
         "recheck_values": q_recheck_values,
         "anti_join_missing": q_anti_join_missing,
@@ -1418,6 +1488,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_diff_status_counts": _LI_SIDES_SQL
         + "SELECT status, count(*) AS n FROM diff GROUP BY status",
+        "verify_sample": _verify_sample_sql(),
+        "numeric_quantiles": _numeric_quantiles_sql(),
         "mismatch_report": _LI_SIDES_SQL
         + """
             SELECT l_orderkey, l_linenumber, status FROM diff

@@ -39,6 +39,8 @@ from data_migration_service_spark.operators.merge import (
     compact,
     current_epoch,
     delete_where,
+    maybe_broadcast_keys,
+    probe_keys,
 )
 from data_migration_service_spark.registry import SchemaRegistry
 from data_migration_service_spark.streaming.replay import ReplayEngine
@@ -216,8 +218,11 @@ class Engine:
         `keys` (reference: per-record re-migration with unlimited duplicate
         skip, DataMigrationService.java:312-342). Semi-join, never a
         string-built predicate (SURVEY §2 P6)."""
+        kdf = keys.select(*self.cfg.key_cols).distinct()
+        _, n_keys = probe_keys(kdf, list(self.cfg.key_cols),
+                               self.table.current().n_buckets)
         subset = events.join(
-            F.broadcast(keys.select(*self.cfg.key_cols).distinct()),
+            maybe_broadcast_keys(kdf, n_keys),
             list(self.cfg.key_cols), "left_semi",
         )
         e = epoch if epoch is not None else current_epoch(self.table) + 1
@@ -314,19 +319,18 @@ class Engine:
         buckets those keys hash into (reference: fetch-specific-records,
         the read half of migrateSpecificRecords). The bucket set comes from
         `bucket_expr` over the keys alone — a keys-sized job, never a table
-        scan — then a broadcast semi-join inside the pruned read."""
-        from data_migration_service_spark.tables.lake import bucket_expr
-
+        scan — then a (size-gated) broadcast semi-join inside the pruned
+        read."""
         snap = self.table.current()
         kdf = keys.select(*snap.key_cols).distinct()
-        kb = kdf.withColumn("_b", bucket_expr(snap.key_cols, snap.n_buckets))
-        hit = sorted(int(r[0]) for r in kb.select("_b").distinct().collect())
+        hit, n_keys = probe_keys(kdf, list(snap.key_cols), snap.n_buckets)
         hit = [b for b in hit if b in snap.buckets or snap.deltas.get(b)]
         if not hit:
             return self.table.read(snapshot=snap, buckets=[])
         return (
             self.table.read(snapshot=snap, buckets=hit)
-            .join(F.broadcast(kdf), list(snap.key_cols), "left_semi")
+            .join(maybe_broadcast_keys(kdf, n_keys),
+                  list(snap.key_cols), "left_semi")
         )
 
     def read_as_of(self, epoch: int | None = None,
@@ -344,6 +348,25 @@ class Engine:
                 raise ValueError(f"no retained snapshot tagged epoch={epoch}")
             snapshot = hits[-1]  # epoch's final snapshot (apply + compaction)
         return self.table.read(snapshot=self.table.load_snapshot(snapshot))
+
+    def tag(self, name: str, epoch: int | None = None) -> int:
+        """Pin the current state (or a past epoch's final snapshot) under an
+        immutable name — the reproducibility handle a training run records
+        before consuming the corpus. Tagged snapshots survive
+        `expire_snapshots` until the tag is dropped."""
+        sid = None
+        if epoch is not None:
+            hits = [h["snapshot_id"] for h in self.history()
+                    if h["epoch"] == epoch]
+            if not hits:
+                raise ValueError(f"no retained snapshot tagged epoch={epoch}")
+            sid = hits[-1]
+        return self.table.tag(name, sid)
+
+    def read_tag(self, name: str) -> DataFrame:
+        """The exact table state a tag pinned (byte-stable across later
+        ingest, compaction, and expiry)."""
+        return self.table.read(snapshot=self.table.snapshot_for_tag(name))
 
     def rollback(self, epoch: int | None = None,
                  snapshot: int | None = None) -> int:

@@ -418,6 +418,34 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
     return new.snapshot_id
 
 
+# a targeted key set bigger than this joins without the broadcast hint
+# (~100-byte (repo, path) keys x 500k ≈ 50 MB, inside the 64 MB session
+# autoBroadcast budget with headroom; beyond it the semi-join shuffles and
+# AQE still re-plans a broadcast if the actual bytes turn out small)
+BROADCAST_KEY_LIMIT = 500_000
+
+
+def probe_keys(kdf: DataFrame, key_cols: list[str], n_buckets: int,
+               bucket_col: str = BUCKET_COL) -> tuple[list[int], int]:
+    """One keys-sized job → (hit bucket ids, distinct key count). Every
+    targeted path (lookup / replay_keys / keyed delete) needs the bucket
+    set anyway; counting keys in the same aggregate is free and decides
+    whether the subsequent semi-join may safely carry a broadcast hint —
+    a forced broadcast of an unexpectedly huge key set is a driver OOM at
+    exactly the scale the targeted path exists to avoid."""
+    per_bucket = (
+        kdf.withColumn(bucket_col, bucket_expr(key_cols, n_buckets))
+        .groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    hits = sorted(int(r[bucket_col]) for r in per_bucket)
+    return hits, sum(int(r["_n"]) for r in per_bucket)
+
+
+def maybe_broadcast_keys(kdf: DataFrame, n_keys: int) -> DataFrame:
+    return F.broadcast(kdf) if n_keys <= BROADCAST_KEY_LIMIT else kdf
+
+
 def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
                  keys: DataFrame | None = None) -> int:
     """Keyed/predicate delete (reference: targeted cleanup / TRUNCATE per
@@ -438,17 +466,16 @@ def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
         raise ValueError("delete_where takes exactly one of predicate / keys")
     if keys is not None:
         kdf = keys.select(*snap.key_cols).distinct()
-        kb = kdf.withColumn(BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets))
-        hit_buckets = sorted(
-            int(r[0]) for r in kb.select(BUCKET_COL).distinct().collect()
-        )
+        hit_buckets, n_keys = probe_keys(kdf, list(snap.key_cols),
+                                         snap.n_buckets)
         hit_buckets = [b for b in hit_buckets
                        if b in snap.buckets or snap.deltas.get(b)]
         if not hit_buckets:
             return snap.snapshot_id
         keep = (
             table.read(snapshot=snap, buckets=hit_buckets, include_deleted=True)
-            .join(F.broadcast(kdf), list(snap.key_cols), "left_anti")
+            .join(maybe_broadcast_keys(kdf, n_keys),
+                  list(snap.key_cols), "left_anti")
         )
     else:
         full = table.read(snapshot=snap, include_deleted=True)

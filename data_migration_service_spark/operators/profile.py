@@ -77,6 +77,48 @@ def profile_table(
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75),
+    exact: bool = False,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-column quantiles, long format: (col_name, p, q) — the
+    distribution half of the profile gate (count/min/max alone miss a
+    migration that shifted the body of a distribution while preserving its
+    envelope, e.g. a unit or timezone error on most-but-not-all rows).
+
+    One aggregate pass like `profile_table`: every statistic here has a
+    mergeable map-side partial.
+
+    - `exact=False` (scale path): `percentile_approx` — the
+      KLL/Greenwald-Khanna-style mergeable sketch, one pass, bounded
+      memory at any row count. The only sane choice at 10^10 rows.
+    - `exact=True` (oracle path): `percentile`, Spark's exact linear-
+      interpolation quantile — semantically identical to ANSI/DuckDB
+      `quantile_cont`, so the result is cross-engine checkable. Buffers
+      each column per group; verification-scale only.
+
+    Values are rounded to `round_digits` so the double formatting is
+    engine-portable (same policy as the cosine operators)."""
+    aggs = []
+    for c in columns:
+        col = F.col(c).cast("double")
+        for p in probs:
+            q = (F.percentile(col, F.lit(p)) if exact
+                 else F.percentile_approx(col, F.lit(p)))
+            aggs.append(F.round(q, round_digits).alias(f"_q_{c}_{p}"))
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', CAST({p} AS DOUBLE), `_q_{c}_{p}`"
+        for c in columns for p in probs
+    )
+    n = len(columns) * len(probs)
+    return wide.selectExpr(
+        f"stack({n}, {parts}) AS (col_name, p, q)")
+
+
 def profile_diff(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """Compare two profiles (same shape as `profile_table` output): one row
     per column with per-statistic equality flags and a MATCH/MISMATCH

@@ -205,6 +205,59 @@ def recheck_values(
     )
 
 
+def sample_filter(key_cols: list[str], denominator: int,
+                  salt: str = "verify") -> F.Column:
+    """Deterministic ~1/denominator membership predicate over the KEY.
+
+    Membership is a pure function of the key — `sha256(salt ':' k1 ':' k2…)`
+    first 8 hex chars compared against a fixed hex threshold (lexicographic
+    == numeric order on fixed-width lowercase hex) — so BOTH sides of a
+    verification select exactly the same logical rows regardless of
+    partitioning, cluster size, or engine (the identical expression runs in
+    ANSI SQL). Hashing the key (never the payload) is what keeps missing /
+    divergent rows inside the sample detectable: a corrupted or dropped row
+    cannot hash itself out of its own sample membership."""
+    h = F.substring(
+        F.sha2(F.concat_ws(
+            ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols],
+        ), 256), 1, 8)
+    return h < F.lit(format(int(16 ** 8 / max(denominator, 1)), "08x"))
+
+
+def verify_sample(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    denominator: int = 100,
+    salt: str = "verify",
+    group_cols: list[str] | None = None,
+    report_cap: int = 100,
+) -> VerifyResult:
+    """Sampled verification — the continuous, every-epoch canary at 100 TB.
+
+    A full per-row hash diff over 10^10 rows is a once-in-a-while job; this
+    runs the SAME verification (counts + per-row sha256 + capped report)
+    over a deterministic 1/`denominator` key-sample of both sides. The
+    sample predicate is map-side (pushes into the scans, no extra shuffle),
+    and because membership depends only on the key, a row missing from one
+    side is still missing from that side's sample — sampling reduces
+    detection probability to the sample rate per bad row, never to zero
+    for systematic corruption. Alternate `salt` per epoch to walk different
+    1% slices across epochs (100 epochs with rotating salt ≈ full
+    coverage). `extra` records the sampling parameters for the report."""
+    pred = sample_filter(key_cols, denominator, salt)
+    res = verify_state(
+        source.where(pred), target.where(pred), key_cols,
+        content_col=content_col, group_cols=group_cols,
+        report_cap=report_cap,
+    )
+    res.extra["sampled"] = True
+    res.extra["denominator"] = denominator
+    res.extra["salt"] = salt
+    return res
+
+
 def verify_row_hashes(
     source: DataFrame,
     target: DataFrame,

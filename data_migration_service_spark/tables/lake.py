@@ -647,18 +647,59 @@ class SnapshotTable:
         self._write_snapshot(snap)
         return snap
 
+    # ---------- tags (named refs) ----------
+
+    def tag(self, name: str, sid: int | None = None) -> int:
+        """Pin a PUBLISHED snapshot under an immutable name (Iceberg tag):
+        `expire_snapshots` keeps a tagged snapshot and its data alive no
+        matter how old it gets, and `read(snapshot=t.snapshot_for_tag(n))`
+        reproduces exactly that state. This is how a training run records
+        "the corpus I consumed": tag at kickoff, and the read stays
+        byte-stable across any amount of later ingest/compaction/expiry.
+
+        Tags are immutable (create-if-absent through the meta store — the
+        same primitive as the commit lock, so two racing taggers of one
+        name elect one winner on any store); retag = `drop_tag` + `tag`.
+        Staged (unpublished) ids are refused: pin audits with WAP, not
+        tags."""
+        head = self.meta.read_head()
+        sid = sid if sid is not None else head
+        if sid is None or head is None or sid > head:
+            raise ValueError(f"cannot tag unpublished snapshot {sid} "
+                             f"(HEAD: {head})")
+        if sid not in self.meta.list_manifest_ids():
+            raise ValueError(f"snapshot {sid} does not exist")
+        self.meta.put_ref(name, sid)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        return self.meta.list_refs()
+
+    def drop_tag(self, name: str) -> None:
+        self.meta.delete_ref(name)
+
+    def snapshot_for_tag(self, name: str) -> Snapshot:
+        sid = self.meta.get_ref(name)
+        if sid is None:
+            raise KeyError(f"no tag {name!r} (tags: {sorted(self.tags())})")
+        return self.load_snapshot(sid)
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop manifests older than the newest `keep_last` PUBLISHED
         snapshots and delete data dirs no surviving snapshot references
         (Iceberg expire_snapshots). Staged (unpublished) ids are never
-        expired — they are pending audits; use `discard_staged` for those."""
+        expired — they are pending audits; use `discard_staged` for those.
+        Tagged ids are never expired either — a tag is a promise that the
+        read stays reproducible (drop the tag to release it)."""
         import shutil
 
         head = self.meta.read_head()
         ids = self.snapshots()
         published = [i for i in ids if head is not None and i <= head]
-        keep = set(published[-keep_last:]) | {i for i in ids
-                                              if i not in published}
+        keep = (set(published[-keep_last:])
+                | {i for i in ids if i not in published}
+                | {sid for sid in self.meta.list_refs().values()
+                   if sid in ids})
         live_dirs: set[str] = set()
         for sid in keep:
             s = self.load_snapshot(sid)

@@ -55,6 +55,24 @@ class MetaStore(Protocol):
 
     def delete_manifest(self, sid: int) -> None: ...
 
+    def put_ref(self, name: str, sid: int) -> None:
+        """Named ref (tag) -> snapshot id. MUST be create-if-absent; raise
+        CommitConflict if the name exists (tags are immutable — retag =
+        delete + create, exactly Iceberg's tag semantics)."""
+        ...
+
+    def get_ref(self, name: str) -> int | None: ...
+
+    def list_refs(self) -> dict[str, int]: ...
+
+    def delete_ref(self, name: str) -> None: ...
+
+
+def _check_ref_name(name: str) -> str:
+    if not name or any(ch in name for ch in "/\\\0\n") or name.startswith("."):
+        raise ValueError(f"invalid ref name: {name!r}")
+    return name
+
 
 class LocalFsMetaStore:
     """POSIX commit protocol: ``open('x')`` + ``os.replace`` (atomic on one
@@ -105,6 +123,43 @@ class LocalFsMetaStore:
 
     def delete_manifest(self, sid: int) -> None:
         os.remove(self._path(sid))
+
+    # ---- refs (tags): same create-if-absent primitive as manifests ----
+
+    def _refdir(self) -> str:
+        d = os.path.join(self._meta, "refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def put_ref(self, name: str, sid: int) -> None:
+        try:
+            with open(os.path.join(self._refdir(),
+                                   _check_ref_name(name)), "x") as f:
+                f.write(str(sid))
+        except FileExistsError as e:
+            raise CommitConflict(f"ref {name!r} already exists") from e
+
+    def get_ref(self, name: str) -> int | None:
+        try:
+            with open(os.path.join(self._refdir(),
+                                   _check_ref_name(name))) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def list_refs(self) -> dict[str, int]:
+        d = self._refdir()
+        out = {}
+        for n in sorted(os.listdir(d)):
+            with open(os.path.join(d, n)) as f:
+                out[n] = int(f.read().strip())
+        return out
+
+    def delete_ref(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._refdir(), _check_ref_name(name)))
+        except FileNotFoundError:
+            pass
 
 
 class BlobStore(Protocol):
@@ -185,6 +240,28 @@ class ConditionalPutMetaStore:
 
     def delete_manifest(self, sid: int) -> None:
         self._blobs.delete(self._key(sid))
+
+    # ---- refs (tags): put_if_absent IS the immutability guarantee ----
+
+    def _ref_key(self, name: str) -> str:
+        return f"{self._prefix}/refs/{_check_ref_name(name)}"
+
+    def put_ref(self, name: str, sid: int) -> None:
+        if not self._blobs.put_if_absent(self._ref_key(name),
+                                         str(sid).encode()):
+            raise CommitConflict(f"ref {name!r} already exists")
+
+    def get_ref(self, name: str) -> int | None:
+        raw = self._blobs.get(self._ref_key(name))
+        return int(raw) if raw is not None else None
+
+    def list_refs(self) -> dict[str, int]:
+        pre = f"{self._prefix}/refs/"
+        return {k[len(pre):]: int(self._blobs.get(k))
+                for k in self._blobs.list_keys(pre)}
+
+    def delete_ref(self, name: str) -> None:
+        self._blobs.delete(self._ref_key(name))
 
 
 class InMemoryBlobStore:
