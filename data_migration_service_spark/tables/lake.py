@@ -684,14 +684,27 @@ class SnapshotTable:
             raise KeyError(f"no tag {name!r} (tags: {sorted(self.tags())})")
         return self.load_snapshot(sid)
 
-    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+    def expire_snapshots(self, keep_last: int = 2,
+                         orphan_grace_seconds: float = 86400.0) -> list[str]:
         """Drop manifests older than the newest `keep_last` PUBLISHED
         snapshots and delete data dirs no surviving snapshot references
         (Iceberg expire_snapshots). Staged (unpublished) ids are never
         expired — they are pending audits; use `discard_staged` for those.
         Tagged ids are never expired either — a tag is a promise that the
-        read stays reproducible (drop the tag to release it)."""
+        read stays reproducible (drop the tag to release it).
+
+        Two deletion classes, distinguished on purpose:
+        - dirs referenced ONLY by the manifests being dropped: committed
+          data whose last reader just expired — deleted immediately;
+        - dirs referenced by NO manifest at all (orphans): either debris
+          of a crashed writer, or — the dangerous case — a LIVE writer's
+          output created between `write_buckets` and its `commit`. Deleted
+          only when older than `orphan_grace_seconds` (Iceberg's
+          remove-orphan-files rule); a fresh unreferenced dir is presumed
+          in-flight and left alone, so maintenance can run concurrently
+          with ingestion without eating an uncommitted epoch."""
         import shutil
+        import time
 
         head = self.meta.read_head()
         ids = self.snapshots()
@@ -701,17 +714,30 @@ class SnapshotTable:
                 | {sid for sid in self.meta.list_refs().values()
                    if sid in ids})
         live_dirs: set[str] = set()
-        for sid in keep:
+        ever_referenced: set[str] = set()
+        for sid in ids:
             s = self.load_snapshot(sid)
-            live_dirs.update(s.buckets.values())
+            dirs = set(s.buckets.values())
             for ds in s.deltas.values():
-                live_dirs.update(ds)
+                dirs.update(ds)
+            ever_referenced.update(dirs)
+            if sid in keep:
+                live_dirs.update(dirs)
         removed = []
         for sid in ids:
             if sid not in keep:
                 self.meta.delete_manifest(sid)
+        now = time.time()
         for d in os.listdir(self._datadir):
-            if d.startswith(("snap-", "delta-")) and d not in live_dirs:
-                shutil.rmtree(os.path.join(self._datadir, d))
-                removed.append(d)
+            if not d.startswith(("snap-", "delta-")) or d in live_dirs:
+                continue
+            p = os.path.join(self._datadir, d)
+            if d not in ever_referenced:  # orphan: grace-gate the delete
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_seconds:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(p)
+            removed.append(d)
         return removed

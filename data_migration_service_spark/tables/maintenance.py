@@ -97,12 +97,25 @@ def maintenance_plan(
         live.update(s.buckets.values())
         for ds in s.deltas.values():
             live.update(ds)
+    ever_referenced: set[str] = set()
+    for sid in ids:
+        s = table.load_snapshot(sid)
+        ever_referenced.update(s.buckets.values())
+        for ds in s.deltas.values():
+            ever_referenced.update(ds)
     reclaim = 0
     expired_dirs = []
+    orphan_dirs = []  # referenced by NO manifest: crashed or IN-FLIGHT
     for d in os.listdir(table._datadir):
         if d.startswith(("snap-", "delta-")) and d not in live:
-            expired_dirs.append(d)
-            reclaim += sum(_bucket_bytes(table, d).values())
+            if d in ever_referenced:
+                expired_dirs.append(d)
+                reclaim += sum(_bucket_bytes(table, d).values())
+            else:
+                import time
+                age = time.time() - os.path.getmtime(
+                    os.path.join(table._datadir, d))
+                orphan_dirs.append({"dir": d, "age_seconds": int(age)})
 
     return {
         "snapshot_id": snap.snapshot_id,
@@ -127,5 +140,9 @@ def maintenance_plan(
             "expirable_snapshots": [i for i in ids if i not in keep],
             "unreferenced_dirs": sorted(expired_dirs),
             "reclaim_bytes": reclaim,
+            # never-referenced dirs are reported, not counted as reclaim:
+            # a fresh one is presumed an in-flight writer's output;
+            # expire_snapshots only deletes them past its orphan grace
+            "orphan_dirs": sorted(orphan_dirs, key=lambda o: o["dir"]),
         },
     }

@@ -183,6 +183,41 @@ def test_verify_sample_is_deterministic_subset_and_detects_in_sample(
     assert not res3.consistent and res3.n_missing_in_target == 1
 
 
+def test_expire_grace_protects_inflight_writer_dirs(spark, tmp_path):
+    """An unreferenced data dir younger than the orphan grace is an
+    IN-FLIGHT writer's output (write_buckets runs before commit) — expiry
+    must leave it; past the grace it is crashed-writer debris — removed.
+    Dirs referenced by dropped manifests are committed data and go
+    immediately, grace or not."""
+    import os
+
+    t, cfg = _table_with_epochs(spark, str(tmp_path / "t5"), n_epochs=3)
+    # simulate a writer that has written but not yet committed
+    inflight = os.path.join(t._datadir, "delta-inflight00", "_bucket=0")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("x")
+
+    removed = t.expire_snapshots(keep_last=1)  # default 24h grace
+    assert "delta-inflight00" not in removed
+    assert os.path.isdir(inflight)
+    assert removed, "dropped manifests' dirs must still be reclaimed"
+
+    removed2 = t.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert "delta-inflight00" in removed2
+    assert not os.path.exists(inflight)
+
+    # the maintenance advisor reports the same distinction
+    os.makedirs(inflight)
+    from data_migration_service_spark.tables.maintenance import (
+        maintenance_plan,
+    )
+    plan = maintenance_plan(t)
+    assert [o["dir"] for o in plan["expire"]["orphan_dirs"]] == [
+        "delta-inflight00"]
+    assert "delta-inflight00" not in plan["expire"]["unreferenced_dirs"]
+
+
 def test_numeric_quantiles_exact_and_approx(spark):
     df = spark.createDataFrame(
         [(float(i), float(i * i)) for i in range(1, 101)], "a double, b double")
