@@ -24,8 +24,10 @@ Verb mapping (reference -> CLI):
     POST /jobs/{t}                -> jobs run --config c.json --table t
     GET  /jobs[/{t}]              -> jobs status [--table t] [--detail]
     POST /data/verification[/{t}] -> verify --expected <parquet> [--table t]
+                                     (--sample N: 1/N key-sample canary)
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
     (engine-added)                -> maintain [--apply] [--table t]
+    (engine-added)                -> tag create|list|drop (pin corpus states)
 
 Every command prints ONE JSON document to stdout (the REST body analogue)
 and exits 0/1. Table creation is on demand (`jobs run` creates missing
@@ -148,9 +150,11 @@ def cmd_verify(args) -> int:
             ok = False
             continue
         res = eng.verify(spark.read.parquet(exp_path),
-                         content_col=args.content_col)
+                         content_col=args.content_col,
+                         sample_denominator=args.sample)
         out[name] = {
             "status": "CONSISTENT" if res.consistent else "INCONSISTENT",
+            **({"sampled": res.extra} if args.sample else {}),
             "source_rows": res.source_rows,
             "target_rows": res.target_rows,
             "n_mismatch": res.n_mismatch,
@@ -198,6 +202,33 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_tag_create(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    print(json.dumps({n: e.tag(args.name, epoch=args.epoch)
+                      for n, e in engines.items()}))
+    return 0
+
+
+def cmd_tag_list(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    print(json.dumps({n: e.table.tags() for n, e in engines.items()}))
+    return 0
+
+
+def cmd_tag_drop(args) -> int:
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    for e in engines.values():
+        e.table.drop_tag(args.name)
+    print(json.dumps({"dropped": args.name, "tables": sorted(engines)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
     ap.add_argument("--config", required=True,
@@ -222,7 +253,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet of expected final state "
                         "(default: per-table 'expected' in the config)")
     v.add_argument("--content-col", default="content")
+    v.add_argument("--sample", type=int, default=None, metavar="N",
+                   help="verify a deterministic 1/N key-sample (the cheap "
+                        "every-epoch canary; salt rotates with the epoch)")
     v.set_defaults(fn=cmd_verify)
+
+    tg = sub.add_parser("tag", help="pin/list/drop named snapshot refs")
+    tsub = tg.add_subparsers(dest="tag_cmd", required=True)
+    tc = tsub.add_parser("create")
+    tc.add_argument("name")
+    tc.add_argument("--table", default=None)
+    tc.add_argument("--epoch", type=int, default=None,
+                    help="pin a past epoch's final snapshot (default: HEAD)")
+    tc.set_defaults(fn=cmd_tag_create)
+    tl = tsub.add_parser("list")
+    tl.add_argument("--table", default=None)
+    tl.set_defaults(fn=cmd_tag_list)
+    td = tsub.add_parser("drop")
+    td.add_argument("name")
+    td.add_argument("--table", default=None)
+    td.set_defaults(fn=cmd_tag_drop)
 
     c = sub.add_parser("cleanup")
     c.add_argument("--table", default=None)

@@ -256,9 +256,24 @@ class Engine:
         return out
 
     # ---- POST /data/verification ----
-    def verify(self, expected: DataFrame, content_col: str = "content") -> V.VerifyResult:
+    def verify(self, expected: DataFrame, content_col: str = "content",
+               sample_denominator: int | None = None,
+               sample_salt: str | None = None) -> V.VerifyResult:
         """Post-replay validation: per-row sha256(content) equality of the
-        materialized table against the expected final state."""
+        materialized table against the expected final state.
+
+        `sample_denominator=N` runs the deterministic 1/N key-sample canary
+        instead of the full diff (verify.verify_sample) — the every-epoch
+        mode at 100 TB; by default the salt rotates with the current epoch
+        so successive epochs walk different slices of the key space."""
+        if sample_denominator:
+            salt = (sample_salt if sample_salt is not None
+                    else f"epoch-{int(self.table.current().props.get('epoch', '0'))}")
+            return V.verify_sample(
+                expected, self.table.read(), list(self.cfg.key_cols),
+                content_col=content_col, denominator=sample_denominator,
+                salt=salt, report_cap=self.cfg.mismatch_report_cap,
+            )
         return V.verify_state(
             expected, self.table.read(), list(self.cfg.key_cols),
             content_col=content_col, report_cap=self.cfg.mismatch_report_cap,

@@ -239,8 +239,11 @@ def verify_sample(
     A full per-row hash diff over 10^10 rows is a once-in-a-while job; this
     runs the SAME verification (counts + per-row sha256 + capped report)
     over a deterministic 1/`denominator` key-sample of both sides. The
-    sample predicate is map-side (pushes into the scans, no extra shuffle),
-    and because membership depends only on the key, a row missing from one
+    sample predicate is a sha2 expression, so it is NOT a parquet
+    row-group filter — but it evaluates map-side inside the scan stage
+    (whole-stage codegen Filter, no extra shuffle), and only the surviving
+    ~1/N of rows pays the join/aggregate cost that dominates verification.
+    Because membership depends only on the key, a row missing from one
     side is still missing from that side's sample — sampling reduces
     detection probability to the sample rate per bad row, never to zero
     for systematic corruption. Alternate `salt` per epoch to walk different

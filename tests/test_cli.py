@@ -144,3 +144,29 @@ def test_cli_maintain_report_and_apply(spark, tmp_path, capsys):
     assert len(t.snapshots()) < n_snaps_before
     assert not any(t.current().deltas.values())  # compacted
     assert t.read().count() > 0
+
+
+def test_cli_tag_and_sampled_verify(spark, tmp_path, capsys):
+    cfg, tables, changes = _setup(spark, tmp_path, names=("solo2",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+
+    # tag HEAD, list, and confirm the pin survives expiry via the API
+    rc, created = _run(capsys, ["--config", cfg, "tag", "create", "corpus-v1"])
+    assert rc == 0 and isinstance(created["solo2"], int)
+    rc, listed = _run(capsys, ["--config", cfg, "tag", "list"])
+    assert listed["solo2"] == {"corpus-v1": created["solo2"]}
+
+    # sampled verify: consistent table -> CONSISTENT with sample metadata
+    rc, rep = _run(capsys, ["--config", cfg, "verify", "--sample", "3"])
+    assert rc == 0
+    assert rep["solo2"]["status"] == "CONSISTENT"
+    assert rep["solo2"]["sampled"]["denominator"] == 3
+    # sample really is a subset of the full verification's row counts
+    rc, full = _run(capsys, ["--config", cfg, "verify"])
+    assert rep["solo2"]["source_rows"] < full["solo2"]["source_rows"]
+
+    rc, dropped = _run(capsys, ["--config", cfg, "tag", "drop", "corpus-v1"])
+    assert rc == 0 and dropped["dropped"] == "corpus-v1"
+    rc, listed2 = _run(capsys, ["--config", cfg, "tag", "list"])
+    assert listed2["solo2"] == {}
