@@ -42,6 +42,12 @@ class EngineConfig:
         skip_limit: max malformed events per batch before the batch fails
             even with a quarantine dir (reference skipLimit = 10; default
             kept for parity — raise it for lenient tails). None = no limit.
+        commit_retries: optimistic-concurrency retries on snapshot commit.
+            A commit whose HEAD moved re-validates against the new snapshot
+            and re-applies when the concurrent commits touched disjoint
+            buckets (SnapshotTable._rebase_keep) — lets background
+            compaction commute with streaming ingest instead of losing its
+            rewrite. 0 = strict fail-on-conflict.
     """
 
     table_path: str
@@ -56,4 +62,5 @@ class EngineConfig:
     compact_threshold: int = 8     # mor: compact a bucket at this delta depth
     quarantine_path: str | None = None
     skip_limit: int | None = 10    # reference skipLimit constant
+    commit_retries: int = 2
     table_props: dict = field(default_factory=dict)

@@ -202,7 +202,7 @@ def cdc_apply(
         new = table.commit("merge", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id,
-            publish=publish)
+            publish=publish, max_retries=cfg.commit_retries)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
 
     # 3. read ONLY those buckets from the target (tombstones included: their
@@ -261,6 +261,7 @@ def cdc_apply(
         },
         expected_parent=snap.snapshot_id,
         publish=publish,
+        max_retries=cfg.commit_retries,
     )
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
@@ -315,7 +316,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         new = table.commit("merge-mor", {}, props_update=(
             {"epoch": str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id,
-            publish=publish)
+            publish=publish, max_retries=cfg.commit_retries)
         stats.snapshot_id = new.snapshot_id
         return stats
 
@@ -354,6 +355,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         },
         expected_parent=snap.snapshot_id,
         publish=publish,
+        max_retries=cfg.commit_retries,
     )
     stats.affected_buckets = len(affected)
     stats.snapshot_id = new.snapshot_id
@@ -380,6 +382,13 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
     bucket carrying deltas). The read does the LWW reduce; the rewrite
     clears the delta lists (commit() handles the bookkeeping). Returns the
     new snapshot id (unchanged if nothing to compact).
+
+    Runs concurrently with ingest: the commit carries
+    `max_retries=cfg.commit_retries`, so an epoch that lands between
+    compaction's read and its commit triggers an optimistic rebase — the
+    rewrite commits on top of the new HEAD and the concurrent epoch's delta
+    dirs are preserved (SnapshotTable._rebase_keep), instead of the whole
+    O(buckets) rewrite being thrown away.
 
     `tombstone_watermark`: tombstones with lsn <= watermark are physically
     dropped during the rewrite. A tombstone exists only to beat late
@@ -414,7 +423,8 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
                                   pre_partitioned=True)
     new = table.commit("compact", {b: dirname for b in todo},
                        summary={"buckets": len(todo)},
-                       expected_parent=snap.snapshot_id)
+                       expected_parent=snap.snapshot_id,
+                       max_retries=cfg.commit_retries)
     return new.snapshot_id
 
 
@@ -490,7 +500,8 @@ def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
                                   write_schema=schema)
     new = table.commit("delete", {b: dirname for b in hit_buckets},
                        summary={"buckets": len(hit_buckets)},
-                       expected_parent=snap.snapshot_id)
+                       expected_parent=snap.snapshot_id,
+                       max_retries=cfg.commit_retries)
     return new.snapshot_id
 
 

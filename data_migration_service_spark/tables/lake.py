@@ -446,6 +446,91 @@ class SnapshotTable:
                 out[b] = {"rows": rows, "lsn_min": lo, "lsn_max": hi}
         return out
 
+    def _rebase_keep(
+        self,
+        base: Snapshot,
+        cur: Snapshot,
+        rewritten: dict[int, str],
+        dropped: list[int],
+        delta_append: dict[int, str] | None,
+        schema: T.StructType | None,
+        renames_update: dict[str, str] | None,
+        props_update: dict[str, str] | None,
+    ) -> dict[int, list[str]]:
+        """Decide whether a commit derived from `base` may re-apply on top of
+        `cur` (HEAD moved under us) — Iceberg-style optimistic retry with
+        conflict detection. Raises CommitConflict when the concurrent commits
+        invalidated our work; otherwise returns, per bucket we REWRITE, the
+        delta dirs appended concurrently that the rebased snapshot must keep
+        (our rewrite folded only `base`'s deltas, not theirs).
+
+        The check diffs `base` against `cur` directly — what matters is
+        whether the state we derived from still holds for the buckets we
+        touch, not the path HEAD took to get here (a rollback that restored
+        exactly our base state is genuinely safe to commit over).
+
+        Safety matrix per bucket:
+        - we REWRITE b: safe iff b's base dir is unchanged; concurrent delta
+          appends are preserved (returned in the keep map) — LWW-by-LSN at
+          read time makes a newer delta over our rewritten base correct,
+          which is exactly what lets background compaction commute with
+          streaming ingest;
+        - we DROP b: safe only if b is completely untouched (a concurrent
+          append we'd silently discard is data loss);
+        - we APPEND a delta to b: safe over any concurrent rewrite (the
+          append is strictly newer events), unsafe if b was dropped
+          (appending would resurrect a truncated/deleted bucket).
+
+        Structural changes (bucket count, merge key) and explicit
+        schema/rename updates racing a concurrent schema change always
+        conflict. An epoch-tagged commit conflicts if HEAD's epoch already
+        reached ours — the exactly-once guard survives the retry loop.
+        """
+        if cur.n_buckets != base.n_buckets or cur.key_cols != base.key_cols:
+            raise CommitConflict(
+                f"cannot rebase: table layout changed (n_buckets "
+                f"{base.n_buckets}->{cur.n_buckets}, key_cols "
+                f"{base.key_cols}->{cur.key_cols})")
+        if schema is not None and cur.schema_json != base.schema_json:
+            raise CommitConflict(
+                "cannot rebase: explicit schema update races a concurrent "
+                "schema change")
+        if renames_update and cur.renames != base.renames:
+            raise CommitConflict(
+                "cannot rebase: rename update races a concurrent rename")
+        if props_update and "epoch" in props_update:
+            if int(cur.props.get("epoch", "-1")) >= int(props_update["epoch"]):
+                raise CommitConflict(
+                    f"epoch {props_update['epoch']} already committed by a "
+                    f"concurrent writer (HEAD epoch "
+                    f"{cur.props.get('epoch')})")
+        keep: dict[int, list[str]] = {}
+        for b in set(rewritten) | set(dropped):
+            if cur.buckets.get(b) != base.buckets.get(b):
+                raise CommitConflict(
+                    f"cannot rebase: bucket {b} was rewritten/dropped by a "
+                    f"concurrent commit")
+            bd = base.deltas.get(b, [])
+            cd = cur.deltas.get(b, [])
+            if cd != bd:
+                if cd[: len(bd)] != bd:
+                    raise CommitConflict(
+                        f"cannot rebase: bucket {b} delta log diverged "
+                        f"(not an append extension of ours)")
+                if b in dropped:
+                    raise CommitConflict(
+                        f"cannot rebase: bucket {b} received concurrent "
+                        f"deltas but this commit drops it")
+                keep[b] = cd[len(bd):]
+        for b in (delta_append or {}):
+            base_has = b in base.buckets or base.deltas.get(b)
+            cur_has = b in cur.buckets or cur.deltas.get(b)
+            if base_has and not cur_has:
+                raise CommitConflict(
+                    f"cannot rebase: bucket {b} was dropped concurrently; "
+                    f"refusing to append into it")
+        return keep
+
     def commit(
         self,
         operation: str,
@@ -458,6 +543,7 @@ class SnapshotTable:
         expected_parent: int | None = None,
         delta_append: dict[int, str] | None = None,
         publish: bool = True,
+        max_retries: int = 0,
     ) -> Snapshot:
         """Commit a new snapshot: parent's bucket map + rewrites - drops.
 
@@ -466,42 +552,86 @@ class SnapshotTable:
 
         `delta_append` appends one delta dir per bucket (merge-on-read
         append). A bucket in `rewritten` had its full merged state rewritten
-        (copy-on-write or compaction), so its delta list is cleared.
+        (copy-on-write or compaction), so its delta list is cleared — except
+        delta dirs appended by commits we rebased over, which are kept.
 
         `expected_parent` gives optimistic concurrency: commit fails if HEAD
-        moved since the caller read it.
+        moved since the caller read it. With `max_retries` > 0 a conflicting
+        commit is not immediately fatal: the committer re-validates against
+        the new HEAD (`_rebase_keep`) and, when the concurrent commits
+        touched disjoint state, re-applies on top of it — so two writers on
+        disjoint buckets, or compaction racing delta appends, both succeed
+        without recomputing anything. A real overlap still raises.
         """
-        cur = self.current()
-        if expected_parent is not None and cur.snapshot_id != expected_parent:
-            raise CommitConflict(
-                f"concurrent commit: HEAD={cur.snapshot_id}, expected {expected_parent}"
+        import time
+
+        dropped = list(dropped_buckets)
+        base: Snapshot | None = None
+        if expected_parent is not None:
+            try:
+                base = self.load_snapshot(expected_parent)
+            except FileNotFoundError:
+                base = None  # expired: conflicts become non-rebasable
+        attempts = 0
+        while True:
+            cur = self.current()
+            keep: dict[int, list[str]] = {}
+            if expected_parent is not None and cur.snapshot_id != expected_parent:
+                if attempts >= max_retries or base is None:
+                    raise CommitConflict(
+                        f"concurrent commit: HEAD={cur.snapshot_id}, "
+                        f"expected {expected_parent}"
+                    )
+                attempts += 1
+                keep = self._rebase_keep(base, cur, rewritten, dropped,
+                                         delta_append, schema,
+                                         renames_update, props_update)
+                expected_parent = cur.snapshot_id
+            buckets = dict(cur.buckets)
+            for b in dropped:
+                buckets.pop(b, None)
+            buckets.update(rewritten)
+            deltas = {b: list(ds) for b, ds in cur.deltas.items()}
+            for b in rewritten:
+                deltas.pop(b, None)
+                if keep.get(b):
+                    deltas[b] = list(keep[b])
+            for b in dropped:
+                deltas.pop(b, None)
+            for b, d in (delta_append or {}).items():
+                deltas.setdefault(b, []).append(d)
+            deltas = {b: ds for b, ds in deltas.items() if ds}
+            snap = Snapshot(
+                snapshot_id=cur.snapshot_id + 1,
+                parent=cur.snapshot_id,
+                schema_json=(schema or cur.schema()).jsonValue(),
+                n_buckets=cur.n_buckets,
+                key_cols=cur.key_cols,
+                buckets=buckets,
+                renames={**cur.renames, **(renames_update or {})},
+                props={**cur.props, **(props_update or {})},
+                summary={"operation": operation, **(summary or {})},
+                deltas=deltas,
             )
-        buckets = dict(cur.buckets)
-        for b in dropped_buckets:
-            buckets.pop(b, None)
-        buckets.update(rewritten)
-        deltas = {b: list(ds) for b, ds in cur.deltas.items()}
-        for b in rewritten:
-            deltas.pop(b, None)
-        for b in dropped_buckets:
-            deltas.pop(b, None)
-        for b, d in (delta_append or {}).items():
-            deltas.setdefault(b, []).append(d)
-        deltas = {b: ds for b, ds in deltas.items() if ds}
-        snap = Snapshot(
-            snapshot_id=cur.snapshot_id + 1,
-            parent=cur.snapshot_id,
-            schema_json=(schema or cur.schema()).jsonValue(),
-            n_buckets=cur.n_buckets,
-            key_cols=cur.key_cols,
-            buckets=buckets,
-            renames={**cur.renames, **(renames_update or {})},
-            props={**cur.props, **(props_update or {})},
-            summary={"operation": operation, **(summary or {})},
-            deltas=deltas,
-        )
-        self._write_snapshot(snap, publish=publish)
-        return snap
+            try:
+                self._write_snapshot(snap, publish=publish)
+                return snap
+            except CommitConflict:
+                # lost the manifest-id race. Either HEAD moved (next loop
+                # iteration re-reads and rebases) or a STAGED manifest
+                # occupies the id while HEAD stands still — a pending audit
+                # no retry can get past.
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                time.sleep(0.05)  # let a mid-flip winner finish its HEAD swap
+                if self.meta.read_head() == cur.snapshot_id:
+                    staged = [i for i in self.meta.list_manifest_ids()
+                              if i > cur.snapshot_id]
+                    raise CommitConflict(
+                        f"snapshot {snap.snapshot_id} blocked by staged "
+                        f"(unpublished) snapshots {staged}: publish or "
+                        f"discard them first")
 
     # ---------- DDL (metadata-only, no rewrite) ----------
 
