@@ -122,7 +122,7 @@ class Engine:
             hi = events.agg(F.max(self.cfg.lsn_col)).collect()[0][0] or 0
             return self._replayer.replay_ranges(
                 events, [(1, hi)],
-                first_epoch=current_epoch(self.table) + 1)
+                first_epoch=current_epoch(self.table, self.cfg) + 1)
         finally:
             if self.lock is not None:
                 self.lock.release()
@@ -225,7 +225,7 @@ class Engine:
             maybe_broadcast_keys(kdf, n_keys),
             list(self.cfg.key_cols), "left_semi",
         )
-        e = epoch if epoch is not None else current_epoch(self.table) + 1
+        e = epoch if epoch is not None else current_epoch(self.table, self.cfg) + 1
         return cdc_apply(self.table, subset, self.cfg, epoch=e)
 
     # ---- GET /jobs ----
@@ -243,6 +243,10 @@ class Engine:
         out = {
             "snapshot_id": snap.snapshot_id,
             "epoch": int(snap.props.get("epoch", "-1")),
+            # namespaced counters of sharded writers (cfg.writer_id fan-in)
+            "writer_epochs": {k.split(".", 1)[1]: int(v)
+                              for k, v in snap.props.items()
+                              if k.startswith("epoch.")},
             "schema_version": int(snap.props.get("schema_version", "1")),
             "n_buckets": snap.n_buckets,
             "buckets_with_deltas": sum(1 for d in snap.deltas.values() if d),

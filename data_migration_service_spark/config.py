@@ -63,4 +63,11 @@ class EngineConfig:
     quarantine_path: str | None = None
     skip_limit: int | None = 10    # reference skipLimit constant
     commit_retries: int = 2
+    # Multi-writer fan-in: each CDC stream writing this table sets its own
+    # writer_id, giving it a namespaced exactly-once epoch counter
+    # ("epoch.<writer_id>" snapshot prop) — per-shard binlog tails of a
+    # sharded source can then ingest into ONE lake table concurrently,
+    # their delta appends commuting via the commit rebase. None = the
+    # single-writer "epoch" prop (the common case).
+    writer_id: str | None = None
     table_props: dict = field(default_factory=dict)

@@ -130,8 +130,27 @@ class MergeStats:
     extra: dict[str, Any] = field(default_factory=dict)
 
 
-def current_epoch(table: SnapshotTable) -> int:
-    return int(table.current().props.get("epoch", "-1"))
+def epoch_key(cfg: EngineConfig | None) -> str:
+    """Snapshot-prop key carrying a writer's exactly-once epoch counter.
+
+    Single-writer tables use the plain "epoch" key. With
+    `cfg.writer_id` set, each writer gets its own namespaced counter
+    ("epoch.<writer_id>") so SEVERAL CDC streams can fan INTO one table —
+    e.g. per-shard binlog tails of a sharded source DB — each with its own
+    exactly-once guard, while the commit rebase lets their delta appends
+    commute. The rebase's epoch conflict check (lake._rebase_keep) matches
+    any "epoch*" prop, so two replayers of the SAME shard still collapse
+    to one winner per epoch."""
+    wid = getattr(cfg, "writer_id", None) if cfg is not None else None
+    if wid is None:
+        return "epoch"
+    if not wid or any(ch.isspace() for ch in wid) or "." in wid:
+        raise ValueError(f"invalid writer_id: {wid!r}")
+    return f"epoch.{wid}"
+
+
+def current_epoch(table: SnapshotTable, cfg: EngineConfig | None = None) -> int:
+    return int(table.current().props.get(epoch_key(cfg), "-1"))
 
 
 def cdc_apply(
@@ -151,10 +170,13 @@ def cdc_apply(
     staged mode — it would be a second commit on top of an unpublished
     HEAD; run it after publishing."""
     snap = table.current()
-    if epoch is not None and epoch <= int(snap.props.get("epoch", "-1")):
+    ekey = epoch_key(cfg)
+    if epoch is not None and epoch <= int(snap.props.get(ekey, "-1")):
         # Replayed epoch (failure re-run): the snapshot for it already
         # committed — idempotent skip. Race-free because this check and the
-        # commit below happen in the same single-writer sequence.
+        # commit below happen in the same single-writer-per-writer_id
+        # sequence (a racing duplicate of the same epoch is caught by the
+        # rebase's epoch conflict check at commit time).
         return MergeStats(epoch=epoch, skipped=True,
                           snapshot_id=snap.snapshot_id)
 
@@ -200,7 +222,7 @@ def cdc_apply(
     }
     if not affected:
         new = table.commit("merge", {}, props_update=(
-            {"epoch": str(epoch)} if epoch is not None else {}),
+            {ekey: str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id,
             publish=publish, max_retries=cfg.commit_retries)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
@@ -252,7 +274,7 @@ def cdc_apply(
     new = table.commit(
         "merge",
         {b: dirname for b in affected},
-        props_update=({"epoch": str(epoch)} if epoch is not None else {}),
+        props_update=({ekey: str(epoch)} if epoch is not None else {}),
         summary={
             "affected_buckets": len(affected),
             "rows_matched": stats.rows_matched,
@@ -282,6 +304,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     import uuid as _uuid
 
     keys = list(cfg.key_cols)
+    ekey = epoch_key(cfg)
     data_cols = [f.name for f in data_fields]
 
     salt = cfg.salt_factor
@@ -314,7 +337,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     stats = MergeStats(epoch=epoch)
     if not affected:
         new = table.commit("merge-mor", {}, props_update=(
-            {"epoch": str(epoch)} if epoch is not None else {}),
+            {ekey: str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id,
             publish=publish, max_retries=cfg.commit_retries)
         stats.snapshot_id = new.snapshot_id
@@ -346,7 +369,7 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     new = table.commit(
         "merge-mor", {},
         delta_append={b: dirname for b in affected},
-        props_update=({"epoch": str(epoch)} if epoch is not None else {}),
+        props_update=({ekey: str(epoch)} if epoch is not None else {}),
         summary={
             "affected_buckets": len(affected),
             "rows_matched": stats.rows_matched,

@@ -248,8 +248,12 @@ class ReplayEngine:
         base_path = os.path.join(self.checkpoint, "epoch_base")
         try:
             with open(base_path, "x") as f:
-                base = (int(self.table.current().props.get("epoch", "-1"))
-                        + 1)
+                from data_migration_service_spark.operators.merge import (
+                    epoch_key,
+                )
+
+                base = (int(self.table.current().props.get(
+                    epoch_key(self.cfg), "-1")) + 1)
                 f.write(str(base))
         except FileExistsError:
             with open(base_path) as f:

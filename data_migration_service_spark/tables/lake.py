@@ -498,12 +498,15 @@ class SnapshotTable:
         if renames_update and cur.renames != base.renames:
             raise CommitConflict(
                 "cannot rebase: rename update races a concurrent rename")
-        if props_update and "epoch" in props_update:
-            if int(cur.props.get("epoch", "-1")) >= int(props_update["epoch"]):
-                raise CommitConflict(
-                    f"epoch {props_update['epoch']} already committed by a "
-                    f"concurrent writer (HEAD epoch "
-                    f"{cur.props.get('epoch')})")
+        for k, v in (props_update or {}).items():
+            # every exactly-once counter ("epoch" and any namespaced
+            # "epoch.<writer_id>") survives the retry loop: a rebased
+            # commit must not re-apply an epoch its writer already landed
+            if k == "epoch" or k.startswith("epoch."):
+                if int(cur.props.get(k, "-1")) >= int(v):
+                    raise CommitConflict(
+                        f"{k}={v} already committed by a concurrent writer "
+                        f"(HEAD {k}={cur.props.get(k)})")
         keep: dict[int, list[str]] = {}
         for b in set(rewritten) | set(dropped):
             if cur.buckets.get(b) != base.buckets.get(b):
