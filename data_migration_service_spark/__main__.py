@@ -64,6 +64,7 @@ _CFG_KEYS = {
     "table_path", "key_cols", "lsn_col", "op_col", "n_buckets",
     "salt_factor", "checkpoint_path", "mismatch_report_cap", "merge_mode",
     "compact_threshold", "quarantine_path", "skip_limit",
+    "commit_retries", "writer_id",
 }
 
 

@@ -170,3 +170,20 @@ def test_cli_tag_and_sampled_verify(spark, tmp_path, capsys):
     assert rc == 0 and dropped["dropped"] == "corpus-v1"
     rc, listed2 = _run(capsys, ["--config", cfg, "tag", "list"])
     assert listed2["solo2"] == {}
+
+
+def test_cli_writer_id_config_passthrough(spark, tmp_path, capsys):
+    """A per-table `writer_id` in the JSON config namespaces the epoch
+    counter (multi-writer fan-in) and `jobs status` surfaces it."""
+    cfg_path, tables, _ = _setup(spark, tmp_path, names=("repos_w",))
+    tables["repos_w"]["writer_id"] = "shard0"
+    with open(cfg_path, "w") as f:
+        json.dump({"tables": tables}, f)
+    rc, out = _run(capsys, ["--config", cfg_path, "jobs", "run",
+                            "--table", "repos_w", "--batch"])
+    assert rc == 0
+    rc, st = _run(capsys, ["--config", cfg_path, "jobs", "status",
+                           "--table", "repos_w"])
+    assert rc == 0
+    assert st["repos_w"]["writer_epochs"].get("shard0", -1) >= 0
+    assert st["repos_w"]["epoch"] == -1  # plain counter untouched
