@@ -1387,6 +1387,90 @@ SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
 """
 
 
+def _derived_patch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update (patch) CDC log derived from `events`, deterministic
+    and ANSI-SQL-twinned: first event per key is a full insert; every 10th
+    LSN is a delete; other events patch a modular-arithmetic subset of
+    {content, lang} (always at least one field)."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.concat(F.lit("repo_"), F.pmod("user_id", F.lit(20)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.pmod("event_id", F.lit(997)).cast("string"), F.lit(".py")).alias("path"),
+        F.concat_ws("|", F.col("event_type"), F.col("props"),
+                    F.round("value", 2).cast("string")).alias("content"),
+        F.col("event_type").alias("lang"),
+    )
+    w = W.partitionBy("repo", "path").orderBy("lsn")
+    df = df.withColumn("_rn", F.row_number().over(w))
+    set_content = (F.pmod("lsn", F.lit(3)) != 0) | (F.pmod("lsn", F.lit(2)) != 0)
+    set_lang = F.pmod("lsn", F.lit(2)) == 0
+    empty = F.array().cast("array<string>")
+    return (
+        df.withColumn(
+            "op",
+            F.when(F.col("_rn") == 1, F.lit("insert"))
+            .when(F.pmod("lsn", F.lit(10)) == 0, F.lit("delete"))
+            .otherwise(F.lit("patch")))
+        .withColumn(
+            "fields",
+            F.concat(
+                F.when(set_content, F.array(F.lit("content"))).otherwise(empty),
+                F.when(set_lang, F.array(F.lit("lang"))).otherwise(empty)))
+        .drop("_rn")
+    )
+
+
+def q_patch_final_state(spark, sf):
+    """Cell-level LWW fold of a partial-update CDC log (operators/patch.py):
+    column-granular last-writer-wins — each event sets only the fields it
+    names, a row-level fold would NULL every field the latest event omitted.
+    One hash aggregate; the same fold `patch_apply` runs incrementally
+    against stored per-cell LSNs (Cassandra-style cell timestamps)."""
+    from data_migration_service_spark.operators.patch import patch_fold
+
+    log = _derived_patch_log(spark, sf)
+    return (
+        patch_fold(log, ["repo", "path"], ["content", "lang"])
+        .select("repo", "path", "content", "lang",
+                F.col("lsn").alias("last_lsn"))
+    )
+
+
+_PATCH_FINAL_STATE_SQL = """
+WITH base AS (
+  SELECT event_id AS lsn,
+         'repo_' || CAST(user_id % 20 AS VARCHAR) AS repo,
+         'f' || CAST(event_id % 997 AS VARCHAR) || '.py' AS path,
+         event_type || '|' || props || '|' || CAST(round(value, 2) AS VARCHAR) AS content,
+         event_type AS lang,
+         row_number() OVER (PARTITION BY user_id % 20, event_id % 997 ORDER BY event_id) AS rn
+  FROM events
+), log AS (
+  SELECT lsn, repo, path, content, lang,
+         CASE WHEN rn = 1 THEN 'insert'
+              WHEN lsn % 10 = 0 THEN 'delete' ELSE 'patch' END AS op,
+         (rn = 1 OR (lsn % 10 <> 0 AND ((lsn % 3 <> 0) OR (lsn % 2 <> 0)))) AS set_content,
+         (rn = 1 OR (lsn % 10 <> 0 AND lsn % 2 = 0)) AS set_lang
+  FROM base
+), agg AS (
+  SELECT repo, path,
+         coalesce(max(lsn) FILTER (WHERE op = 'delete'), -1) AS del_lsn,
+         max(lsn) FILTER (WHERE op <> 'delete' AND set_content) AS lc,
+         arg_max(content, lsn) FILTER (WHERE op <> 'delete' AND set_content) AS vc,
+         max(lsn) FILTER (WHERE op <> 'delete' AND set_lang) AS ll,
+         arg_max(lang, lsn) FILTER (WHERE op <> 'delete' AND set_lang) AS vl
+  FROM log GROUP BY repo, path
+)
+SELECT repo, path,
+       CASE WHEN lc > del_lsn THEN vc END AS content,
+       CASE WHEN ll > del_lsn THEN vl END AS lang,
+       greatest(coalesce(lc, -1), coalesce(ll, -1), del_lsn) AS last_lsn
+FROM agg
+WHERE greatest(coalesce(lc, -1), coalesce(ll, -1)) > del_lsn
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1397,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _replay_final_state,
         "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
+        "patch_final_state": q_patch_final_state,
         "lww_dedup": q_lww_dedup,
         "count_per_group": q_count_per_group,
         "distinct_keys": q_distinct_keys,
@@ -1459,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         # replay of the full log — the handoff adds nothing and loses nothing
         "bootstrap_then_tail": _REPLAY_FINAL_STATE_SQL,
         "changefeed": _CHANGEFEED_SQL,
+        "patch_final_state": _PATCH_FINAL_STATE_SQL,
         "debezium_roundtrip": _DEBEZIUM_ROUNDTRIP_SQL,
         "topk_per_group": _TOPK_PER_GROUP_SQL,
         "rollup_revenue": _ROLLUP_REVENUE_SQL,

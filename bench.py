@@ -244,7 +244,7 @@ def main() -> int:
                 "recheck_values", "scd2_history", "asof_lookup",
                 "tf_idf_top_terms", "dedup_clusters", "redact_pii",
                 "pack_offsets", "minhash_incremental",
-                "embedding_incremental",
+                "embedding_incremental", "patch_final_state",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

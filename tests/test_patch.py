@@ -1,0 +1,255 @@
+"""Cell-level (patch) CDC merge — column-granular LWW (operators/patch.py).
+
+The oracle is `patch_fold` over the complete log (itself DuckDB-checked by
+the driver's `patch_final_state` query); the incremental `patch_apply` must
+land on the identical state under ANY batching — the associativity property
+the per-cell LSN bookkeeping exists to guarantee."""
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.operators.patch import (
+    CELL_LSNS_COL,
+    DEL_LSN_COL,
+    create_patch_table,
+    patch_apply,
+    patch_fold,
+    read_patched,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("lsn", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("fields", T.ArrayType(T.StringType()), True),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+DATA_SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("content", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("lsn", T.LongType(), False),
+])
+
+
+def ev(repo, path, lsn, op, fields=None, content=None, lang=None):
+    return (repo, path, lsn, op, fields, content, lang)
+
+
+def events_df(spark, rows):
+    return spark.createDataFrame(rows, EVENT_SCHEMA)
+
+
+def synth_log(spark, n=4000, n_repos=9, n_paths=53):
+    """Deterministic patch log: insert-first per key, every 10th lsn a
+    delete, patches set a modular subset of {content, lang}."""
+    df = spark.range(1, n + 1).select(
+        F.concat(F.lit("r"), F.pmod("id", F.lit(n_repos)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.pmod(F.xxhash64("id"), F.lit(n_paths)).cast("string")).alias("path"),
+        F.col("id").alias("lsn"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+        F.concat(F.lit("lang"), F.pmod("id", F.lit(5)).cast("string")).alias("lang"),
+    )
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(W.partitionBy("repo", "path").orderBy("lsn"))
+    df = df.withColumn("_rn", rn)
+    set_c = (F.pmod("lsn", F.lit(3)) != 0) | (F.pmod("lsn", F.lit(2)) != 0)
+    set_l = F.pmod("lsn", F.lit(2)) == 0
+    empty = F.array().cast("array<string>")
+    return (
+        df.withColumn(
+            "op",
+            F.when(F.col("_rn") == 1, F.lit("insert"))
+            .when(F.pmod("lsn", F.lit(10)) == 0, F.lit("delete"))
+            .otherwise(F.lit("patch")))
+        .withColumn(
+            "fields",
+            F.concat(F.when(set_c, F.array(F.lit("content"))).otherwise(empty),
+                     F.when(set_l, F.array(F.lit("lang"))).otherwise(empty)))
+        .drop("_rn")
+    )
+
+
+def make_table(spark, tmp_path, name="patched", n_buckets=8):
+    return create_patch_table(spark, str(tmp_path / name), DATA_SCHEMA,
+                              ["repo", "path"], n_buckets)
+
+
+def cfg_for(tmp_path, name="patched", **kw):
+    kw.setdefault("n_buckets", 8)
+    kw.setdefault("salt_factor", 2)
+    return EngineConfig(table_path=str(tmp_path / name), **kw)
+
+
+def apply_in_batches(table, cfg, log, n_batches):
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    step = max(hi // n_batches, 1)
+    stats = []
+    for e in range(n_batches):
+        lo = e * step + 1
+        hi_b = (e + 1) * step if e < n_batches - 1 else hi
+        stats.append(patch_apply(
+            table, log.where(F.col("lsn").between(lo, hi_b)), cfg, epoch=e))
+    return stats
+
+
+def assert_same_state(got, want):
+    cols = ["repo", "path", "content", "lang", "lsn"]
+    g, w = got.select(*cols), want.select(*cols)
+    assert g.count() == w.count()
+    assert g.exceptAll(w).count() == 0
+    assert w.exceptAll(g).count() == 0
+
+
+def test_patch_apply_cross_batch_matches_fold(spark, tmp_path):
+    log = synth_log(spark).cache()
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    stats = apply_in_batches(t, cfg, log, 3)
+    assert all(not s.skipped for s in stats)
+    assert sum(s.rows_in_batch for s in stats) == log.count()
+    assert_same_state(read_patched(t),
+                      patch_fold(log, ["repo", "path"], ["content", "lang"]))
+
+
+def test_batching_invariance(spark, tmp_path):
+    """Associativity: 2-batch and 5-batch replays land on identical state —
+    the property per-cell LSNs + the live-row tombstone watermark buy."""
+    log = synth_log(spark, n=2500).cache()
+    t2 = make_table(spark, tmp_path, "two")
+    t5 = make_table(spark, tmp_path, "five")
+    apply_in_batches(t2, cfg_for(tmp_path, "two"), log, 2)
+    apply_in_batches(t5, cfg_for(tmp_path, "five"), log, 5)
+    a = t2.read().select("repo", "path", "content", "lang", "lsn",
+                         DEL_LSN_COL, F.to_json(F.map_entries(CELL_LSNS_COL)))
+    b = t5.read().select("repo", "path", "content", "lang", "lsn",
+                         DEL_LSN_COL, F.to_json(F.map_entries(CELL_LSNS_COL)))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_late_cell_write_cannot_resurrect_deleted_column(spark, tmp_path):
+    """The _del_lsn watermark must ride on LIVE rows too: a pre-delete cell
+    write arriving after the delete's batch may not bring the column back."""
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 1, "insert", ["content", "lang"], "c1", "l1"),
+        ev("r", "f", 10, "delete"),
+    ]), cfg, epoch=0)
+    assert read_patched(t).count() == 0
+
+    # late patch BELOW the tombstone: stays dead
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 5, "patch", ["content"], "stale", None),
+    ]), cfg, epoch=1)
+    assert read_patched(t).count() == 0
+
+    # patch ABOVE the tombstone revives ONLY the field it names
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 15, "patch", ["lang"], None, "l2"),
+    ]), cfg, epoch=2)
+    row = t.read().collect()[0]
+    assert row["lang"] == "l2" and row["content"] is None
+    assert row["lsn"] == 15 and row[DEL_LSN_COL] == 10
+    assert dict(row[CELL_LSNS_COL]) == {"lang": 15}
+
+    # and a later pre-delete content cell STILL may not resurrect, even
+    # though the row itself is live again
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 7, "patch", ["content"], "stale2", None),
+    ]), cfg, epoch=3)
+    row = t.read().collect()[0]
+    assert row["content"] is None and row["lang"] == "l2"
+
+
+def test_set_to_null_is_distinct_from_absent(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    patch_apply(t, events_df(spark, [
+        ev("a", "f", 1, "insert", None, "c1", "l1"),
+        ev("b", "f", 2, "insert", None, "c2", "l2"),
+    ]), cfg, epoch=0)
+    patch_apply(t, events_df(spark, [
+        # explicit set-to-NULL: content named in fields, value NULL
+        ev("a", "f", 3, "patch", ["content"], None, "ignored"),
+        # absent: content NOT named — stays c2 even though the column is NULL
+        ev("b", "f", 4, "patch", ["lang"], None, "l2b"),
+    ]), cfg, epoch=1)
+    rows = {r["repo"]: r for r in t.read().collect()}
+    assert rows["a"]["content"] is None and rows["a"]["lang"] == "l1"
+    # the explicit NULL cell still carries its write lsn
+    assert dict(rows["a"][CELL_LSNS_COL]) == {"content": 3, "lang": 1}
+    assert rows["b"]["content"] == "c2" and rows["b"]["lang"] == "l2b"
+    assert dict(rows["b"][CELL_LSNS_COL]) == {"content": 2, "lang": 4}
+
+
+def test_insert_sets_all_fields_shadowing_older_patches(spark, tmp_path):
+    """Re-insert after delete is a full after-image: pre-delete cells may
+    not leak through columns the insert set."""
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 1, "insert", None, "old", "old"),
+        ev("r", "f", 2, "patch", ["content"], "patched", None),
+        ev("r", "f", 3, "delete"),
+        ev("r", "f", 4, "insert", None, "new", None),  # lang legitimately NULL
+    ]), cfg, epoch=0)
+    row = t.read().collect()[0]
+    assert row["content"] == "new" and row["lang"] is None
+    assert dict(row[CELL_LSNS_COL]) == {"content": 4, "lang": 4}
+
+
+def test_exactly_once_epoch_replay_skipped(spark, tmp_path):
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    batch = events_df(spark, [ev("r", "f", 1, "insert", None, "c", "l")])
+    s1 = patch_apply(t, batch, cfg, epoch=0)
+    s2 = patch_apply(t, batch, cfg, epoch=0)
+    assert not s1.skipped and s2.skipped
+    assert t.read().count() == 1
+
+
+def test_patch_apply_is_one_exchange(spark, tmp_path):
+    """The fused plan property carries over from merge.lww_fused: the
+    (bucket, salt) repartition serves both the cell fold's groupBy and the
+    writer layout — exactly one Exchange between batch/target and files."""
+    from data_migration_service_spark.operators.merge import SALT_COL, salt_expr
+    from data_migration_service_spark.operators.patch import _fold_cells, _shape_events
+    from data_migration_service_spark.plans.inspect import physical_plan
+    from data_migration_service_spark.tables.lake import BUCKET_COL, bucket_expr
+
+    # exchange-free input (synth_log's row_number window would add its own)
+    log = spark.range(1, 2001).select(
+        F.concat(F.lit("r"), F.pmod("id", F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.pmod("id", F.lit(53)).cast("string")).alias("path"),
+        F.col("id").alias("lsn"),
+        F.when(F.pmod("id", F.lit(10)) == 0, F.lit("delete"))
+        .when(F.pmod("id", F.lit(7)) == 0, F.lit("insert"))
+        .otherwise(F.lit("patch")).alias("op"),
+        F.when(F.pmod("id", F.lit(2)) == 0, F.array(F.lit("content")))
+        .otherwise(F.array(F.lit("lang"))).alias("fields"),
+        F.sha2(F.col("id").cast("string"), 256).alias("content"),
+        F.pmod("id", F.lit(5)).cast("string").alias("lang"),
+    ).withColumn(BUCKET_COL, bucket_expr(["repo", "path"], 8))
+    shaped = (_shape_events(log, ["content", "lang"], "lsn", "op", "fields")
+              .withColumn(SALT_COL, salt_expr(["repo", "path"], 2))
+              .repartition(F.col(BUCKET_COL), F.col(SALT_COL)))
+    folded = _fold_cells(shaped, ["repo", "path"], ["content", "lang"], "lsn",
+                         group_cols=[BUCKET_COL, SALT_COL, "repo", "path"])
+    assert physical_plan(folded).count("Exchange ") == 1
+
+
+def test_reject_non_patch_table(spark, tmp_path):
+    from data_migration_service_spark.tables.lake import SnapshotTable
+
+    t = SnapshotTable.create(spark, str(tmp_path / "plain"), DATA_SCHEMA,
+                             ["repo", "path"], 8)
+    cfg = cfg_for(tmp_path, "plain")
+    import pytest
+    with pytest.raises(ValueError, match="not a patch table"):
+        patch_apply(t, events_df(spark, [ev("r", "f", 1, "insert")]), cfg)
