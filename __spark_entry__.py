@@ -1471,6 +1471,55 @@ WHERE greatest(coalesce(lc, -1), coalesce(ll, -1)) > del_lsn
 """
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher/MassiveText intra-doc repetition filters (text.repetition_stats):
+    unique-token ratio (in-row, no shuffle), top-bigram share and duplicate
+    5-gram share (two-level hash aggregates over exploded grams). Shares are
+    plain IEEE divisions — the oracle is bit-identical, no tolerance."""
+    return X.repetition_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_REPETITION_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+), b AS (
+  SELECT doc_id, len(ts) AS n_tokens,
+         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS unique_token_ratio,
+         ts
+  FROM base
+), g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 2
+           THEN list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM b
+), a2 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_2gram_share
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 5
+           THEN list_transform(generate_series(1, len(ts) - 4),
+                 i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+                      || ' ' || ts[i + 3] || ' ' || ts[i + 4])
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM b
+), a5 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+           AS dup_5gram_share
+  FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, b.unique_token_ratio,
+       coalesce(a2.top_2gram_share, 0.0) AS top_2gram_share,
+       coalesce(a5.dup_5gram_share, 0.0) AS dup_5gram_share
+FROM b LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1511,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
+        "repetition_stats": q_repetition_stats,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
@@ -1757,6 +1807,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "repetition_stats": _REPETITION_STATS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),

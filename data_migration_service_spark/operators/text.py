@@ -337,3 +337,66 @@ def contamination(docs: DataFrame, benchmark: DataFrame, id_col: str,
         ratio.alias("contamination_ratio"),
         (F.col("n_matched") >= min_matches).alias("contaminated"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText repetition
+    filters, Rae et al. 2021 §A1.1): heavily repetitive documents are
+    boilerplate/spam and poison training data, and the signals are pure
+    n-gram bookkeeping — no model, no Python.
+
+    - `unique_token_ratio`: distinct tokens / tokens (in-row
+      `array_distinct`, no shuffle at all);
+    - `top_{top_n}gram_share`: occurrences of the single most frequent
+      n-gram / all n-gram occurrences (Gopher's "fraction of characters in
+      most common n-gram", token-denominated);
+    - `dup_{dup_n}gram_share`: occurrences of n-grams appearing more than
+      once / all n-gram occurrences (Gopher's duplicate-n-gram fraction).
+
+    Scale shape: the gram counts are two-level hash aggregates over the
+    exploded grams — keyed by (doc, gram), then by doc — the same explode
+    cost profile as the MinHash shingle pass (operators/dedup.py); partial
+    aggregation collapses repeats map-side, which on exactly the repetitive
+    documents this operator hunts is where the volume is. Shares are plain
+    IEEE divisions (NOT rounded) so the DuckDB oracle is bit-identical.
+    Documents shorter than n tokens get share 0.
+    """
+    toks = tokens(text_col)
+
+    def gram_col(n: int):
+        pos = F.when(
+            F.size(F.col("_ts")) >= n,
+            F.sequence(F.lit(1), F.size(F.col("_ts")) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            pos, lambda p: F.concat_ws(" ", F.slice(F.col("_ts"), p, n)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("unique_token_ratio"),
+        toks.alias("_ts"),
+    )
+
+    def share(n: int, top_only: bool, out_name: str) -> DataFrame:
+        per_gram = (
+            base.select(F.col(id_col), F.explode(gram_col(n)).alias("_g"))
+            .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+        )
+        num = (F.max("_c") if top_only
+               else F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0)))
+        return per_gram.groupBy(id_col).agg(
+            (num.cast("double") / F.sum("_c")).alias(out_name))
+
+    top = share(top_n, True, f"top_{top_n}gram_share")
+    dup = share(dup_n, False, f"dup_{dup_n}gram_share")
+    out = (base.drop("_ts")
+           .join(top, id_col, "left").join(dup, id_col, "left"))
+    return out.select(
+        F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("unique_token_ratio"),
+        F.coalesce(f"top_{top_n}gram_share", F.lit(0.0)).alias(f"top_{top_n}gram_share"),
+        F.coalesce(f"dup_{dup_n}gram_share", F.lit(0.0)).alias(f"dup_{dup_n}gram_share"),
+    )

@@ -190,3 +190,33 @@ def test_contamination_benchmark_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
     assert out.count() == 200
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher repetition signals: hand-computed shares on tiny docs, and a
+    boilerplate doc must separate cleanly from a diverse one."""
+    from data_migration_service_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a a","a a","a b" -> top 2/3; unique 2/4
+            (1, "a a a b"),
+            # 12 tokens of pure boilerplate: every 5-gram duplicated
+            (2, "x y x y x y x y x y x y"),
+            # all-distinct tokens: zero repetition
+            (3, "q w e r t z u i o p"),
+            (4, "one"),  # shorter than any gram
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(docs, "doc_id", "text").collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 4 and r1["unique_token_ratio"] == 0.5
+    assert abs(r1["top_2gram_share"] - 2 / 3) < 1e-12
+    assert r1["dup_5gram_share"] == 0.0
+    assert rows[2]["dup_5gram_share"] == 1.0  # every 5-gram appears >1x
+    assert rows[2]["top_2gram_share"] > 0.5
+    assert rows[3]["unique_token_ratio"] == 1.0
+    assert rows[3]["dup_5gram_share"] == 0.0
+    assert rows[4]["top_2gram_share"] == 0.0 and rows[4]["dup_5gram_share"] == 0.0
