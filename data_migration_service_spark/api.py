@@ -35,13 +35,13 @@ from pyspark.sql import functions as F
 from data_migration_service_spark.config import EngineConfig
 from data_migration_service_spark.operators import verify as V
 from data_migration_service_spark.operators.merge import (
-    cdc_apply,
     compact,
     current_epoch,
     delete_where,
     maybe_broadcast_keys,
     probe_keys,
 )
+from data_migration_service_spark.operators.patch import apply_changes
 from data_migration_service_spark.registry import SchemaRegistry
 from data_migration_service_spark.streaming.replay import ReplayEngine
 from data_migration_service_spark.tables.lake import SnapshotTable
@@ -158,8 +158,8 @@ class Engine:
         # violation) fails loudly at its publish(), never silently.
         if self.table.staged_snapshots():
             self.table.discard_staged()
-        stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
-                          publish=False)
+        stats = apply_changes(self.table, batch, self.cfg, epoch=epoch,
+                              publish=False)
         if stats.skipped:
             return {"epoch": epoch, "published": False, "skipped": True,
                     "snapshot_id": stats.snapshot_id}
@@ -226,7 +226,7 @@ class Engine:
             list(self.cfg.key_cols), "left_semi",
         )
         e = epoch if epoch is not None else current_epoch(self.table, self.cfg) + 1
-        return cdc_apply(self.table, subset, self.cfg, epoch=e)
+        return apply_changes(self.table, subset, self.cfg, epoch=e)
 
     # ---- GET /jobs ----
     def status(self, detail: bool = False) -> dict[str, Any]:

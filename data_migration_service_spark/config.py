@@ -58,7 +58,7 @@ class EngineConfig:
     salt_factor: int = 8
     checkpoint_path: str | None = None
     mismatch_report_cap: int = 100
-    merge_mode: str = "cow"        # "cow" | "mor" (see operators/merge.py)
+    merge_mode: str = "cow"        # "cow" | "mor" (operators/merge.py) | "patch" (cell-level LWW, operators/patch.py)
     compact_threshold: int = 8     # mor: compact a bucket at this delta depth
     quarantine_path: str | None = None
     skip_limit: int | None = 10    # reference skipLimit constant

@@ -224,6 +224,27 @@ def patch_fold(
             .select(*key_cols, *data_cols, lsn_col))
 
 
+def apply_changes(
+    table: SnapshotTable,
+    batch: DataFrame,
+    cfg: EngineConfig,
+    epoch: int | None = None,
+    collect_stats: bool = True,
+    publish: bool = True,
+) -> MergeStats:
+    """Mode dispatcher: the one entry point replay machinery calls.
+    `cfg.merge_mode` 'cow'/'mor' -> row-level LWW (merge.cdc_apply);
+    'patch' -> cell-level LWW (patch_apply). Keeping the dispatch here (and
+    not inside cdc_apply) preserves the row-path's zero-overhead hot loop."""
+    if cfg.merge_mode == "patch":
+        return patch_apply(table, batch, cfg, epoch=epoch,
+                           collect_stats=collect_stats, publish=publish)
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    return cdc_apply(table, batch, cfg, epoch=epoch,
+                     collect_stats=collect_stats, publish=publish)
+
+
 def patch_apply(
     table: SnapshotTable,
     batch: DataFrame,
@@ -231,6 +252,7 @@ def patch_apply(
     epoch: int | None = None,
     fields_col: str = "fields",
     collect_stats: bool = True,
+    publish: bool = True,
 ) -> MergeStats:
     """Apply one micro-batch of PARTIAL-UPDATE change events to a patch
     table (see module doc). Copy-on-write with bucket pruning; exactly-once
@@ -275,7 +297,7 @@ def patch_apply(
         new = table.commit("merge-patch", {}, props_update=(
             {ekey: str(epoch)} if epoch is not None else {}),
             summary={"rows": 0}, expected_parent=snap.snapshot_id,
-            max_retries=cfg.commit_retries)
+            publish=publish, max_retries=cfg.commit_retries)
         return MergeStats(epoch=epoch, snapshot_id=new.snapshot_id)
 
     shaped_src = _shape_events(src, data_cols, cfg.lsn_col, cfg.op_col,
@@ -323,6 +345,7 @@ def patch_apply(
                  "rows_inserted": stats.rows_inserted,
                  "rows_deleted": stats.rows_deleted},
         expected_parent=snap.snapshot_id,
+        publish=publish,
         max_retries=cfg.commit_retries,
     )
     stats.affected_buckets = len(affected)

@@ -93,6 +93,7 @@ def quarantine_and_filter(
     skip_limit: int | None = None,
     lsn_col: str = "lsn",
     op_col: str = "op",
+    valid_ops: Sequence[str] = VALID_OPS,
 ) -> tuple[DataFrame, int]:
     """The apply-path entry: returns (valid_rows, n_quarantined).
 
@@ -101,7 +102,7 @@ def quarantine_and_filter(
     batch failure. `skip_limit=None` disables the limit (quarantine-only
     mode); `quarantine_path=None` with malformed rows present always
     raises — silently dropping events is never an option."""
-    valid, bad = split_quarantine(events, key_cols, lsn_col, op_col)
+    valid, bad = split_quarantine(events, key_cols, lsn_col, op_col, valid_ops)
     # cheap short-circuit: one aggregate over the tagged batch; the valid
     # side is re-derived lazily by the caller's plan (no cache needed — the
     # tag is a projection, not a shuffle)

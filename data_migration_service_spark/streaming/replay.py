@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_service_spark.config import EngineConfig
-from data_migration_service_spark.operators.merge import MergeStats, cdc_apply
+from data_migration_service_spark.operators.merge import MergeStats
+from data_migration_service_spark.operators.patch import apply_changes
 from data_migration_service_spark.registry import (
     SchemaRegistry,
     apply_ddl_for_version,
@@ -108,24 +109,31 @@ class ReplayEngine:
         n_quarantined = 0
         if self.cfg.quarantine_path is not None:
             from data_migration_service_spark.operators.quarantine import (
+                VALID_OPS,
                 quarantine_and_filter,
             )
 
+            # cell-level tables accept partial-update ops; row-LWW tables
+            # must keep rejecting them (a patch applied as a full
+            # after-image would NULL the fields it omitted)
+            ops = (VALID_OPS + ("patch",)
+                   if self.cfg.merge_mode == "patch" else VALID_OPS)
             batch, n_quarantined = quarantine_and_filter(
                 batch, list(self.cfg.key_cols), self.cfg.quarantine_path,
                 epoch=epoch, skip_limit=self.cfg.skip_limit,
                 lsn_col=self.cfg.lsn_col, op_col=self.cfg.op_col,
+                valid_ops=ops,
             )
         if self.audit_gate is None:
-            stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch)
+            stats = apply_changes(self.table, batch, self.cfg, epoch=epoch)
         else:
             if self.table.staged_snapshots():
                 # orphan of a stream killed between stage and publish:
                 # unpublished by definition (see Engine.apply_audited),
                 # discard so this restart's stage can take the id
                 self.table.discard_staged()
-            stats = cdc_apply(self.table, batch, self.cfg, epoch=epoch,
-                              publish=False)
+            stats = apply_changes(self.table, batch, self.cfg, epoch=epoch,
+                                  publish=False)
             if not stats.skipped:
                 staged = self.table.load_snapshot(stats.snapshot_id)
                 if self.audit_gate(self.table.read(snapshot=staged)):

@@ -253,3 +253,55 @@ def test_reject_non_patch_table(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="not a patch table"):
         patch_apply(t, events_df(spark, [ev("r", "f", 1, "insert")]), cfg)
+
+
+def test_replay_engine_patch_mode_with_lineage_and_quarantine(spark, tmp_path):
+    """merge_mode='patch' is first-class through the replay machinery:
+    ReplayEngine dispatches to the cell fold, per-epoch lineage is recorded,
+    a replayed epoch skips, and the quarantine accepts 'patch' ops (which a
+    row-LWW table must keep rejecting)."""
+    from data_migration_service_spark.streaming.replay import ReplayEngine
+
+    log = synth_log(spark, n=3000).cache()
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(
+        tmp_path, merge_mode="patch",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "dead"))
+    eng = ReplayEngine(spark, t, cfg)
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    stats = eng.replay_ranges(log, [(1, hi // 2), (hi // 2 + 1, hi)])
+    assert [s.skipped for s in stats] == [False, False]
+    assert_same_state(read_patched(t),
+                      patch_fold(log, ["repo", "path"], ["content", "lang"]))
+    # lineage files per epoch with per-bucket partitions
+    lin = eng.lineage()
+    assert [r["epoch"] for r in lin] == [0, 1]
+    assert all(r["partitions"] for r in lin)
+    # at-least-once redelivery of epoch 1 -> exactly-once skip
+    again = eng.apply_batch(log.where(F.col("lsn") > hi // 2), epoch=1)
+    assert again.skipped
+
+    # a malformed op still quarantines; 'patch' does not
+    bad = events_df(spark, [
+        ev("r", "f", hi + 1, "patch", ["lang"], None, "ok"),
+        ev("r", "f", hi + 2, "upsert", ["lang"], None, "bad-op"),
+    ])
+    st = eng.apply_batch(bad, epoch=2)
+    assert st.extra.get("rows_quarantined") == 1 and st.rows_in_batch == 1
+
+
+def test_row_lww_table_quarantines_patch_ops(spark, tmp_path):
+    """On a row-level table a partial-update op is malformed — applying it
+    as a full after-image would NULL every omitted field."""
+    from data_migration_service_spark.operators.quarantine import (
+        quarantine_and_filter,
+    )
+
+    events = events_df(spark, [
+        ev("r", "f", 1, "insert", None, "c", "l"),
+        ev("r", "f", 2, "patch", ["lang"], None, "l2"),
+    ]).drop("fields")
+    valid, n_bad = quarantine_and_filter(
+        events, ["repo", "path"], str(tmp_path / "dead"), epoch=0)
+    assert n_bad == 1 and valid.count() == 1
