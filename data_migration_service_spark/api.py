@@ -274,12 +274,17 @@ class Engine:
             salt = (sample_salt if sample_salt is not None
                     else f"epoch-{int(self.table.current().props.get('epoch', '0'))}")
             return V.verify_sample(
-                expected, self.table.read(), list(self.cfg.key_cols),
+                expected, self.table.read(columns=[content_col]),
+                list(self.cfg.key_cols),
                 content_col=content_col, denominator=sample_denominator,
                 salt=salt, report_cap=self.cfg.mismatch_report_cap,
             )
+        # columns=: the verification touches only key + content columns, so
+        # the scan (and the MOR reduce, if deltas are pending) must not pay
+        # for the rest of a wide schema
         return V.verify_state(
-            expected, self.table.read(), list(self.cfg.key_cols),
+            expected, self.table.read(columns=[content_col]),
+            list(self.cfg.key_cols),
             content_col=content_col, report_cap=self.cfg.mismatch_report_cap,
         )
 
@@ -320,7 +325,8 @@ class Engine:
             res = self.verify(expected, content_col=content_col)
             res.extra["buckets_checked"] = "all (rebucketed)"
             return res
-        tgt = self.table.read(snapshot=snap, buckets=changed)
+        tgt = self.table.read(snapshot=snap, buckets=changed,
+                              columns=[content_col])
         exp = expected.where(
             bucket_expr(snap.key_cols, snap.n_buckets).isin(changed)
             if changed else F.lit(False)

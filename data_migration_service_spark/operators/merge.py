@@ -349,8 +349,13 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         # count as existing — the cow aggregate's _matched sees them too
         # (its target read includes tombstones), so both modes classify a
         # re-insert-after-delete identically as "matched".
+        # reduce=False: key EXISTENCE does not care which version wins, so
+        # the raw base+delta union (duplicates and all) feeds the semi-join
+        # directly — no LWW aggregate, and with no max_by(struct(all_cols))
+        # in the way Catalyst prunes the scan down to the key columns
         tgt_keys = (
-            table.read(snapshot=snap, buckets=affected, include_deleted=True)
+            table.read(snapshot=snap, buckets=affected, include_deleted=True,
+                       reduce=False)
             .select(*keys)
         )
         written = table.spark.read.schema(out_schema).parquet(

@@ -255,6 +255,7 @@ class SnapshotTable:
         buckets: Iterable[int] | None = None,
         include_deleted: bool = False,
         reduce: bool = True,
+        columns: Iterable[str] | None = None,
     ) -> DataFrame:
         """Read the table (optionally one snapshot / a bucket subset).
 
@@ -274,6 +275,17 @@ class SnapshotTable:
         instead of paying a second exchange; it implies include_deleted
         semantics for correctness (a caller that drops duplicates itself
         must see tombstones to drop the keys they beat).
+
+        `columns`: scan-level projection. Catalyst prunes columns through
+        plain plans automatically, but the merge-on-read reduce wraps EVERY
+        column into its `max_by(struct(...))` — so a consumer selecting two
+        columns of a delta-carrying table would still scan all of them.
+        Passing `columns` builds the reduce struct over just the requested
+        set (merge keys, LSN and the tombstone flag are always included —
+        the reduce is not correct without them), which narrows ReadSchema
+        at the parquet scan. At a 100-column table read for a 2-column
+        verification, that is the difference between scanning 2% and 100%
+        of the bytes.
         """
         snap = snapshot or self.current()
         want = set(buckets) if buckets is not None else None
@@ -291,6 +303,16 @@ class SnapshotTable:
                     dir_buckets.setdefault(d, []).append(b)
 
         out_schema = snap.schema()
+        if columns is not None:
+            lsn_col = snap.props.get("lsn_col", "lsn")
+            need = list(dict.fromkeys(
+                [*snap.key_cols, lsn_col, DELETED_COL, *columns]))
+            missing = [c for c in need if c not in out_schema.names]
+            if missing:
+                raise ValueError(f"unknown columns {missing} "
+                                 f"(schema: {out_schema.names})")
+            out_schema = T.StructType(
+                [f for f in out_schema.fields if f.name in need])
         out_cols = [f.name for f in out_schema.fields]
         parts: list[DataFrame] = []
         for d, bs in sorted(dir_buckets.items()):

@@ -182,3 +182,52 @@ def test_fan_out_small_scan_conditional(spark):
     wide = spark.range(0, 10000).repartition(par * 4) \
         .select("id", F.lit("t").alias("t"))
     assert fan_out_small_scan(wide).rdd.getNumPartitions() == par * 4
+
+
+def test_columns_projection_narrows_mor_read_schema(spark, tmp_path):
+    """read(columns=...) must reach the parquet scan: the MOR reduce's
+    max_by(struct(ALL cols)) otherwise defeats Catalyst column pruning, so a
+    2-column consumer of a wide delta-carrying table would scan every byte.
+    Pins both the narrowed ReadSchema and result equality with the full
+    read's projection."""
+    from pyspark.sql import types as T
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.plans.inspect import read_schemas
+    from data_migration_service_spark.tables.lake import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    tbl = SnapshotTable.create(spark, str(tmp_path / "t"), schema,
+                               key_cols=["repo", "path"], n_buckets=4)
+    cfg = EngineConfig(table_path=str(tmp_path / "t"),
+                       key_cols=("repo", "path"), merge_mode="mor",
+                       salt_factor=1, n_buckets=4, compact_threshold=99)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "repo string, path string, content string, lang string, "
+              "size_bytes long, lsn long, op string")
+    cdc_apply(tbl, mk([("r", "a", "v1", "py", 10, 1, "insert"),
+                       ("r", "b", "w1", "md", 11, 2, "insert")]), cfg, epoch=0)
+    cdc_apply(tbl, mk([("r", "a", "v2", "py", 12, 3, "update")]), cfg, epoch=1)
+    assert any(tbl.current().deltas.values())  # the reduce is actually live
+
+    narrow = tbl.read(columns=["content"])
+    for rs in read_schemas(narrow):
+        assert "lang" not in rs and "size_bytes" not in rs
+    # the full read DOES scan the wide columns through the reduce struct
+    wide = tbl.read().select("repo", "path", "content", "lsn")
+    assert any("lang" in rs for rs in read_schemas(wide))
+
+    got = narrow.select("repo", "path", "content", "lsn")
+    assert got.exceptAll(wide).count() == 0
+    assert wide.exceptAll(got).count() == 0
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown columns"):
+        tbl.read(columns=["nope"])
