@@ -360,3 +360,41 @@ def read_patched(table: SnapshotTable,
     """Live rows of a patch table without the bookkeeping columns."""
     df = table.read(snapshot=snapshot)
     return df.drop(CELL_LSNS_COL, DEL_LSN_COL)
+
+
+def patch_events_from_json(
+    events: DataFrame,
+    data_schema: T.StructType,
+    payload_col: str = "payload",
+    op_col: str = "op",
+    fields_col: str = "fields",
+) -> DataFrame:
+    """Decode a partial-update wire format into patch-event shape.
+
+    Real partial-update streams (Debezium MongoDB `patch` events,
+    app-level CDC) ship a JSON object containing ONLY the fields the event
+    set — which is exactly the information `fields` needs, and which a
+    plain `from_json` alone would destroy (a missing key and an explicit
+    `"x": null` both decode to NULL). So:
+
+    - values: ONE `from_json(payload, data_schema)` per row (codegen,
+      field-pruned — no Python);
+    - `fields`: `json_object_keys(payload)` — the payload's own top-level
+      key list, so `{"content": null}` (set-to-NULL) stays distinct from
+      `{}` (touch nothing). Keys outside `data_schema` are harmless: the
+      fold only consults `array_contains(fields, <data col>)`.
+
+    Delete events may carry a NULL payload; their `fields` is empty.
+    Envelope columns (keys, lsn, op) pass through untouched."""
+    parsed = F.from_json(F.col(payload_col), data_schema)
+    empty = F.array().cast("array<string>")
+    fields = F.when(
+        (F.col(op_col) == "delete") | F.col(payload_col).isNull(), empty
+    ).otherwise(F.coalesce(F.json_object_keys(payload_col), empty))
+    keep = [c for c in events.columns
+            if c != payload_col and c not in data_schema.names]
+    return events.select(
+        *keep,
+        fields.alias(fields_col),
+        *[parsed[f.name].alias(f.name) for f in data_schema.fields],
+    )

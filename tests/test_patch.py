@@ -305,3 +305,39 @@ def test_row_lww_table_quarantines_patch_ops(spark, tmp_path):
     valid, n_bad = quarantine_and_filter(
         events, ["repo", "path"], str(tmp_path / "dead"), epoch=0)
     assert n_bad == 1 and valid.count() == 1
+
+
+def test_patch_events_from_json_wire_adapter(spark, tmp_path):
+    """Partial-update wire decode: the payload's own key list becomes
+    `fields`, so explicit {"x": null} (set-to-NULL) survives decoding as
+    distinct from a missing key — the distinction from_json alone destroys.
+    End-to-end: decode -> patch_apply -> cell semantics hold."""
+    from data_migration_service_spark.operators.patch import (
+        patch_events_from_json,
+    )
+
+    wire = spark.createDataFrame(
+        [
+            ("r", "f", 1, "insert", '{"content": "c1", "lang": "l1"}'),
+            ("r", "f", 2, "patch", '{"lang": "l2"}'),
+            ("r", "g", 3, "insert", '{"content": "c3", "lang": "l3"}'),
+            ("r", "g", 4, "patch", '{"content": null}'),  # explicit NULL
+            ("r", "h", 5, "insert", '{"content": "c5", "lang": "l5"}'),
+            ("r", "h", 6, "delete", None),
+        ],
+        "repo string, path string, lsn long, op string, payload string",
+    )
+    data_schema = T.StructType([
+        T.StructField("content", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+    batch = patch_events_from_json(wire, data_schema)
+    t = make_table(spark, tmp_path)
+    patch_apply(t, batch, cfg_for(tmp_path), epoch=0)
+    rows = {r["path"]: r for r in t.read().collect()}
+    assert rows["f"]["content"] == "c1" and rows["f"]["lang"] == "l2"
+    assert dict(rows["f"][CELL_LSNS_COL]) == {"content": 1, "lang": 2}
+    # explicit set-to-NULL took effect AND advanced the cell lsn
+    assert rows["g"]["content"] is None and rows["g"]["lang"] == "l3"
+    assert dict(rows["g"][CELL_LSNS_COL]) == {"content": 4, "lang": 3}
+    assert "h" not in rows  # tombstoned
