@@ -1520,6 +1520,44 @@ FROM b LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)
 """
 
 
+def q_duplicate_spans(spark, sf):
+    """Span-level exact dedup (dedup.duplicate_spans, Lee et al. 2021):
+    per document, how many of its 15-token windows also occur in >= 2
+    documents — the boilerplate/license-block signal whole-document dedup
+    never sees. Gram-hash equi-joins, never a suffix array or all-pairs."""
+    return D.duplicate_spans(_t(spark, sf, "documents"), "doc_id", "text",
+                             n=15, min_docs=2)
+
+
+_DUPLICATE_SPANS_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) >= 15
+           THEN list_transform(generate_series(1, len(ts) - 14),
+                               i -> sha256(array_to_string(ts[i:i+14], ' ')))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM b
+), per_gd AS (
+  SELECT gram, doc_id, count(*) AS occ FROM g GROUP BY gram, doc_id
+), dup_g AS (
+  SELECT gram FROM per_gd GROUP BY gram HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, sum(occ) AS n_dup
+  FROM per_gd JOIN dup_g USING (gram) GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(greatest(len(ts) - 14, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(per_doc.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN len(ts) >= 15
+            THEN CAST(coalesce(per_doc.n_dup, 0) AS DOUBLE) / (len(ts) - 14)
+            ELSE 0.0 END AS dup_span_ratio
+FROM b LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1561,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
+        "duplicate_spans": q_duplicate_spans,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
@@ -1808,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
+        "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),

@@ -455,3 +455,77 @@ def cluster_canonical(
         F.count(F.lit(1)).alias("n_members"),
         F.max(score_col).alias("best_score"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+    hash_fn: str = "sha256",
+) -> DataFrame:
+    """Exact substring-level dedup signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): the harms of duplication
+    are mostly SPAN-level — boilerplate headers, license blocks, quoted
+    passages — which whole-document dedup (exact or MinHash) never sees
+    because the surrounding text differs. Per document: how many of its
+    n-token windows also occur in at least `min_docs - 1` OTHER documents.
+
+    The reference implementation builds a corpus suffix array — inherently
+    sequential. The distributed re-expression is windowed gram hashing:
+
+        tokens -> n-token window grams (in-row transform, no explode yet)
+        -> explode (doc, gram_hash)                      [rows x n_tokens]
+        -> groupBy(gram, doc) count                      [shuffle 1]
+        -> groupBy(gram): n_docs                         [map-side combine]
+        -> occurrences semi-joined to grams with n_docs >= min_docs
+        -> groupBy(doc): n_dup_spans                     [shuffle 2]
+
+    Both aggregates are hash aggregates with partial combine; the join is a
+    gram-keyed equi-join (never all-pairs). `hash_fn='sha256'` is the
+    oracle-portable default (DuckDB twin is byte-identical);
+    'xxhash64' halves the hash cost at scale (same trade as
+    minhash_signatures' fast path). Output: (id, n_spans, n_dup_spans,
+    dup_span_ratio) — ratio is an unrounded IEEE division.
+    """
+    if hash_fn not in ("sha256", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    from data_migration_service_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    base = fan_out_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_ts"))
+    pos = F.when(
+        F.size("_ts") >= n, F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def h(gram):
+        return (F.sha2(gram, 256) if hash_fn == "sha256"
+                else F.xxhash64(gram))
+
+    grams = base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            pos, lambda p: h(F.concat_ws(" ", F.slice(F.col("_ts"), p, n))))
+        ).alias("_g"),
+    )
+    per_gd = grams.groupBy("_g", id_col).agg(F.count(F.lit(1)).alias("_occ"))
+    dup_g = (per_gd.groupBy("_g")
+             .agg(F.count(F.lit(1)).alias("_nd"))
+             .where(F.col("_nd") >= min_docs)
+             .select("_g"))
+    per_doc = (per_gd.join(dup_g, "_g", "left_semi")
+               .groupBy(id_col).agg(F.sum("_occ").alias("n_dup_spans")))
+    sizes = base.select(
+        F.col(id_col),
+        F.greatest(F.size("_ts") - (n - 1), F.lit(0)).cast("long")
+        .alias("n_spans"))
+    out = (sizes.join(per_doc, id_col, "left")
+           .withColumn("n_dup_spans",
+                       F.coalesce("n_dup_spans", F.lit(0)).cast("long")))
+    ratio = F.when(F.col("n_spans") > 0,
+                   F.col("n_dup_spans").cast("double") / F.col("n_spans")) \
+             .otherwise(F.lit(0.0))
+    return out.select(F.col(id_col), "n_spans", "n_dup_spans",
+                      ratio.alias("dup_span_ratio"))

@@ -357,3 +357,34 @@ def test_incremental_near_dup_matches_full_corpus_restriction(spark, tmp_path):
                 want.add((r["id_a"], r["id_b"], kind))
         assert got == want
         assert any(k == "new_corpus" for _, _, k in got)  # non-trivial
+
+
+def test_duplicate_spans_cross_doc_detection(spark):
+    """Span-level exact dedup (Lee et al.): a shared 5-token block across
+    two docs is found with positions counted per occurrence; a doc with no
+    cross-doc spans reports zero even when it repeats itself (that is
+    repetition_stats' job); short docs have zero windows."""
+    from data_migration_service_spark.operators.dedup import duplicate_spans
+
+    block = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {block} three"),          # block at 1 position set
+            (2, f"{block} four five {block}"),       # block twice
+            (3, "solo solo solo solo solo solo"),    # intra-doc only
+            (4, "tiny doc"),                          # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2).collect()}
+    assert rows[1]["n_spans"] == 4 and rows[1]["n_dup_spans"] == 1
+    # doc 2: 12 tokens -> 8 windows; the block occurs at offsets 1 and 8
+    assert rows[2]["n_spans"] == 8 and rows[2]["n_dup_spans"] == 2
+    assert rows[3]["n_dup_spans"] == 0
+    assert rows[4]["n_spans"] == 0 and rows[4]["dup_span_ratio"] == 0.0
+    # xxhash64 fast path agrees on this corpus
+    fast = {r["doc_id"]: r["n_dup_spans"] for r in
+            duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2,
+                            hash_fn="xxhash64").collect()}
+    assert fast == {k: r["n_dup_spans"] for k, r in rows.items()}
