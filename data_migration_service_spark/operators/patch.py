@@ -362,6 +362,23 @@ def read_patched(table: SnapshotTable,
     return df.drop(CELL_LSNS_COL, DEL_LSN_COL)
 
 
+def patch_tombstone_gc(table: SnapshotTable, cfg: EngineConfig,
+                       watermark: int) -> int:
+    """Physically drop patch-table tombstones whose delete LSN is at or
+    below `watermark` — the cell-table analogue of
+    `merge.compact(tombstone_watermark=)`. A tombstone exists only to beat
+    late lower-LSN cell writes; once the source guarantees nothing at or
+    below the watermark can still arrive (e.g. the replication slot's
+    confirmed-flush LSN), keeping it is pure bloat — at 10^10 events
+    deleted keys otherwise accumulate forever. Caller owns the watermark's
+    safety. Bucket-pruned rewrite via delete_where; returns snapshot id."""
+    from data_migration_service_spark.operators.merge import delete_where
+
+    return delete_where(
+        table, cfg,
+        predicate=(F.col(DELETED_COL) & (F.col(DEL_LSN_COL) <= watermark)))
+
+
 def patch_events_from_json(
     events: DataFrame,
     data_schema: T.StructType,

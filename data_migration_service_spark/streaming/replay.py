@@ -86,6 +86,27 @@ class ReplayEngine:
         wm = self.table.current().props.get("bootstrap_lsn")
         if wm is not None and self.cfg.lsn_col in batch.columns:
             batch = batch.where(F.col(self.cfg.lsn_col) > int(wm))
+        if (self.cfg.merge_mode == "patch" and "payload" in batch.columns
+                and "fields" not in batch.columns):
+            # partial-update wire: the JSON payload carries ONLY the fields
+            # each event set; decode values + the set-field list together
+            # (operators/patch.patch_events_from_json) so explicit-null vs
+            # absent survives. Takes precedence over the registry path —
+            # patch payloads are keyed by field presence, not version.
+            from pyspark.sql import types as T
+
+            from data_migration_service_spark.operators.patch import (
+                patch_data_cols,
+                patch_events_from_json,
+            )
+
+            schema = self.table.current().schema()
+            data = set(patch_data_cols(schema, list(self.cfg.key_cols),
+                                       self.cfg.lsn_col))
+            batch = patch_events_from_json(
+                batch, T.StructType([f for f in schema.fields
+                                     if f.name in data]),
+                op_col=self.cfg.op_col)
         if self.registry is None and "payload" in batch.columns:
             # Without a registry the JSON payload would never be decoded and
             # cdc_apply would NULL-fill every value column — silent data

@@ -341,3 +341,76 @@ def test_patch_events_from_json_wire_adapter(spark, tmp_path):
     assert rows["g"]["content"] is None and rows["g"]["lang"] == "l3"
     assert dict(rows["g"][CELL_LSNS_COL]) == {"content": 4, "lang": 3}
     assert "h" not in rows  # tombstoned
+
+
+def test_streaming_patch_replay_from_json_payload_wal(spark, tmp_path):
+    """End-to-end streaming patch replay: a growing dir of RAW_EVENT_SCHEMA
+    parquet files whose JSON payloads carry ONLY the fields each event set;
+    ReplayEngine (merge_mode='patch') decodes field presence in-stream,
+    folds cells exactly-once, and a later file resumes from the checkpoint."""
+    from data_migration_service_spark.streaming.replay import ReplayEngine
+
+    log = synth_log(spark, n=1500).cache()
+    # an insert is a full after-image on the wire; a patch carries only the
+    # fields it set
+    setf = F.when(F.col("op") == "insert",
+                  F.array(F.lit("content"), F.lit("lang"))) \
+            .otherwise(F.col("fields"))
+    payload = F.to_json(F.struct(
+        *[F.when(F.array_contains(setf, c), F.col(c)).alias(c)
+          for c in ("content", "lang")]))
+    # to_json drops nulls, so an unset field is an ABSENT key — the wire
+    # shape patch_events_from_json exists to decode. (Explicit set-to-NULL
+    # over the wire is covered by the adapter unit test; the synth log's
+    # set fields are always non-null.)
+    raw = log.select(
+        "lsn", "op", "repo", "path",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(1).alias("schema_version"),
+        F.when(F.col("op") != "delete", payload).alias("payload"),
+    )
+    src = str(tmp_path / "wal")
+    raw.where(F.col("lsn") <= 700).coalesce(1).write.mode("append").parquet(src)
+    raw.where(F.col("lsn").between(701, 1100)).coalesce(1).write.mode("append").parquet(src)
+
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path, merge_mode="patch",
+                  checkpoint_path=str(tmp_path / "ckpt"))
+    eng = ReplayEngine(spark, t, cfg)
+    eng.replay_stream(src, max_files_per_trigger=1)
+    assert read_patched(t).count() > 0
+
+    # more WAL arrives; same checkpoint resumes without reprocessing
+    raw.where(F.col("lsn") > 1100).coalesce(1).write.mode("append").parquet(src)
+    ReplayEngine(spark, t, cfg).replay_stream(src, max_files_per_trigger=1)
+    assert_same_state(read_patched(t),
+                      patch_fold(log, ["repo", "path"], ["content", "lang"]))
+    lin = eng.lineage()
+    assert len(lin) >= 3 and all(not r["skipped"] for r in lin)
+
+
+def test_patch_tombstone_gc_drops_only_expired(spark, tmp_path):
+    from data_migration_service_spark.operators.patch import patch_tombstone_gc
+    from data_migration_service_spark.tables.lake import DELETED_COL
+
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    patch_apply(t, events_df(spark, [
+        ev("a", "f", 1, "insert", None, "c", "l"),
+        ev("a", "f", 5, "delete"),
+        ev("b", "f", 2, "insert", None, "c", "l"),
+        ev("b", "f", 9, "delete"),
+        ev("c", "f", 3, "insert", None, "c", "l"),
+    ]), cfg, epoch=0)
+    dead = t.read(include_deleted=True).where(F.col(DELETED_COL))
+    assert dead.count() == 2
+    patch_tombstone_gc(t, cfg, watermark=5)
+    left = t.read(include_deleted=True)
+    assert left.where(F.col(DELETED_COL)).count() == 1  # lsn 9 survives
+    assert left.where(~F.col(DELETED_COL)).count() == 1  # c/f live
+    # the GC'd key can come back only via a fresh >watermark write
+    patch_apply(t, events_df(spark, [
+        ev("a", "f", 6, "patch", ["lang"], None, "back"),
+    ]), cfg, epoch=1)
+    row = t.read().where("repo = 'a'").collect()[0]
+    assert row["lang"] == "back" and row["content"] is None
