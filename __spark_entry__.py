@@ -1558,6 +1558,35 @@ FROM b LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_rare_token_stats(spark, sf):
+    """Corpus-frequency quality gate (text.rare_token_stats): the
+    exact-arithmetic analogue of CCNet's LM-perplexity filter — mean corpus
+    frequency of a doc's tokens + share of rare (freq <= 2) tokens. All
+    integer counts and exact divisions, so the oracle is bit-identical."""
+    return X.rare_token_stats(_t(spark, sf, "documents"), "doc_id", "text",
+                              rare_max=2)
+
+
+_RARE_TOKEN_STATS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), freq AS (
+  SELECT t, count(*) AS cf FROM tok GROUP BY t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       avg(cf) AS avg_token_corpus_freq,
+       CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN cf <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS rare_token_ratio
+FROM tok JOIN freq USING (t)
+GROUP BY doc_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: engine CDC replay of a derived change log on sf0.001."""
     return _replay_final_state(spark, "/root/testdata/sf0.001")
@@ -1600,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
         "duplicate_spans": q_duplicate_spans,
+        "rare_token_stats": q_rare_token_stats,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
@@ -1848,6 +1878,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
+        "rare_token_stats": _RARE_TOKEN_STATS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),

@@ -400,3 +400,41 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
         F.coalesce(f"top_{top_n}gram_share", F.lit(0.0)).alias(f"top_{top_n}gram_share"),
         F.coalesce(f"dup_{dup_n}gram_share", F.lit(0.0)).alias(f"dup_{dup_n}gram_share"),
     )
+
+
+def rare_token_stats(df: DataFrame, id_col: str, text_col: str,
+                     rare_max: int = 2) -> DataFrame:
+    """Corpus-frequency quality signal — the exact-arithmetic analogue of
+    CCNet's LM-perplexity filter: garbled text, misspellings and boilerplate
+    IDs are made of tokens the corpus itself rarely uses, so a document's
+    corpus-frequency profile separates fluent text from noise without any
+    model. (A true unigram logprob differs only by ln(); ln's last-ULP
+    behavior differs across engines, while sums/averages/ratios of exact
+    integer counts are bit-identical — so the oracle needs no tolerance.)
+
+    Two hash-aggregate passes plus one token-keyed equi-join:
+    corpus term frequencies (explode -> count per token), then per document
+    the mean corpus frequency of its tokens and the share with frequency
+    <= rare_max. The frequency table is vocabulary-sized — AQE broadcasts
+    it when small, shuffles otherwise; never all-pairs, never a window.
+    """
+    from data_migration_service_spark.operators.dedup import fan_out_small_scan
+
+    toks = tokens(text_col)
+    base = fan_out_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(toks).alias("_t"))
+    freq = base.groupBy("_t").agg(F.count(F.lit(1)).alias("_cf"))
+    return (
+        base.join(freq, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_cf").alias("avg_token_corpus_freq"),
+            F.sum((F.col("_cf") <= rare_max).cast("long")).alias("n_rare"),
+        )
+        .select(
+            F.col(id_col), "n_tokens", "avg_token_corpus_freq", "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens"))
+            .alias("rare_token_ratio"),
+        )
+    )

@@ -220,3 +220,26 @@ def test_repetition_stats_semantics(spark):
     assert rows[3]["unique_token_ratio"] == 1.0
     assert rows[3]["dup_5gram_share"] == 0.0
     assert rows[4]["top_2gram_share"] == 0.0 and rows[4]["dup_5gram_share"] == 0.0
+
+
+def test_rare_token_stats_semantics(spark):
+    """Corpus-frequency profile: a doc of corpus-common tokens scores high
+    mean frequency / zero rare share; a doc of hapaxes is all-rare."""
+    from data_migration_service_spark.operators.text import rare_token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the cat"),       # 'the' x2 here + 1 below = cf 3
+            (2, "the zz qq"),          # two hapaxes + one common
+            (3, "ww"),                  # single hapax
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            rare_token_stats(docs, "doc_id", "text", rare_max=1).collect()}
+    # corpus freqs: the=3, cat=1, zz=1, qq=1, ww=1
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_token_corpus_freq"] - (3 + 3 + 1) / 3) < 1e-12
+    assert rows[1]["n_rare"] == 1  # 'cat'
+    assert rows[2]["n_rare"] == 2 and abs(rows[2]["rare_token_ratio"] - 2 / 3) < 1e-12
+    assert rows[3]["rare_token_ratio"] == 1.0
