@@ -339,7 +339,7 @@ class Engine:
         return res
 
     # ---- point lookup (GET specific records) ----
-    def lookup(self, keys: DataFrame) -> DataFrame:
+    def lookup(self, keys: DataFrame, columns=None) -> DataFrame:
         """Fetch current rows for a set of merge keys, touching only the
         buckets those keys hash into (reference: fetch-specific-records,
         the read half of migrateSpecificRecords). The bucket set comes from
@@ -351,9 +351,11 @@ class Engine:
         hit, n_keys = probe_keys(kdf, list(snap.key_cols), snap.n_buckets)
         hit = [b for b in hit if b in snap.buckets or snap.deltas.get(b)]
         if not hit:
-            return self.table.read(snapshot=snap, buckets=[])
+            return self.table.read(snapshot=snap, buckets=[], columns=columns)
+        # columns=: a point lookup for two fields of a wide row must not
+        # drag every column through the MOR reduce (lake.read docstring)
         return (
-            self.table.read(snapshot=snap, buckets=hit)
+            self.table.read(snapshot=snap, buckets=hit, columns=columns)
             .join(maybe_broadcast_keys(kdf, n_keys),
                   list(snap.key_cols), "left_semi")
         )

@@ -127,3 +127,68 @@ def test_audited_replay_with_rejections_matches_oracle(
         assert_state_matches(t, ch)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# cell-level (patch) fold: ANY epoch partition + at-least-once re-delivery
+# must land on patch_fold(full log) — the associativity the per-cell LSN
+# bookkeeping guarantees (operators/patch.py)
+# ---------------------------------------------------------------------------
+
+N_PATCH = 600
+
+
+def _patch_log(spark):
+    if "plog" not in _CACHED:
+        from tests.test_patch import synth_log
+
+        _CACHED["plog"] = synth_log(spark, n=N_PATCH, n_repos=5,
+                                    n_paths=17).cache()
+    return _CACHED["plog"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cuts=st.lists(
+        st.integers(min_value=2, max_value=N_PATCH - 1),
+        min_size=0, max_size=3, unique=True,
+    ),
+    redeliver=st.booleans(),
+)
+def test_any_patch_epoch_partition_matches_fold(spark, cuts, redeliver):
+    from data_migration_service_spark.operators.patch import (
+        create_patch_table,
+        patch_apply,
+        patch_fold,
+        read_patched,
+    )
+    from tests.test_patch import DATA_SCHEMA, assert_same_state
+
+    log = _patch_log(spark)
+    bounds, lo = [], 1
+    for c in sorted(cuts):
+        bounds.append((lo, c))
+        lo = c + 1
+    bounds.append((lo, N_PATCH))
+
+    root = tempfile.mkdtemp(prefix="dms_prop_patch_")
+    try:
+        t = create_patch_table(spark, root + "/t", DATA_SCHEMA,
+                               ["repo", "path"], 8)
+        cfg = EngineConfig(table_path=root + "/t", n_buckets=8,
+                           salt_factor=2, merge_mode="patch")
+        for e, (a, b) in enumerate(bounds):
+            batch = log.where(F.col("lsn").between(a, b))
+            patch_apply(t, batch, cfg, epoch=e)
+            if redeliver:  # at-least-once: the epoch guard must no-op it
+                s = patch_apply(t, batch, cfg, epoch=e)
+                assert s.skipped
+        assert_same_state(
+            read_patched(t),
+            patch_fold(log, ["repo", "path"], ["content", "lang"]))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
