@@ -1425,7 +1425,7 @@ def q_patch_final_state(spark, sf):
     """Cell-level LWW fold of a partial-update CDC log (operators/patch.py):
     column-granular last-writer-wins — each event sets only the fields it
     names, a row-level fold would NULL every field the latest event omitted.
-    One hash aggregate; the same fold `patch_apply` runs incrementally
+    One aggregate pass; the same fold `patch_apply` runs incrementally
     against stored per-cell LSNs (Cassandra-style cell timestamps)."""
     from data_migration_service_spark.operators.patch import patch_fold
 

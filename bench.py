@@ -245,6 +245,7 @@ def main() -> int:
                 "tf_idf_top_terms", "dedup_clusters", "redact_pii",
                 "pack_offsets", "minhash_incremental",
                 "embedding_incremental", "patch_final_state",
+                "repetition_stats", "duplicate_spans", "rare_token_stats",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

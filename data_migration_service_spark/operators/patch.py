@@ -27,13 +27,15 @@ result, the property the cross-batch apply and the oracle both pin):
   recreates the row — the fold stays associative, which is what makes the
   distributed apply correct under any batching.)
 
-Why this is a single hash aggregate (no window, no per-row Python): the
+Why this is a single aggregate pass (no window, no per-row Python): the
 per-column winner "argmax among events with lsn > del_lsn" equals "argmax
 among ALL set-events, nulled when its lsn <= del_lsn" — the overall max
 setter either beats the tombstone (then it is also the max among survivors)
 or nothing does. So one `groupBy(key)` computing `max(del)`,
 `max(struct(lsn, value))` per column suffices, with map-side partial
-aggregation and no second pass.
+aggregation and no second pass. (Physically a SortAggregate — struct
+buffers are variable-width, which rules out HashAggregate; the sort is
+partition-local, the same shape the row-LWW apply runs at — PLANS.md.)
 
 Persistent state (`create_patch_table`) stores per-row bookkeeping so the
 fold keeps its inputs across batches:
@@ -156,7 +158,7 @@ def _shape_state(state: DataFrame, data_cols: list[str]) -> DataFrame:
 def _fold_cells(shaped: DataFrame, key_cols: list[str], data_cols: list[str],
                 lsn_col: str, group_cols: list[str] | None = None,
                 with_sides: bool = False) -> DataFrame:
-    """The associative cell fold: one hash aggregate over `shaped` rows
+    """The associative cell fold: ONE aggregate pass over `shaped` rows
     (from `_shape_events` / `_shape_state`), grouped by `group_cols or
     key_cols`. Returns full state rows: keys + values + lsn + bookkeeping
     (+ `_has_src`/`_has_tgt_min` when `with_sides`)."""
@@ -208,7 +210,7 @@ def patch_fold(
     keep_state: bool = False,
 ) -> DataFrame:
     """Fold a complete patch-event log to final state (the batch analogue of
-    `patch_apply`, and its oracle). One hash aggregate; map-side combine.
+    `patch_apply`, and its oracle). One aggregate pass; map-side combine.
 
     `keep_state=False` returns live rows with keys + data columns + lsn;
     `keep_state=True` additionally returns tombstones and the bookkeeping
