@@ -137,14 +137,31 @@ def _shape_events(batch: DataFrame, data_cols: list[str], lsn_col: str,
     return batch.select(*keep, *out)
 
 
-def _shape_state(state: DataFrame, data_cols: list[str]) -> DataFrame:
-    """Project stored patch-table rows to the same cell form as events."""
+def _shape_state(state: DataFrame, data_cols: list[str],
+                 renames: dict[str, str] | None = None) -> DataFrame:
+    """Project stored patch-table rows to the same cell form as events.
+
+    `renames` is the snapshot's cumulative old->new name lineage: cell-LSN
+    map KEYS are plain strings, so a renamed column's history sits under
+    its old name in rows written before the rename — the lookup coalesces
+    across the whole name chain (the map analogue of the read path's
+    name-lineage resolution). Rewritten rows migrate to the current name."""
     # tombstone rows carry del_lsn in DEL_LSN_COL already (== their lsn);
     # live rows carry their past tombstone watermark there (or -1/NULL)
+    aliases: dict[str, list[str]] = {}
+    for old, _ in (renames or {}).items():
+        cur, seen = old, set()
+        while cur in (renames or {}) and cur not in seen:
+            seen.add(cur)
+            cur = renames[cur]
+        aliases.setdefault(cur, []).append(old)
     del_l = F.when(F.col(DEL_LSN_COL) >= 0, F.col(DEL_LSN_COL))
     out = [del_l.alias("_del")]
     for c in data_cols:
-        l = F.element_at(F.col(CELL_LSNS_COL), F.lit(c))
+        names = [c] + aliases.get(c, [])
+        l = F.coalesce(*[F.element_at(F.col(CELL_LSNS_COL), F.lit(n))
+                         for n in names]) if len(names) > 1 else \
+            F.element_at(F.col(CELL_LSNS_COL), F.lit(c))
         out.append(
             F.when(~F.col(DELETED_COL) & l.isNotNull(),
                    F.struct(l.alias("l"), F.col(c).alias("v")))
@@ -306,7 +323,8 @@ def patch_apply(
                                fields_col).withColumn(SIDE_COL, F.lit(1))
     tgt = table.read(snapshot=snap, buckets=affected, include_deleted=True)
     shaped_tgt = _shape_state(
-        tgt.drop(cfg.lsn_col), data_cols).withColumn(SIDE_COL, F.lit(0))
+        tgt.drop(cfg.lsn_col), data_cols,
+        renames=snap.renames).withColumn(SIDE_COL, F.lit(0))
 
     salt = max(cfg.salt_factor, 1)
     unioned = (shaped_tgt.unionByName(shaped_src)

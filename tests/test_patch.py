@@ -414,3 +414,43 @@ def test_patch_tombstone_gc_drops_only_expired(spark, tmp_path):
     ]), cfg, epoch=1)
     row = t.read().where("repo = 'a'").collect()[0]
     assert row["lang"] == "back" and row["content"] is None
+
+
+def test_patch_schema_evolution_add_and_rename(spark, tmp_path):
+    """Schema evolution on cell tables: a column added later patches cleanly
+    (older rows stay NULL with no cell entry), and a RENAME keeps per-cell
+    LSN history reachable — the map keys are plain strings, so rows written
+    before the rename hold their history under the old name; the state
+    shaper coalesces across the rename lineage. A late lower-LSN patch to
+    the renamed column must still lose to the pre-rename cell."""
+    t = make_table(spark, tmp_path)
+    cfg = cfg_for(tmp_path)
+    patch_apply(t, events_df(spark, [
+        ev("r", "f", 10, "insert", None, "c1", "l1"),
+        ev("r", "g", 11, "insert", None, "c2", "l2"),
+    ]), cfg, epoch=0)
+
+    t.add_column("stars", T.LongType())
+    star_events = spark.createDataFrame(
+        [("r", "f", 20, "patch", ["stars"], 5)],
+        "repo string, path string, lsn long, op string, "
+        "fields array<string>, stars long")
+    patch_apply(t, star_events, cfg, epoch=1)
+    rows = {r["path"]: r for r in t.read().collect()}
+    assert rows["f"]["stars"] == 5 and rows["g"]["stars"] is None
+    assert dict(rows["f"][CELL_LSNS_COL])["stars"] == 20
+    assert "stars" not in dict(rows["g"][CELL_LSNS_COL])
+
+    t.rename_column("lang", "language")
+    late = spark.createDataFrame(
+        [("r", "f", 3, "patch", ["language"], "stale"),    # below lsn 10
+         ("r", "g", 30, "patch", ["language"], "fresh")],
+        "repo string, path string, lsn long, op string, "
+        "fields array<string>, language string")
+    patch_apply(t, late, cfg, epoch=2)
+    rows = {r["path"]: r for r in t.read().collect()}
+    # pre-rename cell history (lang@10, reachable under the old map key)
+    # beats the lsn-3 late write; the lsn-30 write wins normally
+    assert rows["f"]["language"] == "l1"
+    assert rows["g"]["language"] == "fresh"
+    assert dict(rows["g"][CELL_LSNS_COL])["language"] == 30
