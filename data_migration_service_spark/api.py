@@ -39,6 +39,7 @@ from data_migration_service_spark.operators.merge import (
     current_epoch,
     delete_where,
     maybe_broadcast_keys,
+    probe_key_hashes,
     probe_keys,
 )
 from data_migration_service_spark.operators.patch import apply_changes
@@ -345,13 +346,21 @@ class Engine:
         the read half of migrateSpecificRecords). The bucket set comes from
         `bucket_expr` over the keys alone — a keys-sized job, never a table
         scan — then a (size-gated) broadcast semi-join inside the pruned
-        read."""
+        read. Within each hit bucket, delta dirs whose key-Bloom sidecar
+        excludes every probed key are skipped at the driver
+        (lake.prune_deltas) — between compactions that turns an
+        N-delta-dir lookup into ~1 dir. The semi-join below is what makes
+        the pruned read correct: non-probed keys may lose delta winners,
+        probed keys never do (Bloom has no false negatives)."""
         snap = self.table.current()
         kdf = keys.select(*snap.key_cols).distinct()
-        hit, n_keys = probe_keys(kdf, list(snap.key_cols), snap.n_buckets)
+        hit, n_keys, hashes = probe_key_hashes(
+            kdf, list(snap.key_cols), snap.n_buckets)
         hit = [b for b in hit if b in snap.buckets or snap.deltas.get(b)]
         if not hit:
             return self.table.read(snapshot=snap, buckets=[], columns=columns)
+        if hashes is not None:
+            snap = self.table.prune_deltas(snap, hit, key_hashes=hashes)
         # columns=: a point lookup for two fields of a wide row must not
         # drag every column through the MOR reduce (lake.read docstring)
         return (

@@ -70,4 +70,12 @@ class EngineConfig:
     # their delta appends commuting via the commit rebase. None = the
     # single-writer "epoch" prop (the common case).
     writer_id: str | None = None
+    # Bits per (delta dir, bucket) key Bloom filter in the `_stats.json`
+    # sidecar (tables/lake.py): lets point lookups skip delta dirs that
+    # cannot contain a probed key. 4096 bits = 64 longs ~ 0.5 KB hex per
+    # (dir, bucket); at ~600 keys per bucket-slice of a batch that is a
+    # ~5% false-positive rate with 2 probes — i.e. a lookup between
+    # compactions opens ~1 of N delta dirs instead of all N. 0 = off
+    # (one narrow Spark aggregate per MOR apply is the write cost).
+    bloom_bits: int = 4096
     table_props: dict = field(default_factory=dict)

@@ -333,6 +333,11 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     )
     lineage = table.dir_lineage(dirname, cfg.lsn_col)
     affected = sorted(lineage)
+    if affected:
+        # file-skipping sidecar, in place BEFORE the commit references the
+        # dir (immutable, unreachable until then — same rule as the data)
+        _write_delta_stats(table, dirname, lineage, cfg, out_schema,
+                           snap.n_buckets)
 
     stats = MergeStats(epoch=epoch)
     if not affected:
@@ -401,6 +406,84 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
         stats.extra["compacted_buckets"] = len(ripe)
         stats.snapshot_id = table.current().snapshot_id
     return stats
+
+
+def _write_delta_stats(table: SnapshotTable, dirname: str,
+                       lineage: dict[int, dict], cfg: EngineConfig,
+                       out_schema: T.StructType, n_buckets: int) -> None:
+    """Per-(dir, bucket) key-Bloom + LSN-range sidecar for the delta dir
+    just written (tables/lake.py `prune_deltas`). One NARROW aggregate over
+    the dir's own key columns (O(batch), key cols only — the stats probe
+    already re-reads this dir, so the marginal cost is one small job);
+    rows/LSN ranges are reused from the footer lineage, not recomputed.
+
+    The Bloom is 2-probe over `bloom_bits` bits, laid out as 64-bit lanes
+    folded with `bit_or` — pure codegen aggregate, no UDF. Probe hashes are
+    `xxhash64(keys)` / `xxhash64(keys, 'bloom2')`, the same JVM hash the
+    reader collects driver-side (probe_key_hashes), so writer and prober
+    agree bit-for-bit."""
+    m = cfg.bloom_bits
+    if not m or m % 64 or not lineage:
+        return
+    lanes = m // 64
+    keys = list(cfg.key_cols)
+    key_schema = T.StructType([f for f in out_schema.fields if f.name in keys])
+    kdf = table.spark.read.schema(key_schema).parquet(
+        *table.bucket_paths(dirname, sorted(lineage)))
+    h1 = F.xxhash64(*[F.col(c) for c in keys])
+    h2 = F.xxhash64(*[F.col(c) for c in keys], F.lit("bloom2"))
+    pos1, pos2 = F.pmod(h1, F.lit(m)), F.pmod(h2, F.lit(m))
+    df = (
+        kdf.select(
+            bucket_expr(keys, n_buckets).alias(BUCKET_COL),
+            (pos1 / 64).cast("int").alias("_l1"),
+            F.pmod(pos1, F.lit(64)).cast("int").alias("_b1"),
+            (pos2 / 64).cast("int").alias("_l2"),
+            F.pmod(pos2, F.lit(64)).cast("int").alias("_b2"),
+        )
+        .withColumn("_w1", F.expr("shiftleft(1L, _b1)"))
+        .withColumn("_w2", F.expr("shiftleft(1L, _b2)"))
+    )
+    zero = F.lit(0).cast("long")
+    aggs = [
+        F.bit_or(
+            F.when(F.col("_l1") == l, F.col("_w1")).otherwise(zero)
+            .bitwiseOR(F.when(F.col("_l2") == l, F.col("_w2")).otherwise(zero))
+        ).alias(f"_w{l}")
+        for l in range(lanes)
+    ]
+    buckets = {}
+    for r in df.groupBy(BUCKET_COL).agg(*aggs).collect():
+        b = int(r[BUCKET_COL])
+        lin = lineage.get(b, {})
+        buckets[str(b)] = {
+            "rows": lin.get("rows"),
+            "lsn_min": lin.get("lsn_min"),
+            "lsn_max": lin.get("lsn_max"),
+            "bloom": [format((r[f"_w{l}"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+                      for l in range(lanes)],
+        }
+    table.write_dir_stats(dirname, {"bloom_bits": m, "buckets": buckets})
+
+
+def probe_key_hashes(
+    kdf: DataFrame, key_cols: list[str], n_buckets: int,
+    cap: int = 100_000,
+) -> tuple[list[int], int, list[tuple[int, int]] | None]:
+    """probe_keys plus the raw Bloom-probe hash pairs of each key, for
+    driver-side delta-dir skipping (tables/lake.py `prune_deltas`). Past
+    `cap` distinct keys the hash collect is skipped (None) — dir pruning
+    is an optimization for SMALL targeted lookups; a giant key set reads
+    every delta anyway and must not balloon the driver."""
+    hits, n_keys = probe_keys(kdf, key_cols, n_buckets)
+    if n_keys > cap:
+        return hits, n_keys, None
+    cols = [F.col(c) for c in key_cols]
+    rows = kdf.select(
+        F.xxhash64(*cols).alias("_h1"),
+        F.xxhash64(*cols, F.lit("bloom2")).alias("_h2"),
+    ).collect()
+    return hits, n_keys, [(r["_h1"], r["_h2"]) for r in rows]
 
 
 def compact(table: SnapshotTable, cfg: EngineConfig,

@@ -437,6 +437,94 @@ class SnapshotTable:
         ]
         return [p for p in paths if os.path.exists(p)]
 
+    # ---------- per-dir statistics sidecar (file skipping) ----------
+    #
+    # Delta dirs accumulate between compactions; a point lookup that has
+    # already pruned to one bucket still opens base + EVERY delta dir of
+    # that bucket. The `_stats.json` sidecar written next to a delta dir's
+    # data records, per bucket: row count, LSN range, and a small Bloom
+    # filter over the merge-key hashes — so the DRIVER can drop delta dirs
+    # that cannot contain a probed key (or an LSN range) before any scan
+    # is planned. The manifest itself stays O(n_buckets): blooms live in
+    # the dirs (the Iceberg puffin-file pattern), read only for the
+    # buckets an operation actually touches. A missing sidecar (old dirs,
+    # cow bases) simply disables skipping for that dir — never wrong,
+    # just unpruned.
+
+    def write_dir_stats(self, dirname: str, stats: dict) -> None:
+        """Persist a dir's stats sidecar. Called by the writer BEFORE the
+        manifest referencing the dir commits — like the data files, the
+        sidecar is immutable and unreachable until the commit."""
+        with open(os.path.join(self._datadir, dirname, "_stats.json"), "w") as f:
+            json.dump(stats, f)
+
+    def load_dir_stats(self, dirname: str) -> dict | None:
+        p = os.path.join(self._datadir, dirname, "_stats.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def prune_deltas(
+        self,
+        snap: Snapshot,
+        buckets: Iterable[int],
+        key_hashes: Iterable[tuple[int, int]] | None = None,
+        lsn_min: int | None = None,
+        lsn_max: int | None = None,
+    ) -> Snapshot:
+        """Return a copy of `snap` whose delta lists (for `buckets` only)
+        drop dirs that provably contain none of the probed keys / none of
+        the LSN interval — driver-side metadata, no Spark job.
+
+        `key_hashes` are raw `(xxhash64(keys), xxhash64(keys,'bloom2'))`
+        pairs (collect them with `operators.merge.probe_key_hashes`); each
+        dir's Bloom is tested at ITS OWN recorded bit width, so tables
+        whose `bloom_bits` changed over time prune correctly. Bloom
+        membership has no false negatives: a dir holding a probed key is
+        never dropped, so a read of the pruned snapshot returns exactly
+        the same rows FOR THE PROBED KEYS. Rows of other keys may lose
+        their delta winners — callers MUST apply a key filter (the
+        semi-join every targeted path already does).
+        """
+        import copy
+
+        pruned = copy.copy(snap)
+        pruned.deltas = dict(snap.deltas)
+        hashes = list(key_hashes) if key_hashes is not None else None
+        cache: dict[str, dict | None] = {}
+        for b in buckets:
+            dirs = snap.deltas.get(b)
+            if not dirs:
+                continue
+            keep = []
+            for d in dirs:
+                if d not in cache:
+                    cache[d] = self.load_dir_stats(d)
+                st = cache[d]
+                bs = (st or {}).get("buckets", {}).get(str(b))
+                if st is None or bs is None:
+                    keep.append(d)  # no stats -> cannot skip
+                    continue
+                if lsn_min is not None and bs.get("lsn_max") is not None \
+                        and bs["lsn_max"] < lsn_min:
+                    continue
+                if lsn_max is not None and bs.get("lsn_min") is not None \
+                        and bs["lsn_min"] > lsn_max:
+                    continue
+                if hashes is not None and bs.get("bloom"):
+                    m = st.get("bloom_bits", 0)
+                    words = [int(w, 16) for w in bs["bloom"]]
+                    if m and not any(
+                        all(words[(h % m) // 64] >> ((h % m) % 64) & 1
+                            for h in pair)
+                        for pair in hashes
+                    ):
+                        continue
+                keep.append(d)
+            pruned.deltas[b] = keep
+        return pruned
+
     def dir_lineage(self, dirname: str, lsn_col: str = "lsn") -> dict[int, dict]:
         """Per-bucket lineage of one data dir from parquet FOOTERS only:
         rows + LSN range per `_bucket=N` partition. Driver-side metadata
