@@ -29,6 +29,7 @@ from data_migration_service_spark.functions.hashing import (
 )
 from data_migration_service_spark.operators import dedup as D
 from data_migration_service_spark.operators import profile as P
+from data_migration_service_spark.operators import sampling as MX
 from data_migration_service_spark.operators import similarity as S
 from data_migration_service_spark.operators import text as X
 from data_migration_service_spark.operators import verify as V
@@ -593,6 +594,50 @@ def q_stratified_sample(spark, sf):
     out = X.stratified_sample(docs, "doc_id", "lang",
                               {"en": 0.3, "zh": 1.0}, default_fraction=0.5)
     return out.select("doc_id", "lang")
+
+
+def q_mixture_sample(spark, sf):
+    """Domain-mixture corpus sampling (operators/sampling.py): downsample
+    per-language to a target 50/20/30 en/zh/fr mixture (es/de excluded),
+    reporting raw count, kept count and planned rate per domain. Membership
+    is the sha256-hex u32 threshold — deterministic across engines, which
+    is what lets DuckDB re-derive the identical sample. Plan: one
+    domain-sized aggregate + auto-broadcast rate join + map-side filter;
+    the corpus is never shuffled."""
+    docs = _t(spark, sf, "documents")
+    return MX.mixture_report(
+        docs, "lang", ["doc_id"],
+        weights={"en": 0.5, "zh": 0.2, "fr": 0.3},
+    ).select("lang", "n_raw", "n_kept", "rate")
+
+
+_MIXTURE_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n_raw,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                   WHEN 'fr' THEN 0.3 ELSE 0.0 END AS w
+  FROM counts
+), cap AS (
+  SELECT MIN(CAST(n_raw AS DOUBLE) / w) AS c FROM w WHERE w > 0
+), rates AS (
+  SELECT lang, n_raw,
+         CASE WHEN w > 0
+              THEN LEAST(1.0, (c * w) / CAST(n_raw AS DOUBLE))
+              ELSE 0.0 END AS rate
+  FROM w CROSS JOIN cap
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.lang = r.lang
+  WHERE CAST(concat('0x', substr(
+          sha256('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_raw, COALESCE(k.n_kept, 0) AS n_kept, r.rate
+FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+"""
 
 
 def q_redact_pii(spark, sf):
@@ -1624,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
@@ -1873,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
                   < '{format(int(0.5 * 16 ** 8), "08x")}'
             END
         """,
+        "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,

@@ -1,0 +1,144 @@
+"""Domain-mixture sampling — deterministic corpus mixing for LLM training.
+
+A pretraining corpus is assembled from domains (languages, sources,
+quality tiers) whose RAW sizes never match the TARGET mixture; the mixing
+step downsamples each domain to hit target proportions. At 100 TB this
+must be a single map-side filter — no shuffle of the corpus, no
+randomness that changes between runs, cluster sizes, or retries:
+
+- Per-row membership is a pure function of the row's id:
+  `u32 = int(substr(sha256(salt ':' id...), 1, 8), 16)` kept when
+  `u32 < floor(rate(domain) * 2^32)` — the same fixed-width-hex
+  uniform the sampled-verification canary uses (operators/verify.py
+  `sample_filter`), so a re-run, a different partitioning, or another
+  engine selects the IDENTICAL sample. That determinism is what makes a
+  training corpus reproducible from its recipe.
+- Per-domain rates derive from one tiny aggregate (one row per domain)
+  joined back; with a bounded domain count Catalyst/AQE broadcasts the
+  rate table, so the corpus itself is never shuffled.
+
+Rates: given target weights `w_d` and observed counts `n_d`, the largest
+achievable corpus without upsampling fixes capacity
+`C = min_d(n_d / w_d)`; each domain keeps `rate_d = (C * w_d) / n_d`
+rows (the binding domain keeps everything, the rest downsample).
+Temperature mode derives the weights from the counts themselves,
+`w_d = n_d ** alpha` — alpha=1 keeps the natural mixture, alpha=0
+equalizes domains, the 0<alpha<1 range is the multilingual-rebalancing
+schedule of the mT5/XLM-R line of work.
+
+The arithmetic is ordered so an ANSI-SQL oracle reproduces it bit-for-bit
+(divisions and multiplications are IEEE correctly-rounded; `pow` is NOT —
+which is why the oracle-checked driver query uses explicit weights and
+temperature mode is covered by pytest instead).
+
+Reference parity: the reference migrates tenants wholesale and has no
+sampling surface; this family is brief-mandated (training-data pipeline
+operators beyond the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 16^8: the uniform lives in [0, 2^32) — 8 hex chars of the key sha256
+_SCALE = float(1 << 32)
+
+
+def sample_uniform(id_cols: list[str], salt: str = "mix") -> F.Column:
+    """Deterministic u32 uniform from a row id — JVM-side, no UDF."""
+    h = F.sha2(F.concat_ws(":", F.lit(salt),
+                           *[F.col(c).cast("string") for c in id_cols]), 256)
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def domain_rates(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+) -> DataFrame:
+    """One row per domain: observed count, target weight, keep rate and
+    the u32 threshold. Exactly one of `weights` / `temperature`.
+
+    Domains absent from `weights` get rate 0 (dropped) — mixing is also
+    how unwanted sources are excluded. The aggregate output is
+    domain-count-sized; everything downstream of it is driver-free.
+    """
+    if (weights is None) == (temperature is None):
+        raise ValueError("pass exactly one of weights / temperature")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_raw"))
+    if weights is not None:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv])
+        w = F.coalesce(wmap[F.col(domain_col)].cast("double"), F.lit(0.0))
+    else:
+        w = F.pow(F.col("n_raw").cast("double"), F.lit(float(temperature)))
+    wdf = counts.withColumn("_w", w)
+    # capacity: the binding domain (smallest n/w) is kept whole; computed
+    # as a 1-row aggregate cross-joined back (domain-count-sized input)
+    cap = wdf.where(F.col("_w") > 0).agg(
+        F.min(F.col("n_raw").cast("double") / F.col("_w")).alias("_c"))
+    rate = F.when(
+        F.col("_w") > 0,
+        F.least(F.lit(1.0),
+                (F.col("_c") * F.col("_w")) / F.col("n_raw").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return (
+        wdf.crossJoin(cap)
+        .withColumn("rate", rate)
+        .withColumn("thr", F.floor(F.col("rate") * F.lit(_SCALE)).cast("long"))
+        .select(domain_col, "n_raw", "rate", "thr")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_cols: list[str],
+    weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample `df` to the target domain mixture, deterministically.
+
+    Plan shape: one domain-sized aggregate, one (auto-broadcast) join of
+    the rate table, one map-side filter. The corpus is never shuffled and
+    the selected set is a pure function of (id, salt, weights) — rerun-,
+    partitioning- and engine-stable.
+    """
+    rates = domain_rates(df, domain_col, weights, temperature)
+    u = sample_uniform(id_cols, salt).alias("_u")
+    return (
+        df.select("*", u)
+        .join(rates.select(domain_col, "thr"), domain_col)
+        .where(F.col("_u") < F.col("thr"))
+        .drop("_u", "thr")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    domain_col: str,
+    id_cols: list[str],
+    weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Achieved mixture after sampling: per-domain raw count, kept count
+    and the planned rate — the audit row a corpus-build run records next
+    to its recipe. Output is domain-count-sized."""
+    kept = (
+        mixture_sample(df, domain_col, id_cols, weights, temperature, salt)
+        .groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    rates = domain_rates(df, domain_col, weights, temperature)
+    return (
+        rates.join(kept, domain_col, "left")
+        .select(
+            domain_col,
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "rate",
+        )
+    )

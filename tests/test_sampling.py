@@ -1,0 +1,84 @@
+"""Domain-mixture sampling: determinism, target proportions, temperature
+rebalancing (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.operators.sampling import (
+    domain_rates,
+    mixture_report,
+    mixture_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 3 domains with very different sizes: a=6000, b=3000, c=1000
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6000, "a")
+        .when(F.col("id") < 9000, "b")
+        .otherwise("c").alias("dom"),
+    )
+    return df.cache()
+
+
+def test_weights_hit_target_mixture(corpus):
+    # target 50/25/25 from raw 60/30/10: c binds (1000/0.25=4000 capacity)
+    rep = mixture_report(corpus, "dom", ["doc_id"],
+                         weights={"a": 0.5, "b": 0.25, "c": 0.25})
+    rows = {r["dom"]: r for r in rep.collect()}
+    assert rows["c"]["rate"] == 1.0 and rows["c"]["n_kept"] == 1000
+    # expected keeps: a=2000, b=1000 (deterministic sample ~ rate*n with
+    # sha256-uniform jitter; 5% tolerance is >6 sigma at these sizes)
+    assert abs(rows["a"]["n_kept"] - 2000) < 100
+    assert abs(rows["b"]["n_kept"] - 1000) < 75
+    total = sum(r["n_kept"] for r in rows.values())
+    assert abs(rows["a"]["n_kept"] / total - 0.5) < 0.03
+
+
+def test_sample_is_deterministic_and_salt_sensitive(corpus):
+    w = {"a": 0.4, "b": 0.4, "c": 0.2}
+    s1 = mixture_sample(corpus, "dom", ["doc_id"], weights=w)
+    s2 = mixture_sample(corpus, "dom", ["doc_id"], weights=w)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    s3 = mixture_sample(corpus, "dom", ["doc_id"], weights=w, salt="other")
+    assert s3.exceptAll(s1).count() > 0  # different recipe, different rows
+    # subset of the input, no fabricated rows
+    assert s1.join(corpus, ["doc_id", "dom"], "left_anti").count() == 0
+
+
+def test_unlisted_domain_is_dropped(corpus):
+    s = mixture_sample(corpus, "dom", ["doc_id"], weights={"a": 1.0})
+    assert s.where(F.col("dom") != "a").count() == 0
+    assert s.count() == 6000  # sole domain binds: kept whole
+
+
+def test_temperature_one_keeps_everything(corpus):
+    rep = mixture_report(corpus, "dom", ["doc_id"], temperature=1.0)
+    for r in rep.collect():
+        assert r["rate"] == 1.0 and r["n_kept"] == r["n_raw"]
+
+
+def test_temperature_zero_equalizes_domains(corpus):
+    rep = mixture_report(corpus, "dom", ["doc_id"], temperature=0.0)
+    rows = {r["dom"]: r for r in rep.collect()}
+    assert rows["c"]["n_kept"] == 1000  # smallest domain binds, kept whole
+    for d in ("a", "b"):  # others downsampled to the same size
+        assert abs(rows[d]["n_kept"] - 1000) < 75
+
+
+def test_temperature_flattens_monotonically(corpus):
+    flat = mixture_report(corpus, "dom", ["doc_id"], temperature=0.5)
+    rows = {r["dom"]: r["n_kept"] for r in flat.collect()}
+    # sqrt weights: a/c kept ratio should shrink from 6x toward sqrt(6)x
+    ratio = rows["a"] / rows["c"]
+    assert 1.0 < ratio < 6.0
+    assert rows["c"] == 1000
+
+
+def test_rates_argument_validation(corpus):
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "dom")
+    with pytest.raises(ValueError):
+        domain_rates(corpus, "dom", weights={"a": 1.0}, temperature=0.5)
