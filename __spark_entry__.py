@@ -611,6 +611,33 @@ def q_mixture_sample(spark, sf):
     ).select("lang", "n_raw", "n_kept", "rate")
 
 
+def q_corpus_shuffle(spark, sf):
+    """Deterministic global shuffle + sharding (operators/sampling.py
+    corpus_shuffle): reproducible training order — shard from one sha256
+    slice, in-shard position from a decorrelated slice. One hash exchange
+    by shard + independent per-shard sorts; identical permutation at any
+    cluster size, which is what the DuckDB twin verifies."""
+    docs = _t(spark, sf, "documents")
+    return MX.corpus_shuffle(docs, ["doc_id"], n_shards=8) \
+        .select("doc_id", "shard", "pos")
+
+
+_CORPUS_SHUFFLE_SQL = """
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY ord, doc_id) AS INT) AS pos
+FROM (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS INT)
+           AS shard,
+         substr(h, 9, 32) AS ord
+  FROM (SELECT doc_id,
+               sha256('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+)
+"""
+
+
 _MIXTURE_SAMPLE_SQL = """
 WITH counts AS (
   SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang
@@ -1670,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "corpus_shuffle": q_corpus_shuffle,
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
@@ -1920,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
             END
         """,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
+        "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,

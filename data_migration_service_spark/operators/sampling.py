@@ -117,6 +117,48 @@ def mixture_sample(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    id_cols: list[str],
+    n_shards: int,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — reproducible training order.
+
+    The step after mixing: a training run wants the corpus in a random
+    order, split into `n_shards` files its data-loader workers consume
+    independently — and bit-identical across reruns, cluster sizes and
+    retries (`.orderBy(rand())` is none of those). Every row gets:
+
+    - `shard`  = u32 from one slice of `sha256(seed ':' id...)`, mod
+      n_shards — which worker's file the row lands in;
+    - `pos`    = dense rank of a DIFFERENT hex slice (decorrelated from
+      the shard slice) within the shard — the row's position in that
+      file. Ties are impossible in practice (32 hex chars) and broken by
+      id for total determinism anyway.
+
+    Plan shape: ONE exchange (hash by shard), one per-shard sort — the
+    minimum physically required to materialize a sharded order. Shards
+    sort independently, so parallelism = n_shards: pick it at or above
+    the loader's worker count (hundreds to thousands at 100 TB), never 1.
+    Seed change = fresh epoch-order for multi-epoch training.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.sha2(F.concat_ws(":", F.lit(seed),
+                           *[F.col(c).cast("string") for c in id_cols]), 256)
+    shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                   F.lit(n_shards)).cast("int")
+    sort_key = F.substring(h, 9, 32)  # fixed-width hex: lexicographic==numeric
+    w = W.partitionBy("shard").orderBy("_ord", *id_cols)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_ord", sort_key)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_ord")
+    )
+
+
 def mixture_report(
     df: DataFrame,
     domain_col: str,

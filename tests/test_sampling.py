@@ -82,3 +82,32 @@ def test_rates_argument_validation(corpus):
         domain_rates(corpus, "dom")
     with pytest.raises(ValueError):
         domain_rates(corpus, "dom", weights={"a": 1.0}, temperature=0.5)
+
+
+def test_corpus_shuffle_total_and_deterministic(spark, corpus):
+    from data_migration_service_spark.operators.sampling import corpus_shuffle
+    from data_migration_service_spark.plans.inspect import (
+        physical_plan,
+        single_partition_exchanges,
+    )
+
+    s1 = corpus_shuffle(corpus, ["doc_id"], n_shards=8)
+    s2 = corpus_shuffle(corpus, ["doc_id"], n_shards=8)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    assert s1.count() == corpus.count()  # a permutation: nothing lost
+    assert s1.select("doc_id").distinct().count() == corpus.count()
+    # per-shard positions are 1..n contiguous (a loader can mmap by index)
+    per = s1.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"),
+        F.min("pos").alias("mn"), F.count_distinct("pos").alias("d"))
+    for r in per.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"] == r["d"]
+    # balanced shards: 10k rows over 8 shards, ±15%
+    ns = [r["n"] for r in per.collect()]
+    assert max(ns) < 1250 * 1.15 and min(ns) > 1250 * 0.85
+    # a different seed is a different permutation
+    s3 = corpus_shuffle(corpus, ["doc_id"], n_shards=8, seed="epoch2")
+    assert s3.exceptAll(s1).count() > 0
+    # plan: the per-shard window must not collapse to one partition
+    assert single_partition_exchanges(s1) == 0
+    assert physical_plan(s1).count("Exchange") == 1  # hash by shard, once
