@@ -29,6 +29,7 @@ from data_migration_service_spark.functions.hashing import (
 )
 from data_migration_service_spark.operators import dedup as D
 from data_migration_service_spark.operators import profile as P
+from data_migration_service_spark.operators import corpus as C
 from data_migration_service_spark.operators import sampling as MX
 from data_migration_service_spark.operators import similarity as S
 from data_migration_service_spark.operators import text as X
@@ -635,6 +636,86 @@ FROM (
                sha256('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
         FROM documents)
 )
+"""
+
+
+def q_corpus_build(spark, sf):
+    """End-to-end training-corpus build (operators/corpus.py): quality
+    gate (map-side, fused into the scan) -> exact dedup keep-min-id (one
+    content-hash exchange) -> 50/20/30 en/zh/fr mixture (no corpus
+    exchange) -> deterministic shard + order (the final exchange, also
+    the output layout). Two corpus shuffles total; bit-identical output
+    from the recipe on any cluster — verified by the DuckDB twin."""
+    docs = _t(spark, sf, "documents")
+    return C.corpus_build(
+        docs, "doc_id", "text", "lang",
+        weights={"en": 0.5, "zh": 0.2, "fr": 0.3}, n_shards=8,
+        min_quality=0.5, min_tokens=20, max_tokens=90,
+    )
+
+
+_CORPUS_BUILD_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+           AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars
+              ELSE 0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> lower(x) IN
+             ('the','a','of','and','to','in','is','it','for','on')))
+             AS DOUBLE) / len(toks) ELSE 0 END AS sr,
+         least(n_chars/500.0, 1.0) AS ln
+  FROM t
+), g AS (
+  SELECT doc_id, lang, text, n_tokens,
+         round(0.4*ln + 0.3*(1-pr) + 0.3*sr + 1e-9, 4) AS quality
+  FROM s
+  WHERE round(0.4*ln + 0.3*(1-pr) + 0.3*sr + 1e-9, 4) >= 0.5
+    AND n_tokens BETWEEN 20 AND 90
+), dd AS (
+  SELECT doc_id, lang, n_tokens, quality FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                 ORDER BY doc_id) AS rn FROM g)
+  WHERE rn = 1
+), counts AS (
+  SELECT lang, COUNT(*) AS n_raw FROM dd GROUP BY lang
+), w AS (
+  SELECT lang, n_raw,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+                   WHEN 'fr' THEN 0.3 ELSE 0.0 END AS w
+  FROM counts
+), cap AS (
+  SELECT MIN(CAST(n_raw AS DOUBLE) / w) AS c FROM w WHERE w > 0
+), rates AS (
+  SELECT lang, CASE WHEN w > 0
+                    THEN LEAST(1.0, (c * w) / CAST(n_raw AS DOUBLE))
+                    ELSE 0.0 END AS rate
+  FROM w CROSS JOIN cap
+), mixed AS (
+  SELECT dd.doc_id, dd.lang, dd.n_tokens, dd.quality
+  FROM dd JOIN rates r ON dd.lang = r.lang
+  WHERE CAST(concat('0x', substr(
+          sha256('corpus:mix:' || CAST(dd.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT)
+        < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)
+), sh AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) % 8 AS INT)
+           AS shard,
+         substr(h, 9, 32) AS ord
+  FROM (SELECT m.*, sha256('corpus:ord:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM mixed m)
+)
+SELECT doc_id, lang, n_tokens, quality, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY ord, doc_id) AS INT) AS pos
+FROM sh
 """
 
 
@@ -1698,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_build": q_corpus_build,
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
@@ -1949,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
+        "corpus_build": _CORPUS_BUILD_SQL,
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,

@@ -246,7 +246,7 @@ def main() -> int:
                 "pack_offsets", "minhash_incremental",
                 "embedding_incremental", "patch_final_state",
                 "repetition_stats", "duplicate_spans", "rare_token_stats",
-                "mixture_sample", "corpus_shuffle",
+                "mixture_sample", "corpus_shuffle", "corpus_build",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

@@ -1,0 +1,121 @@
+"""End-to-end training-corpus build — the pipeline, as one operator.
+
+Every stage exists as a standalone operator (quality gate: text.py,
+exact dedup: dedup.py, mixing + shuffle: sampling.py); `corpus_build`
+is their composition into the job a pretraining data team actually
+runs: raw documents in, a quality-gated, deduplicated, mixture-matched,
+shard-ordered corpus out — plus the per-stage audit counts a corpus
+card records.
+
+Plan shape (what the composition buys over running stages separately):
+
+- the quality gate is pure map-side expressions fused into the scan —
+  rejected documents never reach a shuffle;
+- exact dedup is the FIRST exchange (hash of content), on gated rows
+  only;
+- mixing adds no corpus exchange (domain-sized aggregate + broadcast
+  rate join + map-side filter);
+- the shard shuffle is the SECOND and last exchange — also the final
+  physical layout, so the corpus as a whole crosses the wire exactly
+  twice, both times already shrunk by every upstream filter.
+
+Determinism end-to-end: the gate is pure arithmetic, dedup keeps
+min(id), and both sampling stages are sha256-threshold functions of the
+row id — the same recipe (thresholds, weights, salt) rebuilds the
+bit-identical corpus on any cluster, which is what the DuckDB oracle
+twin checks.
+
+Reference parity: none — the reference migrates tables verbatim; this
+family is brief-mandated (training-data pipeline at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.operators.sampling import (
+    corpus_shuffle,
+    mixture_sample,
+)
+from data_migration_service_spark.operators.text import quality_exprs
+
+
+def corpus_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    n_shards: int,
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """documents -> (id, domain, n_tokens, quality, shard, pos).
+
+    Stages: quality gate (map-side) -> exact dedup keep-min-id (one
+    content-hash exchange) -> domain mixture at `weights` (no corpus
+    exchange) -> deterministic shard + order (one shard exchange).
+    Distinct salts derive the mixing and ordering hashes — reusing one
+    hash for both would bias shard assignment inside the kept sample.
+    """
+    gated = df.select(
+        F.col(id_col), F.col(domain_col), F.col(text_col),
+        *quality_exprs(text_col),
+    ).where((F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens))
+    if max_tokens is not None:
+        gated = gated.where(F.col("n_tokens") <= max_tokens)
+
+    w = W.partitionBy("_ch").orderBy(id_col)
+    deduped = (
+        gated.withColumn("_ch", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_ch", text_col)
+    )
+
+    mixed = mixture_sample(deduped, domain_col, [id_col],
+                           weights=weights, salt=f"{salt}:mix")
+    out = corpus_shuffle(mixed, [id_col], n_shards, seed=f"{salt}:ord")
+    return out.select(id_col, domain_col, "n_tokens", "quality",
+                      "shard", "pos")
+
+
+def corpus_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    min_quality: float = 0.0,
+    min_tokens: int = 1,
+    max_tokens: int | None = None,
+    salt: str = "corpus",
+) -> DataFrame:
+    """Per-stage survivor counts — the corpus-card funnel (raw ->
+    quality-gated -> deduplicated -> mixed), one row per stage. Runs the
+    same lazily-composed stages, so the counts are BY CONSTRUCTION the
+    pipeline's own (not a re-implementation that can drift)."""
+    gated = df.select(
+        F.col(id_col), F.col(domain_col), F.col(text_col),
+        *quality_exprs(text_col),
+    ).where((F.col("quality") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens))
+    if max_tokens is not None:
+        gated = gated.where(F.col("n_tokens") <= max_tokens)
+    w = W.partitionBy("_ch").orderBy(id_col)
+    deduped = (
+        gated.withColumn("_ch", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    mixed = mixture_sample(deduped, domain_col, [id_col],
+                           weights=weights, salt=f"{salt}:mix")
+    spark = df.sparkSession
+    stages = [("raw", df), ("quality_gated", gated),
+              ("deduplicated", deduped), ("mixed", mixed)]
+    counts = [(i, name, d.count()) for i, (name, d) in enumerate(stages)]
+    return spark.createDataFrame(counts, "stage_idx int, stage string, n long")

@@ -74,18 +74,26 @@ def domain_rates(
         w = F.coalesce(wmap[F.col(domain_col)].cast("double"), F.lit(0.0))
     else:
         w = F.pow(F.col("n_raw").cast("double"), F.lit(float(temperature)))
+    from pyspark.sql import Window as W
+
     wdf = counts.withColumn("_w", w)
-    # capacity: the binding domain (smallest n/w) is kept whole; computed
-    # as a 1-row aggregate cross-joined back (domain-count-sized input)
-    cap = wdf.where(F.col("_w") > 0).agg(
-        F.min(F.col("n_raw").cast("double") / F.col("_w")).alias("_c"))
+    # capacity: the binding domain (smallest n/w) is kept whole. Computed
+    # as a GLOBAL window over the counts frame — single-partition, which
+    # is exactly right here: the frame is the domain-sized AGGREGATE
+    # (bounded rows), and referencing it once keeps the expensive
+    # upstream (e.g. corpus_build's gate+dedup) a single subtree in the
+    # DAG instead of re-deriving it per reference (a cross-joined 1-row
+    # aggregate would plan the upstream twice).
+    cap = F.min(
+        F.when(F.col("_w") > 0, F.col("n_raw").cast("double") / F.col("_w"))
+    ).over(W.partitionBy())
     rate = F.when(
         F.col("_w") > 0,
         F.least(F.lit(1.0),
                 (F.col("_c") * F.col("_w")) / F.col("n_raw").cast("double")),
     ).otherwise(F.lit(0.0))
     return (
-        wdf.crossJoin(cap)
+        wdf.withColumn("_c", cap)
         .withColumn("rate", rate)
         .withColumn("thr", F.floor(F.col("rate") * F.lit(_SCALE)).cast("long"))
         .select(domain_col, "n_raw", "rate", "thr")

@@ -36,13 +36,11 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Length / punctuation / stopword / repetition signals -> one score.
-
-    score = 0.4*len_norm + 0.3*(1-punct_ratio) + 0.3*stopword_ratio, rounded
-    to 4 decimals (float portability with the oracle).
-    """
-    t = F.col(text_col)
+def quality_exprs(text_col) -> list[F.Column]:
+    """The quality feature columns, aliased — shared by `quality_score`
+    and the end-to-end corpus build (operators/corpus.py), so gate and
+    report can never disagree on a feature's definition."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.length(t)
     n_tok = F.size(tokens(text_col))
     punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
@@ -52,8 +50,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         # +1e-9 before rounding: Spark rounds the double's shortest decimal
@@ -63,7 +60,16 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_ratio + 1e-9, 4).alias("stopword_ratio"),
         F.round(0.4 * len_norm + 0.3 * (1 - punct_ratio) + 0.3 * stop_ratio + 1e-9, 4)
         .alias("quality"),
-    )
+    ]
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition signals -> one score.
+
+    score = 0.4*len_norm + 0.3*(1-punct_ratio) + 0.3*stopword_ratio, rounded
+    to 4 decimals (float portability with the oracle).
+    """
+    return df.select(F.col(id_col), *quality_exprs(text_col))
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
