@@ -64,11 +64,17 @@ def table_changes(
     table: SnapshotTable,
     from_snapshot: int,
     to_snapshot: int | None = None,
+    include_old: bool = False,
 ) -> DataFrame:
     """Ordered change events turning `from_snapshot`'s state into
     `to_snapshot`'s (default: current). Columns: op, lsn, then the merge
     key + data columns of the NEW snapshot's schema (data columns NULL for
-    deletes, like the engine's own ingest format)."""
+    deletes, like the engine's own ingest format).
+
+    `include_old=True` appends `old_<col>` before-image columns (NULL
+    unless the key was live at `from_snapshot`) — what an index builder
+    or cache invalidator needs to retract the entry the new value
+    replaces. Same plan either way; the old side is already in the join."""
     old_snap = table.load_snapshot(from_snapshot)
     new_snap = (table.load_snapshot(to_snapshot) if to_snapshot is not None
                 else table.current())
@@ -86,6 +92,8 @@ def table_changes(
         *keys,
         F.col(lsn_col).alias("_o_lsn"),
         F.col(DELETED_COL).alias("_o_dead"),
+        *([F.col(c).alias(f"_o_{c}") for c in data_cols]
+          if include_old else []),
     )
     n = new.select(
         *keys,
@@ -116,5 +124,7 @@ def table_changes(
             *keys,
             *[F.when(F.col("op") != "delete", F.col(f"_n_{c}")).alias(c)
               for c in data_cols],
+            *([F.when(old_live, F.col(f"_o_{c}")).alias(f"old_{c}")
+               for c in data_cols] if include_old else []),
         )
     )

@@ -1,0 +1,132 @@
+"""Secondary index: changefeed-driven maintenance, exactly-once sync,
+value-lookup consistency with the full-scan truth (tables/index.py)."""
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.api import Engine
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.operators.merge import cdc_apply
+from data_migration_service_spark.tables.index import SecondaryIndex
+from data_migration_service_spark.tables.lake import SnapshotTable
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType(), False),
+    T.StructField("path", T.StringType(), False),
+    T.StructField("commit", T.StringType(), True),
+    T.StructField("lsn", T.LongType(), False),
+])
+EVENTS = "repo string, path string, commit string, lsn long, op string"
+
+
+@pytest.fixture()
+def rig(spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, SCHEMA, ["repo", "path"], 4)
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       salt_factor=1)
+    idx = SecondaryIndex.create(spark, str(tmp_path / "ix"), t, "commit",
+                                n_buckets=4)
+    return t, cfg, idx
+
+
+def ap(spark, t, cfg, rows, epoch):
+    return cdc_apply(t, spark.createDataFrame(rows, EVENTS), cfg, epoch=epoch)
+
+
+def assert_index_consistent(t, idx):
+    """For EVERY live value: index-served keys == full-scan keys; and the
+    index holds no value that the table no longer has."""
+    state = t.read().select("repo", "path", "commit")
+    via_scan = state.where(F.col("commit").isNotNull())
+    via_index = idx.table.read().select("repo", "path", "commit")
+    assert via_index.exceptAll(via_scan).count() == 0
+    assert via_scan.exceptAll(via_index).count() == 0
+
+
+def test_bootstrap_then_incremental_updates(spark, rig):
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "c1", 1, "insert"),
+                       ("r", "b", "c1", 2, "insert"),
+                       ("r", "c", "c2", 3, "insert")], 0)
+    st = idx.sync(t)
+    assert not st["skipped"]
+    assert_index_consistent(t, idx)
+    assert sorted(r["path"] for r in idx.find_keys(["c1"]).collect()) \
+        == ["a", "b"]
+
+    # value moves, key dies, new key arrives
+    ap(spark, t, cfg, [("r", "a", "c3", 10, "update"),
+                       ("r", "b", None, 11, "delete"),
+                       ("r", "d", "c2", 12, "insert")], 1)
+    idx.sync(t)
+    assert_index_consistent(t, idx)
+    assert [r["path"] for r in idx.find_keys(["c3"]).collect()] == ["a"]
+    assert idx.find_keys(["c1"]).count() == 0  # fully retracted
+    assert sorted(r["path"] for r in idx.find_keys(["c2"]).collect()) \
+        == ["c", "d"]
+
+
+def test_sync_is_exactly_once_and_catches_up(spark, rig):
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "c1", 1, "insert")], 0)
+    st1 = idx.sync(t)
+    st2 = idx.sync(t)  # nothing new: covered interval no-ops
+    assert st2["skipped"] and st2["indexed_snapshot"] \
+        == st1["indexed_snapshot"]
+    # two source epochs, ONE catch-up sync covering both
+    ap(spark, t, cfg, [("r", "a", "c2", 5, "update")], 1)
+    ap(spark, t, cfg, [("r", "b", "c2", 6, "insert"),
+                       ("r", "a", None, 7, "delete")], 2)
+    idx.sync(t)
+    assert_index_consistent(t, idx)
+    assert sorted(r["path"] for r in idx.find_keys(["c2"]).collect()) \
+        == ["b"]
+    assert idx.find_keys(["c1"]).count() == 0
+
+
+def test_stale_events_never_reach_the_index(spark, rig):
+    """A lower-LSN late event the main LWW drops must not perturb the
+    index — guaranteed because sync diffs STATES, not raw batches."""
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "good", 100, "insert")], 0)
+    idx.sync(t)
+    ap(spark, t, cfg, [("r", "a", "stale", 5, "update")], 1)  # LWW-dropped
+    idx.sync(t)
+    assert_index_consistent(t, idx)
+    assert idx.find_keys(["stale"]).count() == 0
+    assert [r["path"] for r in idx.find_keys(["good"]).collect()] == ["a"]
+
+
+def test_value_churn_and_reinsert(spark, rig):
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "v1", 1, "insert")], 0)
+    idx.sync(t)
+    ap(spark, t, cfg, [("r", "a", None, 2, "delete")], 1)
+    idx.sync(t)
+    assert idx.find_keys(["v1"]).count() == 0
+    ap(spark, t, cfg, [("r", "a", "v1", 3, "insert")], 2)  # re-insert
+    idx.sync(t)
+    assert_index_consistent(t, idx)
+    assert [r["path"] for r in idx.find_keys(["v1"]).collect()] == ["a"]
+
+
+def test_lookup_joins_back_through_engine(spark, rig):
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "c1", 1, "insert"),
+                       ("r", "b", "c2", 2, "insert")], 0)
+    idx.sync(t)
+    eng = Engine(spark, cfg)
+    rows = idx.lookup(eng, ["c1"]).collect()
+    assert [(r["repo"], r["path"], r["commit"]) for r in rows] \
+        == [("r", "a", "c1")]
+
+
+def test_create_rejects_key_and_unknown_columns(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), SCHEMA,
+                             ["repo", "path"], 4)
+    with pytest.raises(ValueError):
+        SecondaryIndex.create(spark, str(tmp_path / "i1"), t, "repo")
+    with pytest.raises(ValueError):
+        SecondaryIndex.create(spark, str(tmp_path / "i2"), t, "nope")
