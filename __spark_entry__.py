@@ -134,6 +134,52 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def _index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index maintenance end-to-end (tables/index.py): build the
+    table in two epochs, sync the content->key inverted index after EACH
+    (first sync bootstraps, second exercises the changefeed-driven
+    incremental path with retractions of replaced/deleted values), then
+    return the ENTIRE index state. The oracle is the LWW final state's
+    live (key, value) set — full-state equality is the strongest check an
+    index can pass."""
+    from data_migration_service_spark.tables.index import SecondaryIndex
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_idx_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    idx = SecondaryIndex.create(spark, os.path.join(root, "ix"), t,
+                                "content", n_buckets=16)
+    mid = (ch.agg(F.max("lsn")).collect()[0][0] or 0) // 2
+    cdc_apply(t, ch.where(F.col("lsn") <= mid), cfg, epoch=0)
+    idx.sync(t)
+    cdc_apply(t, ch.where(F.col("lsn") > mid), cfg, epoch=1)
+    idx.sync(t)
+    return idx.table.read().select(
+        "repo", "path", F.sha2("content", 256).alias("value_sha256"))
+
+
+_INDEX_STATE_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path, sha256(content) AS value_sha256
+FROM last WHERE rn = 1 AND op <> 'delete' AND content IS NOT NULL
+"""
+
+
 def _changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine changefeed: build the table in two epochs (lsn <= mid, rest),
     then emit the incremental change events from the mid-replay snapshot to
@@ -1748,6 +1794,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _replay_final_state,
+        "index_state": _index_state,
         "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
         "patch_final_state": q_patch_final_state,
@@ -1815,6 +1862,7 @@ def oracle_sql() -> dict[str, str]:
     sep = "chr(31)"
     return {
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
+        "index_state": _INDEX_STATE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing
         "bootstrap_then_tail": _REPLAY_FINAL_STATE_SQL,
