@@ -138,13 +138,28 @@ class SecondaryIndex:
                 "rows_inserted": stats.rows_inserted,
                 "rows_deleted": stats.rows_deleted}
 
+    def compact(self) -> None:
+        """Fold the index's delta dirs into value-sorted base files.
+
+        Read performance hinges on this: L0 delta files are written
+        UNSORTED (the engine's LSM write-path rule), so a freshly-synced
+        index neither skips row groups nor avoids the MOR reduce. A
+        compacted index does both — measured 3.6x vs the full-table scan
+        at sandbox scale, vs SLOWER than the scan when left at L0
+        (BENCH.md). Sync-heavy indexes self-compact at the configured
+        delta depth; call this explicitly before read-heavy phases."""
+        from data_migration_service_spark.operators.merge import compact
+
+        compact(self.table, self.cfg)
+
     # ---- query ----
 
     def find_keys(self, values: list) -> DataFrame:
         """Merge keys currently mapped to any of `values`. The equality
-        predicate is pushed to the index's parquet scan; index files are
-        sorted leading with the value column, so row-group min/max stats
-        skip nearly everything else."""
+        predicate is on a grouping key, so Catalyst pushes it below the
+        MOR reduce into the parquet scan; on a COMPACTED index (see
+        `compact`) the value-leading file sort makes row-group min/max
+        stats skip nearly everything else."""
         df = self.table.read(columns=[self.value_col, *self.source_keys])
         return (
             df.where(F.col(self.value_col).isin(list(values)))

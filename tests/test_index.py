@@ -110,6 +110,11 @@ def test_value_churn_and_reinsert(spark, rig):
     idx.sync(t)
     assert_index_consistent(t, idx)
     assert [r["path"] for r in idx.find_keys(["v1"]).collect()] == ["a"]
+    # compaction (value-sorted base, read fast path) changes nothing
+    idx.compact()
+    assert_index_consistent(t, idx)
+    assert [r["path"] for r in idx.find_keys(["v1"]).collect()] == ["a"]
+    assert not any(idx.table.current().deltas.values())
 
 
 def test_lookup_joins_back_through_engine(spark, rig):
