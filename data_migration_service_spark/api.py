@@ -340,7 +340,8 @@ class Engine:
         return res
 
     # ---- point lookup (GET specific records) ----
-    def lookup(self, keys: DataFrame, columns=None) -> DataFrame:
+    def lookup(self, keys: DataFrame, columns=None,
+               snapshot: int | None = None) -> DataFrame:
         """Fetch current rows for a set of merge keys, touching only the
         buckets those keys hash into (reference: fetch-specific-records,
         the read half of migrateSpecificRecords). The bucket set comes from
@@ -351,8 +352,12 @@ class Engine:
         (lake.prune_deltas) — between compactions that turns an
         N-delta-dir lookup into ~1 dir. The semi-join below is what makes
         the pruned read correct: non-probed keys may lose delta winners,
-        probed keys never do (Bloom has no false negatives)."""
-        snap = self.table.current()
+        probed keys never do (Bloom has no false negatives). `snapshot`
+        time-travels the lookup — "what did these keys look like at
+        snapshot N" — with identical pruning (sidecars are per-dir and
+        immutable, so they serve every snapshot referencing the dir)."""
+        snap = (self.table.load_snapshot(snapshot) if snapshot is not None
+                else self.table.current())
         kdf = keys.select(*snap.key_cols).distinct()
         hit, n_keys, hashes = probe_key_hashes(
             kdf, list(snap.key_cols), snap.n_buckets)

@@ -753,6 +753,15 @@ class SnapshotTable:
         schema = cur.schema()
         if name in schema.names:
             return cur
+        if f"dropped.{name}" in cur.props:
+            # name-lineage (not field-id) schema mapping: re-adding a
+            # dropped name would resurface the old physical values still
+            # sitting in pre-drop files. Same restriction as Delta Lake
+            # without column mapping; pick a fresh name instead.
+            raise ValueError(
+                f"column name '{name}' was dropped at snapshot "
+                f"{cur.props[f'dropped.{name}']} and cannot be re-added "
+                f"(old files still hold its values); use a new name")
         fields = list(schema.fields)
         # engine meta cols stay last
         meta = [f for f in fields if f.name in META_COLS]
@@ -814,6 +823,32 @@ class SnapshotTable:
         return self.commit(
             "rename_column", {}, schema=T.StructType(fields),
             renames_update={old: new}, summary={"from": old, "to": new},
+        )
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Drop a data column — metadata-only, no rewrite. The values stay
+        physically in already-written files (readers simply never project
+        them) and disappear for real as compaction / copy-on-write rewrite
+        those files with the current schema. Merge keys, the LSN column
+        and engine meta columns are not droppable. The name is retired
+        permanently (see add_column): name-lineage mapping cannot tell a
+        re-added 'x' from the dropped one inside pre-drop files."""
+        cur = self.current()
+        schema = cur.schema()
+        if name not in schema.names:
+            if f"dropped.{name}" in cur.props:  # already applied
+                return cur
+            raise ValueError(f"no such column: {name}")
+        protected = set(cur.key_cols) | set(META_COLS) \
+            | {cur.props.get("lsn_col", "lsn")}
+        if name in protected:
+            raise ValueError(f"cannot drop '{name}': merge key, LSN or "
+                             f"engine meta column")
+        fields = [f for f in schema.fields if f.name != name]
+        return self.commit(
+            "drop_column", {}, schema=T.StructType(fields),
+            props_update={f"dropped.{name}": str(cur.snapshot_id)},
+            summary={"column": name},
         )
 
     # ---------- maintenance ----------
