@@ -23,9 +23,10 @@ count rides the same job via `observe()` (no second scan of the batch).
 from __future__ import annotations
 
 import os
-from collections.abc import Sequence
+import shutil
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 VALID_OPS = ("insert", "update", "delete")
@@ -121,3 +122,81 @@ def quarantine_and_filter(
         sample = [r.asDict() for r in bad.limit(5).collect()]
         raise SkipLimitExceeded(n_bad, skip_limit, sample)
     return valid, n_bad
+
+
+def read_quarantined(
+    spark: SparkSession,
+    quarantine_path: str,
+    epochs: Sequence[int] | None = None,
+) -> tuple[DataFrame | None, list[int]]:
+    """(dead-lettered events, the epoch dirs they came from). Epoch dirs
+    are read one by one and unioned by name with missing columns allowed —
+    quarantined batches straddle schema evolution like any other events."""
+    if not os.path.isdir(quarantine_path):
+        return None, []
+    found = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(quarantine_path)
+        if d.startswith("epoch="))
+    todo = [e for e in found if epochs is None or e in set(epochs)]
+    df = None
+    for e in todo:
+        part = spark.read.parquet(os.path.join(quarantine_path, f"epoch={e}"))
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True)
+    return df, todo
+
+
+def requeue_quarantined(
+    table,
+    cfg,
+    fixer: Callable[[DataFrame], DataFrame],
+    epochs: Sequence[int] | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """Reprocess the dead-letter queue after repairing it — the second
+    half of the skip policy (park bad events, fix upstream, REPLAY them;
+    the reference's analogue is re-running the failed step after raising
+    skipLimit).
+
+    `fixer` is a DataFrame transform mending whatever made the events
+    malformed (fill LSNs from a side channel, map vendor op codes, patch
+    null keys). The fixed batch re-runs the SAME validation: rows now
+    valid apply through the standard CDC merge (epoch-taggable for
+    exactly-once), rows still invalid go BACK to quarantine under the new
+    epoch. Consumed epoch dirs are removed only after the apply commits —
+    a crash mid-requeue leaves the queue intact (re-running re-applies,
+    and the LWW merge is idempotent for replayed events).
+    """
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    bad, todo = read_quarantined(table.spark, cfg.quarantine_path, epochs)
+    if bad is None or not todo:
+        return {"requeued": 0, "still_bad": 0, "epochs": []}
+    fixed = fixer(bad.drop(REASONS_COL))
+    valid, still_bad = split_quarantine(
+        fixed, list(cfg.key_cols), cfg.lsn_col, cfg.op_col)
+    n_still = still_bad.count()
+    if n_still:
+        # re-park BEFORE touching the consumed dirs — evidence is never
+        # in fewer than one place. The slot is a fresh numeric epoch id
+        # (the reader parses epoch=<int>); a crash after this point can
+        # leave duplicate evidence rows, never missing ones, and the
+        # LWW apply makes the eventual replay idempotent either way.
+        all_present = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(cfg.quarantine_path) if d.startswith("epoch=")
+        ]
+        dest = os.path.join(cfg.quarantine_path,
+                            f"epoch={max(all_present) + 1}")
+        still_bad.withColumn(
+            REASONS_COL, F.col(REASONS_COL).cast("array<string>")
+        ).write.mode("append").parquet(dest)
+    stats = cdc_apply(table, valid, cfg, epoch=epoch)
+    for e in todo:
+        shutil.rmtree(os.path.join(cfg.quarantine_path, f"epoch={e}"))
+    return {
+        "requeued": stats.rows_after_dedup,
+        "still_bad": n_still,
+        "epochs": todo,
+        "snapshot_id": stats.snapshot_id,
+    }

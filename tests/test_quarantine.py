@@ -88,3 +88,88 @@ def test_replay_with_quarantine_lineage(spark, tmp_path):
     assert table.read().count() == 2
     assert stats.extra.get("rows_quarantined") == 5
     assert eng.lineage()[-1]["rows_quarantined"] == 5
+
+
+def _requeue_rig(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from data_migration_service_spark.operators.merge import cdc_apply
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, schema, ["repo", "path"], 4)
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       salt_factor=1, skip_limit=None,
+                       quarantine_path=str(tmp_path / "dlq"))
+    return t, cfg, cdc_apply
+
+
+def test_requeue_repairs_and_applies(spark, tmp_path):
+    from data_migration_service_spark.operators.quarantine import (
+        quarantine_and_filter,
+        read_quarantined,
+        requeue_quarantined,
+    )
+
+    t, cfg, cdc_apply = _requeue_rig(spark, tmp_path)
+    # epoch 0: two valid rows applied, two dead-lettered (bad op code)
+    ev = spark.createDataFrame(
+        [("r", "a", "c1", 1, "insert"), ("r", "b", "c2", 2, "insert"),
+         ("r", "c", "c3", 3, "upsert"), ("r", "d", "c4", 4, "UPDATE")],
+        COLS)
+    valid, n_bad = quarantine_and_filter(
+        ev, ["repo", "path"], cfg.quarantine_path, epoch=0, skip_limit=None)
+    cdc_apply(t, valid, cfg, epoch=0)
+    assert n_bad == 2 and t.read().count() == 2
+
+    # fix the vendor op codes and requeue
+    def fixer(df):
+        return df.withColumn(
+            "op", F.when(F.lower("op").isin("upsert", "update"),
+                         "update").otherwise(F.col("op")))
+
+    res = requeue_quarantined(t, cfg, fixer, epoch=1)
+    assert res["requeued"] == 2 and res["still_bad"] == 0
+    assert res["epochs"] == [0]
+    assert sorted(r["path"] for r in t.read().collect()) \
+        == ["a", "b", "c", "d"]
+    # queue drained
+    left, dirs = read_quarantined(spark, cfg.quarantine_path)
+    assert dirs == [] and (left is None or left.count() == 0)
+    # idempotent: nothing left to requeue
+    assert requeue_quarantined(t, cfg, fixer, epoch=2)["requeued"] == 0
+
+
+def test_requeue_reparks_still_invalid_rows(spark, tmp_path):
+    from data_migration_service_spark.operators.quarantine import (
+        quarantine_and_filter,
+        read_quarantined,
+        requeue_quarantined,
+    )
+
+    t, cfg, cdc_apply = _requeue_rig(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [("r", "a", "c1", 1, "upsert"),      # fixable op
+         ("r", "b", "c2", None, "insert")],  # null LSN: fixer can't help
+        COLS)
+    _, n_bad = quarantine_and_filter(
+        ev, ["repo", "path"], cfg.quarantine_path, epoch=0, skip_limit=None)
+    assert n_bad == 2
+
+    def fixer(df):
+        return df.withColumn(
+            "op", F.when(F.col("op") == "upsert", "update")
+            .otherwise(F.col("op")))
+
+    res = requeue_quarantined(t, cfg, fixer, epoch=1)
+    assert res["requeued"] == 1 and res["still_bad"] == 1
+    # the unfixable row is re-parked under a fresh numeric epoch dir
+    left, dirs = read_quarantined(spark, cfg.quarantine_path)
+    assert len(dirs) == 1 and dirs[0] > 0
+    assert left.count() == 1 and left.collect()[0]["path"] == "b"
+    assert [r["path"] for r in t.read().collect()] == ["a"]
