@@ -58,6 +58,7 @@ class ReplayEngine:
         registry: SchemaRegistry | None = None,
         checkpoint: str | None = None,
         audit_gate=None,
+        indexes=None,
     ):
         # audit_gate: optional Callable[[DataFrame], bool] — when set, every
         # micro-batch commits STAGED (write-audit-publish), the gate runs on
@@ -66,11 +67,18 @@ class ReplayEngine:
         # the stream stops with the table at its last audited state, and a
         # restart reprocesses the batch from the checkpoint (the offending
         # epoch was never published, so the epoch guard does not skip it).
+        # indexes: optional list of SecondaryIndex (tables/index.py) kept
+        # continuously fresh: each published epoch is followed by one
+        # changefeed-driven sync per index. Index sync is exactly-once on
+        # its own (epoch = source snapshot id), so a crash between table
+        # commit and index sync just catches up on the next batch — the
+        # indexes trail the table by at most one epoch, never diverge.
         self.spark = spark
         self.table = table
         self.cfg = cfg
         self.registry = registry
         self.audit_gate = audit_gate
+        self.indexes = list(indexes or [])
         self.checkpoint = checkpoint or cfg.checkpoint_path
         if self.checkpoint:
             os.makedirs(os.path.join(self.checkpoint, "lineage"), exist_ok=True)
@@ -173,6 +181,8 @@ class ReplayEngine:
                         f"epoch {epoch}: audit gate rejected the staged "
                         f"snapshot {staged.snapshot_id}; table remains at "
                         f"{self.table.current().snapshot_id}")
+        for ix in self.indexes:
+            ix.sync(self.table)
         stats.extra["wall_sec"] = round(time.monotonic() - t0, 3)
         if n_quarantined:
             stats.extra["rows_quarantined"] = n_quarantined

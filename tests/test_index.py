@@ -135,3 +135,24 @@ def test_create_rejects_key_and_unknown_columns(spark, tmp_path):
         SecondaryIndex.create(spark, str(tmp_path / "i1"), t, "repo")
     with pytest.raises(ValueError):
         SecondaryIndex.create(spark, str(tmp_path / "i2"), t, "nope")
+
+
+def test_index_attached_to_replay_engine_stays_fresh(spark, rig):
+    """indexes=[...] on ReplayEngine: every published epoch is followed by
+    one exactly-once index sync — the index trails the table by zero
+    epochs at every batch boundary."""
+    from data_migration_service_spark.streaming.replay import ReplayEngine
+
+    t, cfg, idx = rig
+    eng = ReplayEngine(spark, t, cfg, indexes=[idx])
+    events = spark.createDataFrame(
+        [("r", "a", "c1", 1, "insert"),
+         ("r", "b", "c1", 2, "insert"),
+         ("r", "a", "c2", 10, "update"),
+         ("r", "b", None, 11, "delete"),
+         ("r", "c", "c1", 12, "insert")], EVENTS)
+    eng.replay_ranges(events, [(1, 5), (6, 15)])
+    assert_index_consistent(t, idx)
+    assert sorted(r["path"] for r in idx.find_keys(["c1"]).collect()) \
+        == ["c"]
+    assert [r["path"] for r in idx.find_keys(["c2"]).collect()] == ["a"]
