@@ -28,6 +28,8 @@ Verb mapping (reference -> CLI):
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
     (engine-added)                -> maintain [--apply] [--table t]
     (engine-added)                -> tag create|list|drop (pin corpus states)
+    (engine-added)                -> index create|sync|find (secondary
+                                     value->key indexes, changefeed-synced)
 
 Every command prints ONE JSON document to stdout (the REST body analogue)
 and exits 0/1. Table creation is on demand (`jobs run` creates missing
@@ -230,6 +232,52 @@ def cmd_tag_drop(args) -> int:
     return 0
 
 
+def cmd_index_create(args) -> int:
+    from data_migration_service_spark.tables.index import SecondaryIndex
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    (name, eng), = engines.items()
+    ix = SecondaryIndex.create(spark, args.path, eng.table, args.column,
+                               n_buckets=args.n_buckets)
+    st = ix.sync(eng.table)
+    print(json.dumps({"table": name, "column": args.column,
+                      "path": args.path, **st}))
+    return 0
+
+
+def cmd_index_sync(args) -> int:
+    from data_migration_service_spark.tables.index import SecondaryIndex
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    (name, eng), = engines.items()
+    ix = SecondaryIndex.open(spark, args.path)
+    st = ix.sync(eng.table)
+    if args.compact:
+        ix.compact()
+    print(json.dumps({"table": name, "path": args.path,
+                      "compacted": bool(args.compact), **st}))
+    return 0
+
+
+def cmd_index_find(args) -> int:
+    from data_migration_service_spark.tables.index import SecondaryIndex
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    (name, eng), = engines.items()
+    ix = SecondaryIndex.open(spark, args.path)
+    rows = ix.lookup(eng, args.value).limit(args.limit).collect()
+    print(json.dumps({"table": name, "values": args.value,
+                      "rows": [r.asDict(recursive=True) for r in rows]},
+                     default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
     ap.add_argument("--config", required=True,
@@ -274,6 +322,28 @@ def main(argv: list[str] | None = None) -> int:
     td.add_argument("name")
     td.add_argument("--table", default=None)
     td.set_defaults(fn=cmd_tag_drop)
+
+    ix = sub.add_parser("index", help="secondary (value->key) indexes")
+    ixsub = ix.add_subparsers(dest="index_cmd", required=True)
+    ic = ixsub.add_parser("create")
+    ic.add_argument("--table", required=True)
+    ic.add_argument("--column", required=True)
+    ic.add_argument("--path", required=True)
+    ic.add_argument("--n-buckets", type=int, default=16)
+    ic.set_defaults(fn=cmd_index_create)
+    isy = ixsub.add_parser("sync")
+    isy.add_argument("--table", required=True)
+    isy.add_argument("--path", required=True)
+    isy.add_argument("--compact", action="store_true",
+                     help="fold to value-sorted base after sync "
+                          "(read fast path)")
+    isy.set_defaults(fn=cmd_index_sync)
+    ifd = ixsub.add_parser("find")
+    ifd.add_argument("--table", required=True)
+    ifd.add_argument("--path", required=True)
+    ifd.add_argument("--value", action="append", required=True)
+    ifd.add_argument("--limit", type=int, default=100)
+    ifd.set_defaults(fn=cmd_index_find)
 
     c = sub.add_parser("cleanup")
     c.add_argument("--table", default=None)

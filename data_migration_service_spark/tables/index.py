@@ -65,6 +65,21 @@ class SecondaryIndex:
         )
 
     @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "SecondaryIndex":
+        """Re-open an existing index from its own metadata: the value
+        column is the create-time `index_col` table prop, the source keys
+        are the remaining merge-key columns."""
+        t = SnapshotTable(spark, root)
+        snap = t.current()
+        value_col = snap.props.get("index_col")
+        if not value_col:
+            raise ValueError(f"{root} is not a secondary index "
+                             f"(missing index_col prop)")
+        lsn_col = snap.props.get("lsn_col", "lsn")
+        keys = [k for k in snap.key_cols if k != value_col]
+        return cls(spark, root, value_col, keys, lsn_col)
+
+    @classmethod
     def create(cls, spark: SparkSession, root: str, source: SnapshotTable,
                value_col: str, n_buckets: int = 16) -> "SecondaryIndex":
         src_snap = source.current()

@@ -187,3 +187,34 @@ def test_cli_writer_id_config_passthrough(spark, tmp_path, capsys):
     assert rc == 0
     assert st["repos_w"]["writer_epochs"].get("shard0", -1) >= 0
     assert st["repos_w"]["epoch"] == -1  # plain counter untouched
+
+
+def test_cli_index_create_sync_find(spark, tmp_path, capsys):
+    cfg, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+    ix_path = str(tmp_path / "ix_commit")
+
+    rc, res = _run(capsys, ["--config", cfg, "index", "create",
+                            "--table", "repos_a", "--column", "commit",
+                            "--path", ix_path])
+    assert rc == 0 and not res["skipped"]
+
+    # pick a live (value, key) pair and find it via the CLI
+    t = SnapshotTable(spark, tables["repos_a"]["table_path"])
+    row = t.read().limit(1).collect()[0]
+    rc, found = _run(capsys, ["--config", cfg, "index", "find",
+                              "--table", "repos_a", "--path", ix_path,
+                              "--value", row["commit"]])
+    assert rc == 0
+    assert any(r["repo"] == row["repo"] and r["path"] == row["path"]
+               for r in found["rows"])
+    assert all(r["commit"] == row["commit"] for r in found["rows"])
+
+    # nothing new -> sync skips; --compact folds the delta dirs
+    rc, st = _run(capsys, ["--config", cfg, "index", "sync",
+                           "--table", "repos_a", "--path", ix_path,
+                           "--compact"])
+    assert rc == 0 and st["skipped"] and st["compacted"]
+    ix_t = SnapshotTable(spark, ix_path)
+    assert not any(ix_t.current().deltas.values())
