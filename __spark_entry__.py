@@ -764,6 +764,26 @@ SELECT doc_id, lang, n_tokens, quality, shard,
 FROM sh
 """
 
+_CORPUS_AUDIT_SQL = _CORPUS_BUILD_SQL.split(", sh AS (")[0] + """
+SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+       (SELECT COUNT(*) FROM documents) AS n
+UNION ALL SELECT CAST(1 AS INT), 'quality_gated', (SELECT COUNT(*) FROM g)
+UNION ALL SELECT CAST(2 AS INT), 'deduplicated', (SELECT COUNT(*) FROM dd)
+UNION ALL SELECT CAST(3 AS INT), 'mixed', (SELECT COUNT(*) FROM mixed)
+"""
+
+
+def q_corpus_audit(spark, sf):
+    """The corpus-card funnel for q_corpus_build's recipe: per-stage
+    survivor counts (raw -> quality-gated -> deduplicated -> mixed),
+    computed from the same lazily-composed stages as the build itself."""
+    docs = _t(spark, sf, "documents")
+    return C.corpus_audit(
+        docs, "doc_id", "text", "lang",
+        weights={"en": 0.5, "zh": 0.2, "fr": 0.3},
+        min_quality=0.5, min_tokens=20, max_tokens=90,
+    )
+
 
 _MIXTURE_SAMPLE_SQL = """
 WITH counts AS (
@@ -1827,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_build": q_corpus_build,
+        "corpus_audit": q_corpus_audit,
         "redact_pii": q_redact_pii,
         "pack_offsets": q_pack_offsets,
         "contamination": q_contamination,
@@ -2080,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "corpus_build": _CORPUS_BUILD_SQL,
+        "corpus_audit": _CORPUS_AUDIT_SQL,
         "redact_pii": _redact_pii_sql(),
         "pack_offsets": _PACK_OFFSETS_SQL,
         "contamination": _CONTAMINATION_SQL,
