@@ -84,6 +84,52 @@ def corpus_build(
                       "shard", "pos")
 
 
+def materialize_corpus(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    id_cols: list[str],
+    tag: str = "corpus-v1",
+    n_buckets: int = 64,
+    salt_factor: int = 8,
+):
+    """Write a built corpus as a bucketed SnapshotTable and pin it under an
+    immutable tag — the reproducibility handle a training run records next
+    to its recipe. One distributed pass (bootstrap_load: a fresh corpus has
+    unique ids, so no merge/dedup/window — the only shuffle is the writer's
+    bucket layout), then a metadata-only tag that survives snapshot expiry
+    until dropped.
+
+    The corpus order `(shard, pos)` packs into the table's LSN, so the
+    whole snapshot machinery works on corpus tables too: time travel
+    across corpus versions, changefeed between two corpus builds ("which
+    documents entered/left v2?"), sampled verification of a re-build.
+
+    Returns (table, snapshot_id). Requires `shard`/`pos` columns — the
+    output shape of `corpus_build` / `corpus_shuffle`.
+    """
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.operators.merge import bootstrap_load
+    from data_migration_service_spark.tables.lake import SnapshotTable
+    from pyspark.sql import types as T
+
+    for c in ("shard", "pos"):
+        if c not in corpus.columns:
+            raise ValueError(f"corpus is missing '{c}' — materialize the "
+                             f"output of corpus_build/corpus_shuffle")
+    with_lsn = corpus.withColumn(
+        "lsn", (F.col("shard").cast("long") * (1 << 32))
+        + F.col("pos").cast("long"))
+    schema = T.StructType([f for f in with_lsn.schema.fields])
+    table = SnapshotTable.create(spark, root, schema, list(id_cols),
+                                 n_buckets)
+    cfg = EngineConfig(table_path=root, key_cols=tuple(id_cols),
+                       n_buckets=n_buckets, salt_factor=salt_factor)
+    stats = bootstrap_load(table, with_lsn, cfg)
+    table.tag(tag, stats.snapshot_id)
+    return table, stats.snapshot_id
+
+
 def corpus_audit(
     df: DataFrame,
     id_col: str,

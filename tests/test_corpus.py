@@ -103,3 +103,42 @@ def test_plan_shape_text_never_shuffles(spark, docs):
                 and "ReusedExchange" not in ln]
     assert sum("hashpartitioning(_ch" in ln for ln in ex_lines) <= 2
     assert not any("text#" in ln for ln in ex_lines)
+
+
+def test_materialize_corpus_tagged_and_reproducible(spark, tmp_path, docs):
+    from data_migration_service_spark.operators.changefeed import (
+        table_changes,
+    )
+    from data_migration_service_spark.operators.corpus import (
+        materialize_corpus,
+    )
+
+    built = corpus_build(docs, "doc_id", "text", "lang", WEIGHTS, 4,
+                         min_quality=0.3, min_tokens=10)
+    t, sid = materialize_corpus(spark, str(tmp_path / "corpus"), built,
+                                ["doc_id"], tag="v1", n_buckets=4)
+    assert t.tags()["v1"] == sid
+    back = t.read().select(*built.columns)
+    assert back.exceptAll(built).count() == 0
+    assert built.exceptAll(back).count() == 0
+    # corpus diffing: a second build (different salt) materializes as a
+    # new snapshot via bootstrap into a fresh dir...; here just assert the
+    # changefeed machinery answers "what changed" between corpus versions
+    v2 = corpus_build(docs, "doc_id", "text", "lang", WEIGHTS, 4,
+                      min_quality=0.3, min_tokens=10, salt="v2")
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.operators.merge import cdc_apply
+    cfg = EngineConfig(table_path=str(tmp_path / "corpus"),
+                       key_cols=("doc_id",), n_buckets=4, salt_factor=1,
+                       merge_mode="mor")
+    ev = (v2.withColumn("lsn", (F.col("shard").cast("long") * (1 << 32))
+                        + F.col("pos").cast("long") + (1 << 50))
+          .withColumn("op", F.lit("update")))
+    cdc_apply(t, ev, cfg, epoch=1)
+    ch = table_changes(t, sid)
+    assert ch.count() > 0
+    assert set(r["op"] for r in ch.select("op").distinct().collect()) \
+        <= {"insert", "update", "delete"}
+    # the tagged v1 read is unchanged by the v2 merge (reproducibility)
+    v1 = t.read(snapshot=t.load_snapshot(sid)).select(*built.columns)
+    assert v1.exceptAll(built).count() == 0
