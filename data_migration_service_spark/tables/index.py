@@ -169,18 +169,27 @@ class SecondaryIndex:
 
     # ---- query ----
 
-    def find_keys(self, values: list) -> DataFrame:
-        """Merge keys currently mapped to any of `values`. The equality
-        predicate is on a grouping key, so Catalyst pushes it below the
-        MOR reduce into the parquet scan; on a COMPACTED index (see
-        `compact`) the value-leading file sort makes row-group min/max
-        stats skip nearly everything else."""
+    def find_keys(self, values) -> DataFrame:
+        """Merge keys currently mapped to any of `values` — a Python list
+        (driver-known values: pushed as an IN predicate below the MOR
+        reduce into the parquet scan; on a COMPACTED index the
+        value-leading file sort makes row-group min/max stats skip nearly
+        everything else) or a single-column DataFrame (a LARGE probe set,
+        e.g. another table's column: resolved with one size-gated
+        semi-join instead of a driver-side literal list)."""
         df = self.table.read(columns=[self.value_col, *self.source_keys])
-        return (
-            df.where(F.col(self.value_col).isin(list(values)))
-            .select(*self.source_keys)
-            .distinct()
-        )
+        if isinstance(values, DataFrame):
+            from data_migration_service_spark.operators.merge import (
+                maybe_broadcast_keys,
+            )
+
+            probe = values.toDF(self.value_col).distinct()
+            n = probe.count()
+            matched = df.join(maybe_broadcast_keys(probe, n),
+                              self.value_col, "left_semi")
+        else:
+            matched = df.where(F.col(self.value_col).isin(list(values)))
+        return matched.select(*self.source_keys).distinct()
 
     def lookup(self, engine, values: list, columns=None) -> DataFrame:
         """find_keys + the engine's pruned point lookup of the source."""

@@ -156,3 +156,15 @@ def test_index_attached_to_replay_engine_stays_fresh(spark, rig):
     assert sorted(r["path"] for r in idx.find_keys(["c1"]).collect()) \
         == ["c"]
     assert [r["path"] for r in idx.find_keys(["c2"]).collect()] == ["a"]
+
+
+def test_find_keys_accepts_a_dataframe_probe(spark, rig):
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "c1", 1, "insert"),
+                       ("r", "b", "c2", 2, "insert"),
+                       ("r", "c", "c1", 3, "insert")], 0)
+    idx.sync(t)
+    probe = spark.createDataFrame([("c1",), ("nope",)], "v string")
+    got = sorted(r["path"] for r in idx.find_keys(probe).collect())
+    assert got == ["a", "c"]
+    assert got == sorted(r["path"] for r in idx.find_keys(["c1"]).collect())
