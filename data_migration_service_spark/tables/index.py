@@ -123,33 +123,63 @@ class SecondaryIndex:
         if from_sid is None:
             # first sync: bootstrap from the FULL current state (robust
             # even when the source's early snapshots were expired)
+            mode = "bootstrap"
             events = source.read(snapshot=to_snap).select(
                 F.col(self.value_col), *keys, F.col(lsn),
                 F.lit("insert").alias("op"),
             ).where(F.col(self.value_col).isNotNull())
         else:
-            ch = table_changes(source, from_sid, to_snap.snapshot_id,
-                               include_old=True)
-            v_new = F.col(self.value_col)
-            v_old = F.col(f"old_{self.value_col}")
-            ins = (
-                ch.where((F.col("op") != "delete") & v_new.isNotNull())
-                .select(v_new.alias(self.value_col), *keys, F.col(lsn),
-                        F.lit("insert").alias("op"))
-            )
-            # retract the old entry when the key died or its value moved
-            dels = (
-                ch.where(v_old.isNotNull()
-                         & ((F.col("op") == "delete") | v_new.isNull()
-                            | (v_new != v_old)))
-                .select(v_old.alias(self.value_col), *keys, F.col(lsn),
-                        F.lit("delete").alias("op"))
-            )
-            events = ins.unionByName(dels)
+            try:
+                ch = table_changes(source, from_sid, to_snap.snapshot_id,
+                                   include_old=True)
+                mode = "changefeed"
+            except FileNotFoundError:
+                # the last-indexed snapshot was EXPIRED on the source —
+                # the incremental diff has no base. Fall back to one full
+                # reconciliation: state-vs-state anti-joins (both sides
+                # narrow), still exactly-once under the same epoch tag.
+                mode = "reconcile"
+                ch = None
+            if ch is not None:
+                v_new = F.col(self.value_col)
+                v_old = F.col(f"old_{self.value_col}")
+                ins = (
+                    ch.where((F.col("op") != "delete") & v_new.isNotNull())
+                    .select(v_new.alias(self.value_col), *keys, F.col(lsn),
+                            F.lit("insert").alias("op"))
+                )
+                # retract the old entry when the key died or value moved
+                dels = (
+                    ch.where(v_old.isNotNull()
+                             & ((F.col("op") == "delete") | v_new.isNull()
+                                | (v_new != v_old)))
+                    .select(v_old.alias(self.value_col), *keys, F.col(lsn),
+                            F.lit("delete").alias("op"))
+                )
+                events = ins.unionByName(dels)
+            else:
+                join_cols = [self.value_col, *keys]
+                src = source.read(snapshot=to_snap).select(
+                    F.col(self.value_col), *keys, F.col(lsn)
+                ).where(F.col(self.value_col).isNotNull())
+                cur = self.table.read().select(
+                    F.col(self.value_col), *keys, F.col(lsn))
+                ins = (src.join(cur, join_cols, "left_anti")
+                       .select(*join_cols, F.col(lsn),
+                               F.lit("insert").alias("op")))
+                # +1: the retraction must BEAT the stored entry's own LSN
+                # in the index's LWW merge (no real event sits between —
+                # the pair provably no longer exists in the source)
+                dels = (cur.join(src, join_cols, "left_anti")
+                        .select(*join_cols,
+                                (F.col(lsn) + 1).alias(lsn),
+                                F.lit("delete").alias("op")))
+                events = ins.unionByName(dels)
         stats = cdc_apply(self.table, events, self.cfg,
                           epoch=to_snap.snapshot_id)
         return {"skipped": stats.skipped,
                 "indexed_snapshot": to_snap.snapshot_id,
+                "mode": mode,
                 "rows_inserted": stats.rows_inserted,
                 "rows_deleted": stats.rows_deleted}
 

@@ -168,3 +168,24 @@ def test_find_keys_accepts_a_dataframe_probe(spark, rig):
     got = sorted(r["path"] for r in idx.find_keys(probe).collect())
     assert got == ["a", "c"]
     assert got == sorted(r["path"] for r in idx.find_keys(["c1"]).collect())
+
+
+def test_sync_survives_expired_source_snapshots(spark, rig):
+    """Source expiry drops the last-indexed manifest -> the incremental
+    diff has no base; sync must fall back to one full state-vs-state
+    reconciliation and still converge exactly."""
+    t, cfg, idx = rig
+    ap(spark, t, cfg, [("r", "a", "c1", 1, "insert"),
+                       ("r", "b", "c2", 2, "insert")], 0)
+    assert idx.sync(t)["mode"] == "bootstrap"
+    ap(spark, t, cfg, [("r", "a", "c3", 10, "update")], 1)
+    ap(spark, t, cfg, [("r", "b", None, 11, "delete"),
+                       ("r", "c", "c2", 12, "insert")], 2)
+    t.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    st = idx.sync(t)
+    assert st["mode"] == "reconcile" and not st["skipped"]
+    assert_index_consistent(t, idx)
+    assert idx.find_keys(["c2"]).collect()[0]["path"] == "c"
+    assert idx.find_keys(["c1"]).count() == 0
+    # next sync is incremental again (and a no-op)
+    assert idx.sync(t)["skipped"]
