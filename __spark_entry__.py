@@ -1777,6 +1777,59 @@ FROM b LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_remove_duplicate_spans(spark, sf):
+    """The removal half of exact-substring dedup
+    (dedup.remove_duplicate_spans, Lee et al. 2021): rewrite every document
+    with its cross-document 15-token windows cut out. Detection is the same
+    gram-hash equi-join as `duplicate_spans`; the rebuild is one in-row fold
+    over the sorted duplicated window starts — no token-grain shuffle."""
+    return D.remove_duplicate_spans(_t(spark, sf, "documents"), "doc_id",
+                                    "text", n=15, min_docs=2)
+
+
+_REMOVE_DUPLICATE_SPANS_SQL = r"""
+WITH b AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ts) >= 15
+           THEN generate_series(1, len(ts) - 14)
+           ELSE CAST([] AS BIGINT[]) END) AS p,
+         unnest(CASE WHEN len(ts) >= 15
+           THEN list_transform(generate_series(1, len(ts) - 14),
+                               i -> sha256(array_to_string(ts[i:i+14], ' ')))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM b
+), per_gd AS (
+  SELECT gram, doc_id FROM g GROUP BY gram, doc_id
+), dup_g AS (
+  SELECT gram FROM per_gd GROUP BY gram HAVING count(*) >= 2
+), dup_pos AS (
+  SELECT g.doc_id, g.p FROM g JOIN dup_g USING (gram)
+), tok AS (
+  SELECT doc_id, unnest(ts) AS t,
+         unnest(generate_series(1, len(ts))) AS i
+  FROM b WHERE len(ts) > 0
+), kept AS (
+  SELECT tok.doc_id, tok.t, tok.i FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup_pos d
+    WHERE d.doc_id = tok.doc_id AND d.p <= tok.i AND tok.i < d.p + 15)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(t, ' ' ORDER BY i) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(agg.cleaned, '') AS cleaned_text
+FROM b LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_rare_token_stats(spark, sf):
     """Corpus-frequency quality gate (text.rare_token_stats): the
     exact-arithmetic analogue of CCNet's LM-perplexity filter — mean corpus
@@ -1853,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "repetition_stats": q_repetition_stats,
         "duplicate_spans": q_duplicate_spans,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "rare_token_stats": q_rare_token_stats,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2107,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _CONTAMINATION_SQL,
         "repetition_stats": _REPETITION_STATS_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
+        "remove_duplicate_spans": _REMOVE_DUPLICATE_SPANS_SQL,
         "rare_token_stats": _RARE_TOKEN_STATS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),

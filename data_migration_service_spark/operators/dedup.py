@@ -529,3 +529,107 @@ def duplicate_spans(
              .otherwise(F.lit(0.0))
     return out.select(F.col(id_col), "n_spans", "n_dup_spans",
                       ratio.alias("dup_span_ratio"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 50,
+    min_docs: int = 2,
+    hash_fn: str = "sha256",
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2021):
+    `duplicate_spans` only counts cross-document n-token windows; this
+    rewrites each document with every such window cut out — the actual
+    corpus cleanup step (boilerplate headers, license blocks, quoted
+    passages removed wherever they repeat).
+
+    Semantics: a token survives iff NO duplicated window (an n-token gram
+    occurring in >= `min_docs` distinct documents) covers it. Removal is
+    symmetric — every copy loses the span; to keep one canonical copy,
+    exempt the cluster canonical (cluster_canonical) upstream. Output text
+    is the surviving tokens joined by single spaces (tokenization is
+    whitespace-based, so rejoin canonicalizes runs of whitespace).
+
+    Scale shape — same two hash aggregates + gram equi-join as
+    duplicate_spans, plus a per-doc rebuild that never shuffles tokens:
+
+        grams with window position (in-row transform -> explode)
+        -> groupBy(gram, doc)                             [shuffle 1]
+        -> grams in >= min_docs docs (map-side combine)
+        -> dup window positions semi-joined, collected    [shuffle 2,
+           per doc: list bounded by the doc's window count]
+        -> IN-ROW rebuild: sorted dup positions folded once (F.aggregate)
+           into the uncovered gaps, text = the gap slices re-joined —
+           O(windows) per row, no token-grain shuffle, no UDF.
+
+    Returns (id, n_tokens, n_kept, cleaned_text)."""
+    if hash_fn not in ("sha256", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    from data_migration_service_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    base = fan_out_small_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), toks.alias("_ts"))
+    pos = F.when(
+        F.size("_ts") >= n, F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def h(gram):
+        return (F.sha2(gram, 256) if hash_fn == "sha256"
+                else F.xxhash64(gram))
+
+    gp = base.select(
+        F.col(id_col),
+        F.explode(F.transform(
+            pos,
+            lambda p: F.struct(
+                p.alias("p"),
+                h(F.concat_ws(" ", F.slice(F.col("_ts"), p, n))).alias("g")),
+        )).alias("_w"),
+    ).select(F.col(id_col), F.col("_w.p").alias("_p"), F.col("_w.g").alias("_g"))
+    # distinct docs per gram via the two-level aggregate (no countDistinct
+    # expand); grams are position-distinct per doc so (g, doc) needs no count
+    per_gd = gp.groupBy("_g", id_col).agg(F.count(F.lit(1)).alias("_occ"))
+    dup_g = (per_gd.groupBy("_g")
+             .agg(F.count(F.lit(1)).alias("_nd"))
+             .where(F.col("_nd") >= min_docs)
+             .select("_g"))
+    dup_pos = (gp.join(dup_g, "_g", "left_semi")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list("_p")).alias("_dp")))
+
+    joined = base.join(dup_pos, id_col, "left")
+    dp = F.coalesce(F.col("_dp"), F.array().cast("array<int>"))
+    # one left-to-right fold over the sorted dup starts builds the list of
+    # UNCOVERED gaps [s, e] directly: each start p opens (or extends) a
+    # covered interval [p, p+n-1]; the stretch between the previous covered
+    # end and p-1 is a surviving gap.
+    gaps0 = F.array().cast("array<struct<s:int,e:int>>")
+    folded = F.aggregate(
+        dp,
+        F.struct(gaps0.alias("gaps"), F.lit(0).alias("until")),
+        lambda acc, p: F.struct(
+            F.when(p > acc["until"] + 1,
+                   F.concat(acc["gaps"], F.array(F.struct(
+                       (acc["until"] + 1).alias("s"),
+                       (p - 1).alias("e")))))
+             .otherwise(acc["gaps"]).alias("gaps"),
+            F.greatest(acc["until"], p + F.lit(n - 1)).alias("until"),
+        ),
+        lambda acc: F.when(
+            acc["until"] < F.size("_ts"),
+            F.concat(acc["gaps"], F.array(F.struct(
+                (acc["until"] + 1).alias("s"),
+                F.size("_ts").alias("e")))),
+        ).otherwise(acc["gaps"]),
+    )
+    kept = F.flatten(F.transform(
+        folded, lambda g: F.slice(F.col("_ts"), g["s"], g["e"] - g["s"] + 1)))
+    return joined.select(
+        F.col(id_col),
+        F.size("_ts").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

@@ -388,3 +388,48 @@ def test_duplicate_spans_cross_doc_detection(spark):
             duplicate_spans(docs, "doc_id", "text", n=5, min_docs=2,
                             hash_fn="xxhash64").collect()}
     assert fast == {k: r["n_dup_spans"] for k, r in rows.items()}
+
+
+def test_remove_duplicate_spans_rewrites_text(spark):
+    """Exact-substring REMOVAL (Lee et al.): every copy of a cross-doc
+    duplicated window is cut; overlapping/adjacent windows merge into one
+    covered stretch; docs without cross-doc spans come back verbatim
+    (whitespace-canonicalized); short docs are untouched."""
+    from data_migration_service_spark.operators.dedup import (
+        remove_duplicate_spans)
+
+    block = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {block} three"),
+            (2, f"{block} four five {block}"),
+            (3, "solo solo solo solo solo solo"),
+            (4, "tiny doc"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            remove_duplicate_spans(docs, "doc_id", "text",
+                                   n=5, min_docs=2).collect()}
+    # doc 1: the 5-token block (positions 3-7) is cut, context survives
+    assert rows[1]["cleaned_text"] == "one two three"
+    assert rows[1]["n_tokens"] == 8 and rows[1]["n_kept"] == 3
+    # doc 2: both copies cut, the middle gap survives
+    assert rows[2]["cleaned_text"] == "four five"
+    assert rows[2]["n_kept"] == 2
+    # intra-doc repetition is NOT cross-doc duplication
+    assert rows[3]["cleaned_text"] == "solo solo solo solo solo solo"
+    # < n tokens -> zero windows -> untouched
+    assert rows[4]["cleaned_text"] == "tiny doc"
+    assert rows[5]["cleaned_text"] == "" and rows[5]["n_kept"] == 0
+
+    # a doc covered END-TO-END by overlapping dup windows empties out
+    twin_a = "w1 w2 w3 w4 w5 w6 w7"
+    twins = spark.createDataFrame(
+        [(10, twin_a), (11, twin_a)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(twins, "doc_id", "text",
+                                  n=5, min_docs=2).collect()}
+    assert out[10]["cleaned_text"] == "" and out[10]["n_kept"] == 0
+    assert out[11]["cleaned_text"] == ""
