@@ -207,12 +207,18 @@ class SnapshotTable:
         """Drop staged (unpublished) snapshots — the audit failed, or a
         crashed committer left an orphan blocking the id sequence. Deletes
         each staged manifest plus any data dirs ONLY it references; returns
-        the ids discarded. With `sid=None` discards every staged id."""
+        the ids discarded. With `sid=None` discards every staged id EXCEPT
+        those a branch ref still names (a live branch is not an abandoned
+        audit — use `drop_branch` for those)."""
         import shutil
 
         head = self.meta.read_head()
         staged = self.staged_snapshots()
-        todo = staged if sid is None else [sid]
+        if sid is None:
+            reffed = set(self.meta.list_refs().values())
+            todo = [i for i in staged if i not in reffed]
+        else:
+            todo = [sid]
         if sid is not None and sid not in staged:
             raise ValueError(f"snapshot {sid} is not staged "
                              f"(staged: {staged}, HEAD: {head})")
@@ -947,11 +953,15 @@ class SnapshotTable:
                              f"(HEAD: {head})")
         if sid not in self.meta.list_manifest_ids():
             raise ValueError(f"snapshot {sid} does not exist")
+        if name.startswith("branch."):
+            raise ValueError("the 'branch.' ref namespace is reserved "
+                             "for branches (create_branch)")
         self.meta.put_ref(name, sid)
         return sid
 
     def tags(self) -> dict[str, int]:
-        return self.meta.list_refs()
+        return {n: s for n, s in self.meta.list_refs().items()
+                if not n.startswith("branch.")}
 
     def drop_tag(self, name: str) -> None:
         self.meta.delete_ref(name)
@@ -1019,3 +1029,157 @@ class SnapshotTable:
             shutil.rmtree(p)
             removed.append(d)
         return removed
+
+    # ---------- branches (named staged chains) ----------
+    #
+    # A branch is a NAMED STAGED CHAIN on top of HEAD — Iceberg's
+    # audit-branch pattern (write to the branch, validate, fast_forward
+    # main) — NOT a general fork: the table keeps one linear lineage, so
+    # while a branch holds unpublished commits, main commits are blocked by
+    # the same rule that blocks them during a single-snapshot WAP audit
+    # ("publish or discard first"). What that buys without disturbing any
+    # commit invariant: a MULTI-EPOCH replay (backfill, re-migration,
+    # schema-evolution rehearsal) staged end-to-end through the ordinary
+    # merge/compact/DDL machinery, readable and verifiable under its own
+    # name while production readers stay pinned to HEAD — then published
+    # atomically with ONE metadata flip, or dropped without a trace.
+    #
+    # Representation: refs `branch.<name>.<k>`, k = 0..tip — entry 0 is the
+    # fork (a published id), entry k the k-th branch commit. Advancing the
+    # branch = create-if-absent of entry k+1, the same single-winner
+    # primitive as the commit lock, so racing branch writers elect exactly
+    # one winner on either meta store. Every branch commit id being a ref
+    # VALUE is what keeps `expire_snapshots` and `discard_staged(None)`
+    # from eating a live branch.
+
+    def _branch_entries(self, name: str) -> dict[int, int]:
+        pre = f"branch.{name}."
+        out: dict[int, int] = {}
+        for ref, sid in self.meta.list_refs().items():
+            if ref.startswith(pre) and ref[len(pre):].isdigit():
+                out[int(ref[len(pre):])] = sid
+        return out
+
+    def create_branch(self, name: str, sid: int | None = None) -> int:
+        """Open a branch at `sid` (default HEAD). The fork must be a
+        published snapshot — audits of in-flight commits are WAP's job."""
+        if not name or "." in name:
+            raise ValueError(f"invalid branch name: {name!r} "
+                             "(nonempty, no dots)")
+        head = self.meta.read_head()
+        sid = head if sid is None else sid
+        if sid is None or head is None or sid > head:
+            raise ValueError(f"cannot branch from unpublished snapshot "
+                             f"{sid} (HEAD: {head})")
+        if sid not in self.meta.list_manifest_ids():
+            raise ValueError(f"snapshot {sid} does not exist")
+        if self._branch_entries(name):
+            raise CommitConflict(f"branch {name!r} already exists")
+        self.meta.put_ref(f"branch.{name}.0", sid)
+        return sid
+
+    def branches(self) -> dict[str, int]:
+        """All branches -> tip snapshot id."""
+        tips: dict[str, tuple[int, int]] = {}
+        for ref, sid in self.meta.list_refs().items():
+            if not ref.startswith("branch."):
+                continue
+            nm, _, k = ref[len("branch."):].rpartition(".")
+            if nm and k.isdigit() and (nm not in tips or int(k) > tips[nm][0]):
+                tips[nm] = (int(k), sid)
+        return {n: sid for n, (_, sid) in tips.items()}
+
+    def branch_tip(self, name: str) -> int:
+        es = self._branch_entries(name)
+        if not es:
+            raise KeyError(f"no branch {name!r} "
+                           f"(branches: {sorted(self.branches())})")
+        return es[max(es)]
+
+    def snapshot_for_branch(self, name: str) -> Snapshot:
+        return self.load_snapshot(self.branch_tip(name))
+
+    def checkout(self, name: str) -> "SnapshotTable":
+        """Writable view of the branch: `current()` resolves the branch tip
+        and every `commit()` stages + advances the branch ref, so the whole
+        merge/compact/DDL surface (cdc_apply, Engine, compaction) runs
+        against the branch unchanged."""
+        self.branch_tip(name)  # validate
+        return _BranchView(self, name)
+
+    def fast_forward(self, name: str) -> Snapshot:
+        """Publish the branch: flip HEAD to its tip in one atomic metadata
+        swap, iff HEAD is an ancestor of the tip (it always is unless the
+        table was rolled back under the branch — the staged-lineage rule
+        blocks ordinary main commits while the branch is open)."""
+        head = self.meta.read_head()
+        tip = self.branch_tip(name)
+        if tip == head:
+            return self.load_snapshot(tip)
+        sid: int | None = tip
+        while sid is not None and sid != head:
+            sid = self.load_snapshot(sid).parent
+        if sid != head:
+            raise CommitConflict(
+                f"cannot fast-forward {name!r}: tip {tip} does not descend "
+                f"from HEAD {head}")
+        self.meta.swap_head(tip)
+        return self.load_snapshot(tip)
+
+    def drop_branch(self, name: str, discard: bool = True) -> list[int]:
+        """Delete the branch refs; with `discard`, also drop its
+        unpublished manifests and any data dirs only they reference (the
+        audit failed / the backfill was abandoned). Published ids (after a
+        fast_forward) are never touched. Returns the ids discarded."""
+        es = self._branch_entries(name)
+        if not es:
+            raise KeyError(f"no branch {name!r}")
+        for k in sorted(es, reverse=True):
+            self.meta.delete_ref(f"branch.{name}.{k}")
+        dropped: list[int] = []
+        if discard:
+            head = self.meta.read_head()
+            floor = head if head is not None else -1
+            for sid in sorted({s for s in es.values() if s > floor},
+                              reverse=True):
+                if sid in self.staged_snapshots():
+                    dropped += self.discard_staged(sid)
+        return dropped
+
+
+class _BranchView(SnapshotTable):
+    """Writable view of one branch (see SnapshotTable.checkout)."""
+
+    def __init__(self, table: SnapshotTable, name: str):
+        super().__init__(table.spark, table.root, meta_store=table.meta)
+        self.branch_name = name
+
+    def current(self) -> Snapshot:
+        return self.load_snapshot(self.branch_tip(self.branch_name))
+
+    def commit(self, operation, rewritten, *args, **kw) -> Snapshot:
+        kw["publish"] = False  # branch commits NEVER flip HEAD
+        es = self._branch_entries(self.branch_name)
+        if not es:
+            raise KeyError(f"branch {self.branch_name!r} was dropped")
+        k = max(es)
+        snap = super().commit(operation, rewritten, *args, **kw)
+        try:
+            self.meta.put_ref(f"branch.{self.branch_name}.{k + 1}",
+                              snap.snapshot_id)
+        except CommitConflict:
+            # a racing branch writer advanced past our entry; the staged
+            # manifest we just created is unreachable junk — remove it and
+            # surface the conflict (the caller's retry re-reads the tip)
+            self.meta.delete_manifest(snap.snapshot_id)
+            raise
+        return snap
+
+    def rollback(self, sid: int) -> Snapshot:
+        raise NotImplementedError(
+            "rollback targets main, not a branch view: drop the branch "
+            "instead (its staged chain vanishes without a trace)")
+
+    def rebucket(self, new_n_buckets: int, salt_factor: int = 1) -> Snapshot:
+        raise NotImplementedError(
+            "rebucket commits directly to main; run it outside the branch")
