@@ -245,7 +245,8 @@ def main() -> int:
                 "tf_idf_top_terms", "dedup_clusters", "redact_pii",
                 "pack_offsets", "minhash_incremental",
                 "embedding_incremental", "patch_final_state",
-                "repetition_stats", "duplicate_spans", "rare_token_stats",
+                "repetition_stats", "duplicate_spans",
+                "remove_duplicate_spans", "rare_token_stats",
                 "mixture_sample", "corpus_shuffle", "corpus_build",
             ]
             for name in bench_qs:

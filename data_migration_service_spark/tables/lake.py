@@ -427,7 +427,17 @@ class SnapshotTable:
         if (sort and sort_keys
                 and snap.props.get("write_sort", default_sort) != "none"):
             part = part.sortWithinPartitions(BUCKET_COL, *sort_keys)
-        (part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(out))
+        w = part.write.mode("overwrite")
+        # Target file size: a writer task owning a huge (bucket, salt)
+        # slice would otherwise emit ONE parquet file of that size — at
+        # 100 TB that breaks object-store part limits and caps read
+        # parallelism at file count. `target_file_rows` rolls the writer
+        # to a new file every N rows (Spark's maxRecordsPerFile); the
+        # sort above still holds per file (rolling preserves task order).
+        tfr = snap.props.get("target_file_rows")
+        if tfr:
+            w = w.option("maxRecordsPerFile", int(tfr))
+        (w.partitionBy(BUCKET_COL).parquet(out))
         # parquet partitionBy drops BUCKET_COL from files; record the physical
         # file schema (without the partition col)
         phys = T.StructType([f for f in schema.fields if f.name != BUCKET_COL])

@@ -222,3 +222,28 @@ def test_bucket_files_are_key_sorted_for_rowgroup_pruning(spark, tmp_path):
     for _, g in files.groupby("_f"):
         keys = list(zip(g["repo"], g["path"]))
         assert keys == sorted(keys), "bucket file not key-sorted"
+
+
+def test_target_file_rows_rolls_writer_files(spark, tmp_path):
+    """`target_file_rows` table prop bounds file size: one writer slice
+    rolls to a new parquet file every N rows (object-store part limits /
+    read parallelism at 100 TB); row-group key stats still hold per file."""
+    import glob
+    import os
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, TABLE_SCHEMA, ["repo", "path"], 2,
+                             props={"target_file_rows": "100"})
+    cfg = EngineConfig(table_path=root, n_buckets=2)
+    batch = spark.createDataFrame(
+        [(f"r", f"p{i:04d}", "c", "l", f"v{i}", i, 100 + i, "insert")
+         for i in range(600)],
+        "repo string, path string, commit string, lang string, "
+        "content string, size_bytes long, lsn long, op string")
+    cdc_apply(t, batch, cfg, epoch=0)
+    files = glob.glob(os.path.join(root, "data", "*", "_bucket=*", "*.parquet"))
+    rows_per_file = max(
+        spark.read.parquet(f).count() for f in files)
+    assert rows_per_file <= 100
+    assert len(files) >= 6  # 600 rows / 100 per file across 2 buckets
+    assert t.read().count() == 600
