@@ -658,6 +658,31 @@ def q_mixture_sample(spark, sf):
     ).select("lang", "n_raw", "n_kept", "rate")
 
 
+def q_budget_select(spark, sf):
+    """Quality-ranked selection under a token budget (sampling.budget_select):
+    per language keep the best documents (n_chars as the score AND the
+    token cost here) while the running total fits 10k — the corpus-assembly
+    step after quality scoring. The plan routes through a (domain x bin)
+    histogram: full bins keep via a broadcast map-side filter, ONLY the
+    crossing bin pays an exact ordered window — never a whole-domain sort."""
+    docs = _t(spark, sf, "documents")
+    return (MX.budget_select(docs, "lang", "n_chars", "n_chars",
+                             budget=10_000, id_cols=["doc_id"])
+            .select("doc_id", "lang", "n_chars"))
+
+
+_BUDGET_SELECT_SQL = r"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE cum <= 10000
+"""
+
+
 def q_corpus_shuffle(spark, sf):
     """Deterministic global shuffle + sharding (operators/sampling.py
     corpus_shuffle): reproducible training order — shard from one sha256
@@ -1898,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_top_terms": q_tf_idf_top_terms,
         "stratified_sample": q_stratified_sample,
         "mixture_sample": q_mixture_sample,
+        "budget_select": q_budget_select,
         "corpus_shuffle": q_corpus_shuffle,
         "corpus_build": q_corpus_build,
         "corpus_audit": q_corpus_audit,
@@ -2153,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
             END
         """,
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
+        "budget_select": _BUDGET_SELECT_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "corpus_build": _CORPUS_BUILD_SQL,
         "corpus_audit": _CORPUS_AUDIT_SQL,

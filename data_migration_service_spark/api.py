@@ -252,6 +252,9 @@ class Engine:
             "n_buckets": snap.n_buckets,
             "buckets_with_deltas": sum(1 for d in snap.deltas.values() if d),
             "last_operation": snap.summary.get("operation"),
+            "committed_at": snap.summary.get("committed_at"),
+            "branches": self.table.branches(),
+            "staged": self.table.staged_snapshots(),
             "epochs_recorded": len(lineage),
             "rows_applied": sum(l.get("rows_in_batch", 0) for l in lineage),
             "running": bool(self.lock and self.lock.held_by_other()),
@@ -375,14 +378,19 @@ class Engine:
         )
 
     def read_as_of(self, epoch: int | None = None,
-                   snapshot: int | None = None) -> DataFrame:
+                   snapshot: int | None = None,
+                   timestamp: float | None = None) -> DataFrame:
         """Time travel: the table's live state at a past epoch (resolved
-        through the snapshot ledger's epoch tags) or an explicit snapshot
-        id. Epoch resolution is metadata-only; the read itself is the
-        normal pruned scan of that snapshot's manifest."""
+        through the snapshot ledger's epoch tags), an explicit snapshot
+        id, or a wall-clock instant (epoch seconds — resolved through the
+        manifests' committed_at stamps, Iceberg timestamp travel).
+        Resolution is metadata-only; the read itself is the normal pruned
+        scan of that snapshot's manifest."""
+        if snapshot is None and timestamp is not None:
+            snapshot = self.table.snapshot_as_of(timestamp).snapshot_id
         if snapshot is None:
             if epoch is None:
-                raise ValueError("need epoch or snapshot")
+                raise ValueError("need epoch, snapshot, or timestamp")
             hits = [h["snapshot_id"] for h in self.history()
                     if h["epoch"] == epoch]
             if not hits:

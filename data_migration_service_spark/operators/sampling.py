@@ -192,3 +192,101 @@ def mixture_report(
             "rate",
         )
     )
+
+
+def budget_select(
+    df: DataFrame,
+    domain_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int | dict[str, int],
+    id_cols: list[str] | None = None,
+    bins: int = 4096,
+) -> DataFrame:
+    """Quality-ranked selection under a token budget: per domain, keep the
+    best-scored documents (score DESC, id ASC on ties) while the running
+    token total stays <= budget — the corpus-assembly step after quality
+    scoring ("take the top documents of each source up to N tokens").
+
+    Semantics are EXACTLY the prefix of the (score DESC, id ASC) ordering
+    whose inclusive token cumsum fits the budget — but the plan never runs
+    that global per-domain window (a single task owning a whole domain's
+    ordering is the lsn_gaps anti-pattern at corpus scale). Instead:
+
+    1. one tiny aggregate: per (domain, score-bin) token totals
+       (domains x `bins` rows), cumulated bin-major per domain — a window
+       over the AGGREGATE, thousands of rows, not the corpus;
+    2. every document in a bin strictly above the domain's crossing bin is
+       kept by a broadcast-joined map-side filter — no corpus shuffle;
+    3. ONLY the crossing bin's documents (~1/bins of the domain) pay an
+       exact (score DESC, id ASC) windowed cumsum, offset by the tokens
+       already spent above.
+
+    Degenerate case: a domain whose scores are all equal lands in one bin
+    and step 3 becomes the full window — quantize a finer score upstream
+    if that is a real shape. Bin assignment is only routing (monotone in
+    score), so float rounding at bin edges cannot change the result.
+
+    `budget` is one int for every domain or a per-domain dict (missing
+    domains keep nothing). Returns the kept rows with original columns."""
+    from pyspark.sql import Window as W
+
+    id_cols = id_cols or [c for c in df.columns
+                          if c not in (domain_col, score_col, tokens_col)][:1]
+    if not id_cols:
+        raise ValueError("need at least one id column for tie-breaking")
+    spark = df.sparkSession
+
+    lo, hi = df.agg(F.min(score_col), F.max(score_col)).first()
+    if lo is None:
+        return df.limit(0)
+    span = float(hi) - float(lo)
+    b = (F.least(F.lit(bins - 1),
+                 F.floor((F.col(score_col).cast("double") - F.lit(float(lo)))
+                         / F.lit(span / bins))).cast("int")
+         if span > 0 else F.lit(0))
+    dfb = df.withColumn("_bin", b)
+
+    if isinstance(budget, dict):
+        bdf = spark.createDataFrame(
+            [(k, int(v)) for k, v in budget.items()],
+            f"{domain_col} string, _budget long")
+    else:
+        bdf = (dfb.select(domain_col).distinct()
+               .withColumn("_budget", F.lit(int(budget))))
+
+    per_bin = (dfb.groupBy(domain_col, "_bin")
+               .agg(F.sum(F.col(tokens_col).cast("long")).alias("_tok")))
+    wb = (W.partitionBy(domain_col)
+          .orderBy(F.desc("_bin"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (per_bin.join(bdf, domain_col, "inner")
+           .withColumn("_cum", F.sum("_tok").over(wb))
+           .withColumn("_before", F.col("_cum") - F.col("_tok")))
+    # the unique crossing bin per domain: spent-above < budget <= spent-thru
+    crossing = (cum.where((F.col("_before") < F.col("_budget"))
+                          & (F.col("_cum") >= F.col("_budget")))
+                .select(domain_col, F.col("_bin").alias("_xbin"),
+                        F.col("_before").alias("_spent")))
+    # domains that never cross keep everything
+    plan = (bdf.join(crossing, domain_col, "left"))
+
+    # a non-positive budget keeps nothing (the crossing condition above
+    # can never fire for it, which would otherwise read as "never crossed
+    # = keep all")
+    j = dfb.join(F.broadcast(plan), domain_col, "inner") \
+           .where(F.col("_budget") > 0)
+    kept_full = j.where(F.col("_xbin").isNull()
+                        | (F.col("_bin") > F.col("_xbin")))
+    boundary = j.where(F.col("_bin") == F.col("_xbin"))
+    wx = (W.partitionBy(domain_col)
+          .orderBy(F.desc(score_col), *[F.asc(c) for c in id_cols])
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    kept_boundary = (boundary
+                     .withColumn("_cum2", F.sum(
+                         F.col(tokens_col).cast("long")).over(wx)
+                         + F.col("_spent"))
+                     .where(F.col("_cum2") <= F.col("_budget")))
+    out_cols = df.columns
+    return kept_full.select(*out_cols).unionByName(
+        kept_boundary.select(*out_cols))

@@ -158,6 +158,28 @@ class SnapshotTable:
     def snapshots(self) -> list[int]:
         return self.meta.list_manifest_ids()
 
+    def snapshot_as_of(self, ts: float) -> Snapshot:
+        """Latest PUBLISHED snapshot committed at or before `ts` (epoch
+        seconds) — Iceberg's timestamp time travel, resolved from the
+        manifests' own `committed_at` stamps (object stores don't preserve
+        file mtimes; the manifest is the only trustworthy clock).
+        Manifests predating the stamp are skipped."""
+        head = self.meta.read_head()
+        best: Snapshot | None = None
+        for sid in self.snapshots():
+            if head is None or sid > head:
+                continue
+            s = self.load_snapshot(sid)
+            at = s.summary.get("committed_at")
+            if at is not None and at <= ts and (
+                    best is None or sid > best.snapshot_id):
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no published snapshot committed at or before {ts} "
+                f"(oldest retained may have been expired)")
+        return best
+
     def _write_snapshot(self, snap: Snapshot, publish: bool = True) -> None:
         """Atomic commit: manifest created create-if-absent (single-writer
         guard, the engine's analogue of the reference's table-level job lock,
@@ -170,6 +192,14 @@ class SnapshotTable:
         (write-audit-publish): the winning committer holds the id, readers
         keep seeing the parent, and `publish()`/`discard_staged()` decide
         its fate after the audit."""
+        import time
+
+        # every manifest carries its commit wall-clock (Iceberg
+        # timestamp-ms): timestamp time travel (snapshot_as_of) and
+        # age-based retention (expire_snapshots older_than_seconds) read
+        # it from the manifest itself, never from file mtimes — which an
+        # object store does not preserve
+        snap.summary.setdefault("committed_at", round(time.time(), 3))
         d = dict(snap.__dict__)
         d["buckets"] = {str(k): v for k, v in snap.buckets.items()}
         d["deltas"] = {str(k): v for k, v in snap.deltas.items()}
@@ -983,7 +1013,8 @@ class SnapshotTable:
         return self.load_snapshot(sid)
 
     def expire_snapshots(self, keep_last: int = 2,
-                         orphan_grace_seconds: float = 86400.0) -> list[str]:
+                         orphan_grace_seconds: float = 86400.0,
+                         older_than_seconds: float | None = None) -> list[str]:
         """Drop manifests older than the newest `keep_last` PUBLISHED
         snapshots and delete data dirs no surviving snapshot references
         (Iceberg expire_snapshots). Staged (unpublished) ids are never
@@ -1011,6 +1042,15 @@ class SnapshotTable:
                 | {i for i in ids if i not in published}
                 | {sid for sid in self.meta.list_refs().values()
                    if sid in ids})
+        if older_than_seconds is not None:
+            # age-based retention (Iceberg expireSnapshots olderThan):
+            # only manifests whose committed_at is older than the cutoff
+            # may go; `keep_last` still floors what survives
+            cutoff = time.time() - older_than_seconds
+            for i in published:
+                at = self.load_snapshot(i).summary.get("committed_at")
+                if at is None or at >= cutoff:
+                    keep.add(i)
         live_dirs: set[str] = set()
         ever_referenced: set[str] = set()
         for sid in ids:

@@ -111,3 +111,56 @@ def test_corpus_shuffle_total_and_deterministic(spark, corpus):
     # plan: the per-shard window must not collapse to one partition
     assert single_partition_exchanges(s1) == 0
     assert physical_plan(s1).count("Exchange") == 1  # hash by shard, once
+
+
+def test_budget_select_exact_prefix_semantics(spark):
+    """budget_select == the plain (score DESC, id ASC) windowed-cumsum
+    prefix, including the crossing bin, ties, dict budgets, zero budget,
+    and the all-equal-scores degenerate bin."""
+    import random as _random
+
+    from pyspark.sql import Window as W
+
+    from data_migration_service_spark.operators.sampling import budget_select
+
+    rng = _random.Random(7)
+    rows = [(i, rng.choice(["a", "b", "c"]), rng.randint(0, 50),
+             rng.randint(1, 30)) for i in range(400)]
+    # force score ties
+    rows += [(1000 + i, "a", 25, 10) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, dom string, score long, tok long")
+
+    def reference(budget):
+        w = (W.partitionBy("dom")
+             .orderBy(F.desc("score"), F.asc("doc_id"))
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        bud = (F.lit(budget) if isinstance(budget, int)
+               else F.create_map(*[F.lit(x) for kv in budget.items()
+                                   for x in kv])[F.col("dom")])
+        return (df.withColumn("_c", F.sum("tok").over(w))
+                .where(F.col("_c") <= bud).drop("_c"))
+
+    def ids(frame):
+        return sorted(r["doc_id"] for r in frame.collect())
+
+    for budget in (1, 37, 500, 10_000, 10**9):
+        got = budget_select(df, "dom", "score", "tok", budget,
+                            id_cols=["doc_id"], bins=8)
+        assert ids(got) == ids(reference(budget)), f"budget={budget}"
+
+    per_dom = {"a": 200, "b": 0, "c": 10**9}
+    got = budget_select(df, "dom", "score", "tok", per_dom,
+                        id_cols=["doc_id"], bins=8)
+    ref = reference({k: v for k, v in per_dom.items()}).where(
+        F.col("dom") != "b")
+    assert ids(got) == ids(ref)
+    assert got.where(F.col("dom") == "b").count() == 0
+
+    # all-equal scores: one bin, still exact
+    flat = spark.createDataFrame(
+        [(i, "x", 5, 7) for i in range(40)],
+        "doc_id long, dom string, score long, tok long")
+    got = budget_select(flat, "dom", "score", "tok", 70,
+                        id_cols=["doc_id"], bins=8)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))

@@ -433,3 +433,45 @@ def test_remove_duplicate_spans_rewrites_text(spark):
                                   n=5, min_docs=2).collect()}
     assert out[10]["cleaned_text"] == "" and out[10]["n_kept"] == 0
     assert out[11]["cleaned_text"] == ""
+
+
+def test_remove_duplicate_spans_matches_python_model(spark):
+    """Property: for random tiny corpora, the distributed rewrite equals a
+    brute-force single-process model (windows counted per distinct doc,
+    token kept iff no cross-doc window covers it)."""
+    import random as _random
+
+    from data_migration_service_spark.operators.dedup import (
+        remove_duplicate_spans)
+
+    rng = _random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    n, min_docs = 3, 2
+    for trial in range(3):
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(0, 14))))
+                for i in range(10)]
+
+        # brute-force model
+        from collections import defaultdict
+        gram_docs = defaultdict(set)
+        toks = {i: t.split() for i, t in docs}
+        for i, ts in toks.items():
+            for p in range(len(ts) - n + 1):
+                gram_docs[tuple(ts[p:p + n])].add(i)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+        expect = {}
+        for i, ts in toks.items():
+            covered = set()
+            for p in range(len(ts) - n + 1):
+                if tuple(ts[p:p + n]) in dup:
+                    covered.update(range(p, p + n))
+            kept = [t for j, t in enumerate(ts) if j not in covered]
+            expect[i] = (len(ts), len(kept), " ".join(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned_text"])
+               for r in remove_duplicate_spans(df, "doc_id", "text",
+                                               n=n, min_docs=min_docs)
+               .collect()}
+        assert got == expect, f"trial {trial} diverged"

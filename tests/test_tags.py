@@ -231,3 +231,54 @@ def test_numeric_quantiles_exact_and_approx(spark):
     qa = {(r["col_name"], r["p"]): r["q"]
           for r in numeric_quantiles(df, ["a"], [0.5]).collect()}
     assert abs(qa[("a", 0.5)] - 50.5) <= 2.0
+
+
+def test_timestamp_time_travel_and_age_based_expiry(spark, tmp_path):
+    """Every manifest carries committed_at; snapshot_as_of resolves a
+    wall-clock instant to the latest snapshot committed by then (Iceberg
+    timestamp travel), Engine.read_as_of(timestamp=) reads it, and
+    expire_snapshots(older_than_seconds=) only drops manifests older than
+    the cutoff while keep_last still floors what survives."""
+    import time as _time
+
+    from data_migration_service_spark.api import Engine
+
+    root = str(tmp_path / "t")
+    t, cfg = _table_with_epochs(spark, root, n_epochs=3)
+    hist = [t.load_snapshot(s) for s in t.snapshots()]
+    stamps = [s.summary.get("committed_at") for s in hist]
+    assert all(at is not None for at in stamps)
+    assert stamps == sorted(stamps)  # monotone along the ledger
+
+    # an instant between epoch 0's commit and epoch 1's commit resolves to
+    # epoch 0's final snapshot
+    epoch_sids = {}
+    for s in hist:
+        if "epoch" in s.props:
+            epoch_sids.setdefault(int(s.props["epoch"]), []).append(
+                s.snapshot_id)
+    sid_e0 = max(epoch_sids[0])
+    at_e0 = t.load_snapshot(sid_e0).summary["committed_at"]
+    nxt = min(s.summary["committed_at"] for s in hist
+              if s.summary["committed_at"] > at_e0)
+    mid = (at_e0 + nxt) / 2
+    assert t.snapshot_as_of(mid).snapshot_id == sid_e0
+
+    eng = Engine(spark, cfg)
+    assert (eng.read_as_of(timestamp=mid).count()
+            == t.read(snapshot=t.load_snapshot(sid_e0)).count())
+    # the future resolves to HEAD; prehistory raises
+    assert (t.snapshot_as_of(_time.time() + 3600).snapshot_id
+            == t.current().snapshot_id)
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(min(stamps) - 10)
+
+    # age-based retention: a huge cutoff keeps everything...
+    before = set(t.snapshots())
+    t.expire_snapshots(keep_last=1, older_than_seconds=3600)
+    assert set(t.snapshots()) == before
+    # ...a zero cutoff lets keep_last take over (everything is "old")
+    t.expire_snapshots(keep_last=2, older_than_seconds=0)
+    kept = t.snapshots()
+    assert len([s for s in kept
+                if s <= t.current().snapshot_id]) == 2
