@@ -27,6 +27,8 @@ Verb mapping (reference -> CLI):
                                      (--sample N: 1/N key-sample canary)
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
     (engine-added)                -> maintain [--apply] [--table t]
+    (engine-added)                -> fsck [--table t] (metadata-vs-storage
+                                     audit; exit 1 if any table is broken)
     (engine-added)                -> tag create|list|drop (pin corpus states)
     (engine-added)                -> index create|sync|find (secondary
                                      value->key indexes, changefeed-synced)
@@ -205,6 +207,18 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Metadata-vs-storage consistency audit per table (manifest chain,
+    HEAD, refs, referenced dirs/buckets present) — directory listings only,
+    no data decode. Exit 1 if any table is broken."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    out = {n: e.fsck() for n, e in engines.items()}
+    print(json.dumps(out, default=str))
+    return 0 if all(r["ok"] for r in out.values()) else 1
+
+
 def cmd_tag_create(args) -> int:
     tables = load_config(args.config)
     spark = get_spark(app_name="dms-cli")
@@ -358,6 +372,11 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--compact-at", type=int, default=4,
                     help="flag buckets whose MOR delta depth >= this")
     mt.set_defaults(fn=cmd_maintain)
+
+    fs = sub.add_parser("fsck",
+                        help="metadata-vs-storage consistency audit")
+    fs.add_argument("--table", default=None)
+    fs.set_defaults(fn=cmd_fsck)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -555,6 +555,99 @@ class Engine:
 
         return maintenance_plan(self.table, **kw)
 
+    def fsck(self) -> dict[str, Any]:
+        """Metadata-vs-storage consistency audit: manifest chain, HEAD,
+        refs, and the existence of every referenced data/bucket dir —
+        directory listings only, no data decode (tables/maintenance.py)."""
+        from data_migration_service_spark.tables.maintenance import fsck
+
+        return fsck(self.table)
+
+    # ---- compliance erase (right-to-be-forgotten) ----
+    def erase_keys(self, keys: DataFrame, verify: bool = True,
+                   orphan_grace_seconds: float = 86400.0) -> dict[str, Any]:
+        """Physically remove every retained trace of `keys` — the
+        compliance delete (GDPR erasure) a CDC lake needs on top of the
+        logical delete path. `cleanup(keys=)` already hard-deletes from
+        HEAD; history is the hard part, and it takes three more steps:
+
+        1. guard: tags, branches, and staged (pending-audit) snapshots
+           each promise a byte-stable read of data this call is about to
+           destroy — refuse loudly while any exist (drop them first);
+        2. hard delete on HEAD (`delete_where(keys=...)`): rewrites only
+           the hit buckets; the erased keys' rows AND their tombstones go
+           (a tombstone carries the key itself — it must go too, so a
+           late sub-horizon event for an erased key would re-insert;
+           erase after the source's retention horizon, or re-run);
+        3. expire ALL history (`expire_snapshots(keep_last=1)`): every
+           older manifest is dropped and dirs only they referenced are
+           deleted. Time travel before the erase point is gone — that is
+           the point;
+        4. sub-dir purge (`remove_unreferenced_bucket_dirs`): dir-level
+           expiry keeps a dir alive while any retained bucket maps into
+           it, so erased rows could otherwise persist in that dir's now
+           unmapped `_bucket=N` subdirs — the finer GC removes them.
+
+        `verify=True` then proves the erasure: for EVERY retained
+        manifest (each with its own n_buckets — rebucket-safe), the hit
+        buckets are scanned raw (`reduce=False`, tombstones included, all
+        physical row versions) and semi-joined against the keys; the
+        report's `residual_rows` must be 0. Scan cost is O(hit buckets),
+        not O(table).
+
+        Out of scope (reported, not silently ignored): quarantine dirs,
+        secondary indexes, and exported changefeeds are sidecar stores —
+        erase there via their own paths (index.sync picks up the delete
+        only as a retraction, so rebuild or erase the index explicitly).
+        """
+        from data_migration_service_spark.operators.merge import (
+            maybe_broadcast_keys,
+            probe_keys,
+        )
+
+        refs = self.table.meta.list_refs()
+        staged = self.table.staged_snapshots()
+        blockers = sorted(refs) + [f"staged:{s}" for s in staged]
+        if blockers:
+            raise ValueError(
+                "erase_keys refuses while refs or staged snapshots pin "
+                f"history: {blockers} (drop tags/branches and settle "
+                "audits first — they promise byte-stable reads of data "
+                "this call destroys)")
+        key_cols = list(self.cfg.key_cols)
+        kdf = keys.select(*key_cols).distinct().cache()
+        sid = delete_where(self.table, self.cfg, keys=kdf)
+        expired = self.table.expire_snapshots(
+            keep_last=1, orphan_grace_seconds=orphan_grace_seconds)
+        purged = self.table.remove_unreferenced_bucket_dirs()
+        report: dict[str, Any] = {
+            "snapshot_id": sid,
+            "expired_dirs": expired,
+            "purged_bucket_dirs": purged,
+            "retained_snapshots": self.table.snapshots(),
+            "sidecars_not_covered": ["quarantine", "secondary_indexes",
+                                     "exported_changefeeds"],
+        }
+        if verify:
+            residual = 0
+            scanned = []
+            for s_id in self.table.snapshots():
+                s = self.table.load_snapshot(s_id)
+                hits, n_keys = probe_keys(kdf, key_cols, s.n_buckets)
+                present = [b for b in hits
+                           if b in s.buckets or s.deltas.get(b)]
+                if not present:
+                    continue
+                raw = self.table.read(snapshot=s, buckets=present,
+                                      include_deleted=True, reduce=False)
+                residual += (raw.join(maybe_broadcast_keys(kdf, n_keys),
+                                      key_cols, "left_semi").count())
+                scanned.append({"snapshot": s_id, "buckets": len(present)})
+            report["residual_rows"] = residual
+            report["verified_scans"] = scanned
+        kdf.unpersist()
+        return report
+
 
 class EngineGroup:
     """Multi-table orchestration — the reference's flagship POST /jobs.

@@ -1080,6 +1080,40 @@ class SnapshotTable:
             removed.append(d)
         return removed
 
+    def remove_unreferenced_bucket_dirs(self) -> list[str]:
+        """Sub-dir GC below `expire_snapshots`'s granularity. Dir-level
+        expiry keeps a data dir alive while ANY retained manifest maps ANY
+        bucket into it — so `_bucket=N` subdirs that no manifest maps to
+        that dir anymore (their buckets were since rewritten elsewhere)
+        keep their bytes on storage. Space reclaim rarely cares (the next
+        compaction folds the dir away); compliance erasure does: after a
+        hard delete + history expiry, the erased rows' last physical copies
+        sit in exactly these unreferenced subdirs. Removes every bucket
+        subdir no manifest (published, staged, or branch-reachable) maps;
+        returns the removed `dir/_bucket=N` relative paths. Metadata-driven
+        fs walk only — no data is read."""
+        import shutil
+
+        live: dict[str, set[int]] = {}
+        for sid in self.snapshots():
+            s = self.load_snapshot(sid)
+            for b, d in s.buckets.items():
+                live.setdefault(d, set()).add(b)
+            for b, ds in s.deltas.items():
+                for d in ds:
+                    live.setdefault(d, set()).add(b)
+        removed: list[str] = []
+        for d, buckets in live.items():
+            base = os.path.join(self._datadir, d)
+            if not os.path.isdir(base):
+                continue
+            for sub in os.listdir(base):
+                if (sub.startswith(f"{BUCKET_COL}=")
+                        and int(sub.split("=", 1)[1]) not in buckets):
+                    shutil.rmtree(os.path.join(base, sub))
+                    removed.append(f"{d}/{sub}")
+        return removed
+
     # ---------- branches (named staged chains) ----------
     #
     # A branch is a NAMED STAGED CHAIN on top of HEAD — Iceberg's

@@ -36,6 +36,106 @@ def _bucket_bytes(table: SnapshotTable, dirname: str) -> dict[int, int]:
     return out
 
 
+def fsck(table: SnapshotTable) -> dict[str, Any]:
+    """Metadata-vs-storage consistency audit (the lake analogue of a
+    filesystem fsck). Answers "can every retained snapshot still be read,
+    and does every ref point somewhere real" WITHOUT decoding any data —
+    manifests plus directory listings only, so it is safe to run per epoch
+    at 100 TB.
+
+    Checks, each reported separately:
+
+    - every manifest parses and its parent link is the predecessor id
+      (commits are strictly sequential; an expired parent below the oldest
+      retained id is normal and not flagged);
+    - HEAD names an existing manifest;
+    - every ref (tag / branch entry) names an existing manifest;
+    - every data dir a manifest references exists, and every `_bucket=N`
+      subdir that manifest maps into it exists and holds at least one
+      parquet file (a lost bucket subdir means silent row loss on the next
+      read — the worst failure mode, surfaced here first);
+    - unreferenced (orphan) dirs are listed with their age, mirroring
+      `expire_snapshots`'s grace logic (fresh ones are presumed an
+      in-flight writer's output).
+
+    `ok` is True iff nothing is broken (orphans and staged snapshots are
+    informational, not failures)."""
+    import time
+
+    head = table.meta.read_head()
+    ids = table.snapshots()
+    unreadable: list[dict[str, Any]] = []
+    broken_parent: list[dict[str, Any]] = []
+    missing_dirs: list[dict[str, Any]] = []
+    missing_buckets: list[dict[str, Any]] = []
+    empty_buckets: list[dict[str, Any]] = []
+    referenced: set[str] = set()
+    # (dir, bucket) pairs are checked once even when many manifests share them
+    seen_pairs: set[tuple[str, int]] = set()
+    for sid in ids:
+        try:
+            s = table.load_snapshot(sid)
+        except Exception as e:  # unparseable/missing manifest body
+            unreadable.append({"snapshot": sid, "error": str(e)})
+            continue
+        if s.parent is not None and s.parent != sid - 1:
+            broken_parent.append(
+                {"snapshot": sid, "parent": s.parent, "expected": sid - 1})
+        pairs: dict[str, set[int]] = {}
+        for b, d in s.buckets.items():
+            pairs.setdefault(d, set()).add(b)
+        for b, ds in s.deltas.items():
+            for d in ds:
+                pairs.setdefault(d, set()).add(b)
+        for d, bs in pairs.items():
+            referenced.add(d)
+            base = os.path.join(table._datadir, d)
+            if not os.path.isdir(base):
+                missing_dirs.append({"snapshot": sid, "dir": d})
+                continue
+            for b in bs:
+                if (d, b) in seen_pairs:
+                    continue
+                seen_pairs.add((d, b))
+                p = os.path.join(base, f"{BUCKET_COL}={b}")
+                if not os.path.isdir(p):
+                    missing_buckets.append(
+                        {"snapshot": sid, "dir": d, "bucket": b})
+                elif not any(f.endswith(".parquet") for f in os.listdir(p)):
+                    empty_buckets.append(
+                        {"snapshot": sid, "dir": d, "bucket": b})
+    dangling_refs = {name: sid for name, sid in table.meta.list_refs().items()
+                     if sid not in ids}
+    head_missing = head is not None and head not in ids
+    orphans = []
+    if os.path.isdir(table._datadir):
+        now = time.time()
+        for d in os.listdir(table._datadir):
+            if d.startswith(("snap-", "delta-")) and d not in referenced:
+                try:
+                    age = int(now - os.path.getmtime(
+                        os.path.join(table._datadir, d)))
+                except OSError:
+                    age = -1
+                orphans.append({"dir": d, "age_seconds": age})
+    ok = not (unreadable or broken_parent or missing_dirs or missing_buckets
+              or empty_buckets or dangling_refs or head_missing)
+    return {
+        "ok": ok,
+        "head": head,
+        "head_missing": head_missing,
+        "manifests_checked": len(ids),
+        "staged": table.staged_snapshots(),
+        "unreadable_manifests": unreadable,
+        "broken_parent_chain": broken_parent,
+        "dangling_refs": dangling_refs,
+        "missing_dirs": missing_dirs,
+        "missing_buckets": missing_buckets,
+        "empty_buckets": empty_buckets,
+        "orphan_dirs": sorted(orphans, key=lambda o: o["dir"]),
+    }
+
+
 def maintenance_plan(
     table: SnapshotTable,
     compact_at: int = 4,

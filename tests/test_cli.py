@@ -172,6 +172,31 @@ def test_cli_tag_and_sampled_verify(spark, tmp_path, capsys):
     assert listed2["solo2"] == {}
 
 
+def test_cli_fsck_healthy_then_broken(spark, tmp_path, capsys):
+    """`fsck` exits 0 on a healthy table and 1 (with the damage named)
+    after a bucket subdir is lost."""
+    import os
+    import shutil
+
+    cfg, tables, _ = _setup(spark, tmp_path, names=("solo3",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+    rc, rep = _run(capsys, ["--config", cfg, "fsck"])
+    assert rc == 0 and rep["solo3"]["ok"]
+
+    t = SnapshotTable(spark, tables["solo3"]["table_path"])
+    snap = t.current()
+    if snap.buckets:
+        b, d = next(iter(snap.buckets.items()))
+    else:  # merge-on-read: the epoch landed as delta dirs
+        b, ds = next(iter(snap.deltas.items()))
+        d = ds[0]
+    shutil.rmtree(os.path.join(t._datadir, d, f"_bucket={b}"))
+    rc, rep = _run(capsys, ["--config", cfg, "fsck"])
+    assert rc == 1 and not rep["solo3"]["ok"]
+    assert any(m["bucket"] == b for m in rep["solo3"]["missing_buckets"])
+
+
 def test_cli_writer_id_config_passthrough(spark, tmp_path, capsys):
     """A per-table `writer_id` in the JSON config namespaces the epoch
     counter (multi-writer fan-in) and `jobs status` surfaces it."""
