@@ -1802,6 +1802,43 @@ FROM b LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_source_overlap(spark, sf):
+    """Cross-source duplication matrix (dedup.cross_group_gram_overlap):
+    distinct shared 8-token windows per source pair plus each side's
+    containment fraction — the governance view run before mixing corpora.
+    Gram-keyed equi-join of (gram, source) DISTINCT rows: per-gram fan-out
+    is bounded by the source count, never corpus-quadratic."""
+    docs = _t(spark, sf, "documents")
+    return (D.cross_group_gram_overlap(docs, "text", "source", n=8)
+            .select("group_a", "group_b", "shared_grams",
+                    "frac_a", "frac_b"))
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH b AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, unnest(CASE WHEN len(ts) >= 8
+           THEN list_transform(generate_series(1, len(ts) - 7),
+                               i -> sha256(array_to_string(ts[i:i+7], ' ')))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM b
+), t AS (
+  SELECT source, count(*) AS n FROM g GROUP BY source
+), p AS (
+  SELECT a.source AS group_a, bb.source AS group_b, count(*) AS shared_grams
+  FROM g a JOIN g bb USING (gram)
+  WHERE a.source < bb.source GROUP BY 1, 2
+)
+SELECT group_a, group_b, shared_grams,
+       CAST(shared_grams AS DOUBLE) / ta.n AS frac_a,
+       CAST(shared_grams AS DOUBLE) / tb.n AS frac_b
+FROM p JOIN t ta ON ta.source = group_a JOIN t tb ON tb.source = group_b
+"""
+
+
 def q_remove_duplicate_spans(spark, sf):
     """The removal half of exact-substring dedup
     (dedup.remove_duplicate_spans, Lee et al. 2021): rewrite every document
@@ -1933,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "duplicate_spans": q_duplicate_spans,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "source_overlap": q_source_overlap,
         "rare_token_stats": q_rare_token_stats,
         "simhash": q_simhash,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2189,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "duplicate_spans": _DUPLICATE_SPANS_SQL,
         "remove_duplicate_spans": _REMOVE_DUPLICATE_SPANS_SQL,
+        "source_overlap": _SOURCE_OVERLAP_SQL,
         "rare_token_stats": _RARE_TOKEN_STATS_SQL,
         "simhash": _simhash_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),

@@ -247,6 +247,7 @@ def main() -> int:
                 "embedding_incremental", "patch_final_state",
                 "repetition_stats", "duplicate_spans",
                 "remove_duplicate_spans", "rare_token_stats",
+                "source_overlap", "budget_select",
                 "mixture_sample", "corpus_shuffle", "corpus_build",
             ]
             for name in bench_qs:

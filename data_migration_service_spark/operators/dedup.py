@@ -633,3 +633,81 @@ def remove_duplicate_spans(
         F.size(kept).cast("long").alias("n_kept"),
         F.concat_ws(" ", kept).alias("cleaned_text"),
     )
+
+
+def cross_group_gram_overlap(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 8,
+    hash_fn: str = "sha256",
+) -> DataFrame:
+    """Cross-source duplication matrix — the governance view over span-level
+    dedup: for every pair of sources (domains, crawls, dumps), how many
+    distinct n-token windows they share, and what fraction of each side's
+    window vocabulary that is. This is the question asked before mixing
+    corpora ("is dump B mostly a re-crawl of dump A?") and after
+    `duplicate_spans` flags heavy cross-corpus copying.
+
+    Plan, scale-first:
+
+        tokens -> n-token window gram hashes, array_distinct IN-ROW
+        -> explode -> (gram, group) DISTINCT        [shuffle 1, map-side combine]
+        -> per-group totals                          [tiny aggregate]
+        -> gram-keyed self-join, group_a < group_b   [per-gram fan-out <= n_groups]
+        -> groupBy(group_a, group_b) count           [<= n_groups^2 rows]
+
+    Nothing here is corpus-quadratic: the join key is the gram, and a gram's
+    row count after the distinct is bounded by the number of GROUPS (not
+    documents) containing it, so worst-case fan-out per gram is n_groups^2 —
+    a few hundred for realistic source counts. Document text never shuffles
+    (only 32-byte gram hashes). Fractions are unrounded IEEE divisions of
+    exact counts (oracle bit-identical).
+
+    Output: (group_a, group_b, shared_grams, frac_a, frac_b) for pairs with
+    shared_grams > 0; frac_x = shared / distinct grams in group x."""
+    if hash_fn not in ("sha256", "xxhash64"):
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    from data_migration_service_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    base = fan_out_small_scan(df.select(group_col, text_col)).select(
+        F.col(group_col).alias("_g"), toks.alias("_ts"))
+    pos = F.when(
+        F.size("_ts") >= n, F.sequence(F.lit(1), F.size("_ts") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def h(gram):
+        return (F.sha2(gram, 256) if hash_fn == "sha256"
+                else F.xxhash64(gram).cast("string"))
+
+    grams = (
+        base.select(
+            "_g",
+            F.explode(F.array_distinct(F.transform(
+                pos, lambda p: h(F.concat_ws(" ", F.slice(F.col("_ts"), p, n)))
+            ))).alias("_gram"),
+        )
+        .distinct()  # (gram, group): one row per group containing the gram
+    )
+    totals = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = grams.select(F.col("_gram"), F.col("_g").alias("group_a"))
+    b = grams.select(F.col("_gram"), F.col("_g").alias("group_b"))
+    shared = (
+        a.join(b, "_gram")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    ta = F.broadcast(totals.select(F.col("_g").alias("group_a"),
+                                   F.col("_n").alias("_na")))
+    tb = F.broadcast(totals.select(F.col("_g").alias("group_b"),
+                                   F.col("_n").alias("_nb")))
+    return (
+        shared.join(ta, "group_a").join(tb, "group_b")
+        .select(
+            "group_a", "group_b", "shared_grams",
+            (F.col("shared_grams") / F.col("_na")).alias("frac_a"),
+            (F.col("shared_grams") / F.col("_nb")).alias("frac_b"),
+        )
+    )

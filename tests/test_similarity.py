@@ -475,3 +475,59 @@ def test_remove_duplicate_spans_matches_python_model(spark):
                                                n=n, min_docs=min_docs)
                .collect()}
         assert got == expect, f"trial {trial} diverged"
+
+
+def test_cross_group_gram_overlap_semantics_and_plan(spark):
+    """The cross-source duplication matrix equals a brute-force model
+    (distinct shared n-gram count + containment fractions per source pair),
+    and its plan never shuffles document text or goes cartesian."""
+    from collections import defaultdict
+
+    from data_migration_service_spark.operators.dedup import (
+        cross_group_gram_overlap)
+    from data_migration_service_spark.plans.inspect import (
+        has_cartesian, physical_plan)
+
+    rows = [
+        (0, "a", "one two three four five six"),
+        (1, "a", "one two three four seven eight"),
+        (2, "b", "one two three four five nine"),   # shares grams with a
+        (3, "b", "totally different words here now"),
+        (4, "c", "totally different words here now"),  # exact dup of 3
+        (5, "c", "short"),                             # below n -> no grams
+    ]
+    n = 3
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+
+    grams = defaultdict(set)  # group -> set of gram tuples
+    for _, g, t in rows:
+        ts = t.split()
+        for p in range(len(ts) - n + 1):
+            grams[g].add(tuple(ts[p:p + n]))
+    expect = {}
+    for a in sorted(grams):
+        for b in sorted(grams):
+            if a < b and grams[a] & grams[b]:
+                s = len(grams[a] & grams[b])
+                expect[(a, b)] = (s, s / len(grams[a]), s / len(grams[b]))
+
+    out = cross_group_gram_overlap(df, "text", "src", n=n)
+    got = {(r["group_a"], r["group_b"]):
+           (r["shared_grams"], r["frac_a"], r["frac_b"])
+           for r in out.collect()}
+    assert got == expect
+    assert not has_cartesian(out)
+    # text must never cross a KEYED exchange (joins/aggregates move only
+    # 32-byte gram hashes); the one allowed carrier is the small-input
+    # round-robin fan-out, which a corpus at scale skips entirely
+    pre = [ln for ln in physical_plan(out).splitlines()
+           if "Exchange" in ln and "RoundRobinPartitioning" not in ln]
+    assert pre and not any("text#" in ln for ln in pre)
+
+    # xxhash64 fast path finds the identical pair matrix
+    fast = cross_group_gram_overlap(df, "text", "src", n=n,
+                                    hash_fn="xxhash64")
+    got_fast = {(r["group_a"], r["group_b"]):
+                (r["shared_grams"], r["frac_a"], r["frac_b"])
+                for r in fast.collect()}
+    assert got_fast == expect
