@@ -1114,6 +1114,78 @@ class SnapshotTable:
                     removed.append(f"{d}/{sub}")
         return removed
 
+    def clone_to(self, dest_root: str, snapshot: Snapshot | None = None,
+                 mode: str = "link",
+                 meta_store: MetaStore | None = None) -> "SnapshotTable":
+        """Fork the table (any published snapshot of it) into an INDEPENDENT
+        table at `dest_root` — Delta clone / Iceberg register-table. Where a
+        branch is a staged lineage that blocks main until settled, a clone
+        has its own metadata, its own lineage, its own GC: rehearsal
+        migrations, dev sandboxes, and corpus forks that outlive an audit
+        all want this shape.
+
+        `mode='link'` (default) hard-links every referenced data file —
+        zero-copy, O(files) metadata ops. This is SAFE because data files
+        are immutable by construction (writers create new dirs, never
+        mutate): either table expiring/erasing its copy merely unlinks,
+        while the other's link keeps the bytes alive. On an object store
+        the same call maps to server-side copy (no hard links there);
+        `mode='copy'` forces a byte copy anywhere. Cross-device links fall
+        back to copy automatically.
+
+        The clone's ledger restarts at snapshot 1 (parent None) carrying
+        the source snapshot's schema/layout/renames/props verbatim —
+        including the exactly-once epoch counters, so replaying an epoch
+        the source already applied is still skipped on the clone (fork of
+        a CDC target keeps its dedup guarantee). Tags/branches do NOT
+        carry over: they are promises about the SOURCE's ledger."""
+        import shutil
+
+        if mode not in ("link", "copy"):
+            raise ValueError(f"unknown clone mode: {mode}")
+        if SnapshotTable.exists(dest_root):
+            raise ValueError(f"destination already exists: {dest_root}")
+        snap = snapshot or self.current()
+        head = self.meta.read_head()
+        if head is None or snap.snapshot_id > head:
+            raise ValueError("cannot clone a staged (unpublished) snapshot")
+
+        dest = SnapshotTable(self.spark, dest_root, meta_store=meta_store)
+        dest.meta.ensure_layout()
+        os.makedirs(dest._datadir, exist_ok=True)
+
+        def _link_or_copy(src: str, dst: str) -> None:
+            if mode == "copy":
+                shutil.copy2(src, dst)
+                return
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / fs without hard links
+                shutil.copy2(src, dst)
+
+        dirs = set(snap.buckets.values())
+        for ds in snap.deltas.values():
+            dirs.update(ds)
+        for d in sorted(dirs):
+            shutil.copytree(os.path.join(self._datadir, d),
+                            os.path.join(dest._datadir, d),
+                            copy_function=_link_or_copy)
+        clone = Snapshot(
+            snapshot_id=1,
+            parent=None,
+            schema_json=snap.schema_json,
+            n_buckets=snap.n_buckets,
+            key_cols=list(snap.key_cols),
+            buckets=dict(snap.buckets),
+            renames=dict(snap.renames),
+            props=dict(snap.props),
+            summary={"operation": "clone", "source": self.root,
+                     "source_snapshot": snap.snapshot_id, "mode": mode},
+            deltas={b: list(v) for b, v in snap.deltas.items()},
+        )
+        dest._write_snapshot(clone)
+        return dest
+
     # ---------- branches (named staged chains) ----------
     #
     # A branch is a NAMED STAGED CHAIN on top of HEAD — Iceberg's
