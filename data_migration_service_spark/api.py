@@ -616,36 +616,39 @@ class Engine:
                 "this call destroys)")
         key_cols = list(self.cfg.key_cols)
         kdf = keys.select(*key_cols).distinct().cache()
-        sid = delete_where(self.table, self.cfg, keys=kdf)
-        expired = self.table.expire_snapshots(
-            keep_last=1, orphan_grace_seconds=orphan_grace_seconds)
-        purged = self.table.remove_unreferenced_bucket_dirs()
-        report: dict[str, Any] = {
-            "snapshot_id": sid,
-            "expired_dirs": expired,
-            "purged_bucket_dirs": purged,
-            "retained_snapshots": self.table.snapshots(),
-            "sidecars_not_covered": ["quarantine", "secondary_indexes",
-                                     "exported_changefeeds"],
-        }
-        if verify:
-            residual = 0
-            scanned = []
-            for s_id in self.table.snapshots():
-                s = self.table.load_snapshot(s_id)
-                hits, n_keys = probe_keys(kdf, key_cols, s.n_buckets)
-                present = [b for b in hits
-                           if b in s.buckets or s.deltas.get(b)]
-                if not present:
-                    continue
-                raw = self.table.read(snapshot=s, buckets=present,
-                                      include_deleted=True, reduce=False)
-                residual += (raw.join(maybe_broadcast_keys(kdf, n_keys),
-                                      key_cols, "left_semi").count())
-                scanned.append({"snapshot": s_id, "buckets": len(present)})
-            report["residual_rows"] = residual
-            report["verified_scans"] = scanned
-        kdf.unpersist()
+        try:
+            sid = delete_where(self.table, self.cfg, keys=kdf)
+            expired = self.table.expire_snapshots(
+                keep_last=1, orphan_grace_seconds=orphan_grace_seconds)
+            purged = self.table.remove_unreferenced_bucket_dirs()
+            report: dict[str, Any] = {
+                "snapshot_id": sid,
+                "expired_dirs": expired,
+                "purged_bucket_dirs": purged,
+                "retained_snapshots": self.table.snapshots(),
+                "sidecars_not_covered": ["quarantine", "secondary_indexes",
+                                         "exported_changefeeds"],
+            }
+            if verify:
+                residual = 0
+                scanned = []
+                for s_id in self.table.snapshots():
+                    s = self.table.load_snapshot(s_id)
+                    hits, n_keys = probe_keys(kdf, key_cols, s.n_buckets)
+                    present = [b for b in hits
+                               if b in s.buckets or s.deltas.get(b)]
+                    if not present:
+                        continue
+                    raw = self.table.read(snapshot=s, buckets=present,
+                                          include_deleted=True, reduce=False)
+                    residual += (raw.join(maybe_broadcast_keys(kdf, n_keys),
+                                          key_cols, "left_semi").count())
+                    scanned.append({"snapshot": s_id,
+                                    "buckets": len(present)})
+                report["residual_rows"] = residual
+                report["verified_scans"] = scanned
+        finally:
+            kdf.unpersist()
         return report
 
 

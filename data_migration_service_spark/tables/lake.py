@@ -452,11 +452,22 @@ class SnapshotTable:
         # satisfy that — which would scramble a keys-only secondary sort
         # whenever a task holds rows of several buckets (always true under
         # salting). Leading with BUCKET_COL makes the writer skip its sort.
+        # write_sort prop: "keys" (default) sorts by the merge key;
+        # "cols:a,b" = clustering keys — prepend arbitrary columns to the
+        # sort so row-group min/max stats are tight on NON-key predicates
+        # too (the Delta OPTIMIZE ZORDER use case; at 1-2 clustering
+        # columns a lexicographic sort skips strictly better than a
+        # space-filling curve). The merge key still follows, keeping
+        # point-lookup pruning; "none" opts out entirely.
         sort_keys = [c for c in snap.key_cols if c in df.columns]
         default_sort = os.environ.get("DMS_WRITE_SORT", "keys")  # A/B knob
-        if (sort and sort_keys
-                and snap.props.get("write_sort", default_sort) != "none"):
-            part = part.sortWithinPartitions(BUCKET_COL, *sort_keys)
+        ws = snap.props.get("write_sort", default_sort)
+        cluster = ([c.strip() for c in ws[5:].split(",")
+                    if c.strip() and c.strip() in df.columns]
+                   if ws.startswith("cols:") else [])
+        if sort and ws != "none" and (sort_keys or cluster):
+            part = part.sortWithinPartitions(BUCKET_COL, *cluster,
+                                             *sort_keys)
         w = part.write.mode("overwrite")
         # Target file size: a writer task owning a huge (bucket, salt)
         # slice would otherwise emit ONE parquet file of that size — at

@@ -247,3 +247,29 @@ def test_target_file_rows_rolls_writer_files(spark, tmp_path):
     assert rows_per_file <= 100
     assert len(files) >= 6  # 600 rows / 100 per file across 2 buckets
     assert t.read().count() == 600
+
+
+def test_write_sort_clustering_columns(spark, tmp_path):
+    """write_sort='cols:lang' clusters every bucket file by a NON-key
+    column ahead of the merge key: row-group min/max on `lang` become
+    tight (the data-skipping clustering a lang-filtered corpus scan
+    wants) while the key still follows for point-lookup pruning.
+    Merge semantics are unchanged."""
+    from data_migration_service_spark.config import EngineConfig
+    from data_migration_service_spark.fixtures.cdc import gen_changes
+
+    root = str(tmp_path / "repos")
+    t = SnapshotTable.create(spark, root, TABLE_SCHEMA, ["repo", "path"], 4,
+                             props={"write_sort": "cols:lang"})
+    cfg = EngineConfig(table_path=root, n_buckets=4, salt_factor=4)
+    ch = gen_changes(spark, 3000, n_repos=8, n_paths_per_repo=25).cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+
+    files = (spark.read.parquet(root + "/data")
+             .withColumn("_f", F.input_file_name())
+             .select("_f", "lang", "repo", "path").toPandas())
+    assert len(files) > 0
+    for _, g in files.groupby("_f"):
+        rows = list(zip(g["lang"], g["repo"], g["path"]))
+        assert rows == sorted(rows), "file not clustered by (lang, key)"
+    assert_state_matches(t, ch)
