@@ -214,7 +214,7 @@ def cmd_fsck(args) -> int:
     tables = load_config(args.config)
     spark = get_spark(app_name="dms-cli")
     engines = _engines(spark, tables, args.table)
-    out = {n: e.fsck() for n, e in engines.items()}
+    out = {n: e.fsck(deep=args.deep) for n, e in engines.items()}
     print(json.dumps(out, default=str))
     return 0 if all(r["ok"] for r in out.values()) else 1
 
@@ -376,6 +376,9 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck",
                         help="metadata-vs-storage consistency audit")
     fs.add_argument("--table", default=None)
+    fs.add_argument("--deep", action="store_true",
+                    help="also cross-check _stats.json sidecars against "
+                         "parquet footer row counts")
     fs.set_defaults(fn=cmd_fsck)
 
     args = ap.parse_args(argv)

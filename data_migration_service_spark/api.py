@@ -555,13 +555,15 @@ class Engine:
 
         return maintenance_plan(self.table, **kw)
 
-    def fsck(self) -> dict[str, Any]:
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Metadata-vs-storage consistency audit: manifest chain, HEAD,
         refs, and the existence of every referenced data/bucket dir —
-        directory listings only, no data decode (tables/maintenance.py)."""
+        directory listings only, no data decode (tables/maintenance.py).
+        `deep=True` adds the sidecar-vs-parquet-footer row-count
+        cross-check (pruning-safety canary)."""
         from data_migration_service_spark.tables.maintenance import fsck
 
-        return fsck(self.table)
+        return fsck(self.table, deep=deep)
 
     # ---- compliance erase (right-to-be-forgotten) ----
     def erase_keys(self, keys: DataFrame, verify: bool = True,

@@ -36,7 +36,7 @@ def _bucket_bytes(table: SnapshotTable, dirname: str) -> dict[int, int]:
     return out
 
 
-def fsck(table: SnapshotTable) -> dict[str, Any]:
+def fsck(table: SnapshotTable, deep: bool = False) -> dict[str, Any]:
     """Metadata-vs-storage consistency audit (the lake analogue of a
     filesystem fsck). Answers "can every retained snapshot still be read,
     and does every ref point somewhere real" WITHOUT decoding any data —
@@ -57,6 +57,14 @@ def fsck(table: SnapshotTable) -> dict[str, Any]:
     - unreferenced (orphan) dirs are listed with their age, mirroring
       `expire_snapshots`'s grace logic (fresh ones are presumed an
       in-flight writer's output).
+
+    `deep=True` additionally cross-checks every `_stats.json` sidecar's
+    per-bucket row count against the parquet FOOTER counts of that bucket
+    subdir (pyarrow metadata read — no data pages decoded). The sidecar
+    drives Bloom/LSN delta-dir pruning, and pruning's no-false-negative
+    guarantee assumes the sidecar describes the dir it sits in; a drifted
+    sidecar (partial restore, manual copy) would silently skip dirs that
+    DO hold probed keys — row-count drift is the detectable canary.
 
     `ok` is True iff nothing is broken (orphans and staged snapshots are
     informational, not failures)."""
@@ -104,6 +112,28 @@ def fsck(table: SnapshotTable) -> dict[str, Any]:
                 elif not any(f.endswith(".parquet") for f in os.listdir(p)):
                     empty_buckets.append(
                         {"snapshot": sid, "dir": d, "bucket": b})
+    stats_drift: list[dict[str, Any]] = []
+    if deep:
+        import pyarrow.parquet as pq
+
+        for d in sorted({d for d, _ in seen_pairs}):
+            st = table.load_dir_stats(d)
+            if not st:
+                continue  # no sidecar = no pruning = nothing to drift
+            for b_str, rec in st.get("buckets", {}).items():
+                want_rows = rec.get("rows")
+                if want_rows is None:
+                    continue
+                p = os.path.join(table._datadir, d, f"{BUCKET_COL}={b_str}")
+                if not os.path.isdir(p):
+                    continue  # already reported as missing_bucket
+                have = sum(pq.ParquetFile(os.path.join(p, f))
+                           .metadata.num_rows
+                           for f in os.listdir(p) if f.endswith(".parquet"))
+                if have != want_rows:
+                    stats_drift.append({"dir": d, "bucket": int(b_str),
+                                        "sidecar_rows": want_rows,
+                                        "footer_rows": have})
     dangling_refs = {name: sid for name, sid in table.meta.list_refs().items()
                      if sid not in ids}
     head_missing = head is not None and head not in ids
@@ -119,9 +149,11 @@ def fsck(table: SnapshotTable) -> dict[str, Any]:
                     age = -1
                 orphans.append({"dir": d, "age_seconds": age})
     ok = not (unreadable or broken_parent or missing_dirs or missing_buckets
-              or empty_buckets or dangling_refs or head_missing)
+              or empty_buckets or dangling_refs or head_missing
+              or stats_drift)
     return {
         "ok": ok,
+        "stats_drift": stats_drift,
         "head": head,
         "head_missing": head_missing,
         "manifests_checked": len(ids),

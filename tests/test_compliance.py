@@ -150,3 +150,30 @@ def test_remove_unreferenced_bucket_dirs_precise(spark, tmp_path):
     assert sorted(removed) == sorted(expect_removed)
     assert t.read().orderBy("repo", "path").collect() == before
     assert fsck(t)["ok"]
+
+
+def test_fsck_deep_detects_sidecar_drift(spark, tmp_path):
+    """deep fsck cross-checks _stats.json row counts against parquet
+    footers: clean on a healthy MOR table, flags a tampered sidecar (the
+    canary for unsafe Bloom pruning)."""
+    import json as _json
+
+    t, cfg, _ = _build(spark, tmp_path, n_epochs=2, mor=True)
+    assert fsck(t, deep=True)["ok"]
+
+    # tamper one delta dir's sidecar row count
+    snap = t.current()
+    b, ds = next((b, ds) for b, ds in snap.deltas.items() if ds)
+    d = ds[0]
+    p = os.path.join(t._datadir, d, "_stats.json")
+    st = _json.load(open(p))
+    bkey = str(b) if str(b) in st["buckets"] else next(iter(st["buckets"]))
+    st["buckets"][bkey]["rows"] += 7
+    _json.dump(st, open(p, "w"))
+
+    rep = fsck(t, deep=True)
+    assert not rep["ok"]
+    assert any(m["dir"] == d and m["sidecar_rows"] == m["footer_rows"] + 7
+               for m in rep["stats_drift"])
+    # shallow fsck doesn't read footers and stays ok
+    assert fsck(t)["ok"]
