@@ -1,0 +1,112 @@
+"""Cross-table group commit (tables/txn.py): stage-per-table WAP + one
+write-ahead intent = all-or-nothing multi-table visibility, crash recovery
+completing partial publishes, and pinned cross-table-consistent reads."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import gen_changes
+from data_migration_service_spark.operators.merge import cdc_apply
+from data_migration_service_spark.tables.lake import SnapshotTable
+from data_migration_service_spark.tables.txn import (
+    consistent_snapshots,
+    group_commit,
+    recover,
+)
+from tests.test_merge import TABLE_SCHEMA
+
+
+def _mk(spark, tmp_path, name):
+    root = str(tmp_path / name)
+    cfg = EngineConfig(table_path=root, n_buckets=4)
+    t = SnapshotTable.create(spark, root, TABLE_SCHEMA, ["repo", "path"], 4)
+    return t, cfg
+
+
+def _stage_epoch(spark, t, cfg, seed, epoch, lo, hi):
+    ch = gen_changes(spark, hi, n_repos=5, n_paths_per_repo=10, seed=seed) \
+        .where(F.col("lsn").between(lo, hi))
+    st = cdc_apply(t, ch, cfg, epoch=epoch, publish=False)
+    return st.snapshot_id
+
+
+def test_group_commit_all_or_nothing(spark, tmp_path):
+    ta, ca = _mk(spark, tmp_path, "a")
+    tb, cb = _mk(spark, tmp_path, "b")
+    cat = str(tmp_path / "catalog")
+
+    sa = _stage_epoch(spark, ta, ca, 1, 0, 1, 400)
+    sb = _stage_epoch(spark, tb, cb, 2, 0, 1, 300)
+    # staged: neither table shows the transaction
+    assert ta.read().count() == 0 and tb.read().count() == 0
+
+    k = group_commit(cat, {"a": (ta, sa), "b": (tb, sb)})
+    assert ta.read().count() > 0 and tb.read().count() > 0
+    pins = consistent_snapshots(cat)
+    assert pins == {"a": sa, "b": sb}
+    # the pinned read is exactly the published state
+    assert (ta.read(snapshot=ta.load_snapshot(pins["a"])).count()
+            == ta.read().count())
+
+    # a second transaction over only table a: b's pin carries forward
+    sa2 = _stage_epoch(spark, ta, ca, 1, 1, 401, 800)
+    k2 = group_commit(cat, {"a": (ta, sa2)})
+    assert k2 == k + 1
+    pins = consistent_snapshots(cat)
+    assert pins == {"a": sa2, "b": sb}
+
+
+def test_group_commit_crash_recovery(spark, tmp_path):
+    """Crash between intent and the second publish: table a is visible,
+    table b is not — recover() completes the group, and the consistent
+    pins never exposed the torn state."""
+    import json
+    import os
+
+    ta, ca = _mk(spark, tmp_path, "a")
+    tb, cb = _mk(spark, tmp_path, "b")
+    cat = str(tmp_path / "catalog")
+    os.makedirs(cat)
+
+    sa = _stage_epoch(spark, ta, ca, 1, 0, 1, 400)
+    sb = _stage_epoch(spark, tb, cb, 2, 0, 1, 300)
+
+    # simulate the crash: intent written, only table a published, no seal
+    intent = {"txn": 0, "status": "pending",
+              "pins": {"a": {"root": ta.root, "sid": sa},
+                       "b": {"root": tb.root, "sid": sb}}}
+    with open(os.path.join(cat, "txn-00000000.json"), "x") as f:
+        json.dump(intent, f)
+    ta.publish(sa)
+
+    # torn at the HEAD level...
+    assert ta.read().count() > 0 and tb.read().count() == 0
+    # ...but the consistent view shows nothing until the txn seals
+    assert consistent_snapshots(cat) == {}
+
+    done = recover(cat, {"a": ta, "b": tb})
+    assert done == [0]
+    assert tb.read().count() > 0
+    assert consistent_snapshots(cat) == {"a": sa, "b": sb}
+    # recovery is idempotent
+    assert recover(cat, {"a": ta, "b": tb}) == []
+
+
+def test_group_commit_guards(spark, tmp_path):
+    ta, ca = _mk(spark, tmp_path, "a")
+    cat = str(tmp_path / "catalog")
+    sa = _stage_epoch(spark, ta, ca, 1, 0, 1, 200)
+    # a published (non-staged) id is refused
+    ta.publish(sa)
+    with pytest.raises(ValueError, match="not staged"):
+        group_commit(cat, {"a": (ta, sa)})
+    # recovery without a handle for a pinned table is loud
+    import json
+    import os
+    os.makedirs(cat, exist_ok=True)
+    with open(os.path.join(cat, "txn-00000007.json"), "x") as f:
+        json.dump({"txn": 7, "status": "pending",
+                   "pins": {"ghost": {"root": "/x", "sid": 1}}}, f)
+    with pytest.raises(ValueError, match="ghost"):
+        recover(cat, {"a": ta})
