@@ -720,6 +720,42 @@ class EngineGroup:
         return {name: eng.status(detail=detail)
                 for name, eng in self.engines.items()}
 
+    def apply_all_atomic(self, batches: dict[str, DataFrame], epoch: int,
+                         catalog_root: str) -> dict[str, Any]:
+        """Apply ONE source transaction that fans out to several tables,
+        published all-or-nothing (tables/txn.py): each table's slice is
+        staged (write-audit-publish, readers keep the pre-transaction
+        state), then one group commit publishes every table behind a
+        write-ahead intent. A stage failure discards whatever was already
+        staged — nothing becomes visible. A table whose epoch guard says
+        the epoch was already applied is skipped (re-delivered transaction
+        half: its state is already public, idempotent by LWW), the rest
+        still publish atomically.
+
+        Readers wanting cross-table consistency pin via
+        `tables.txn.consistent_snapshots(catalog_root)` instead of racing
+        the individual HEADs."""
+        from data_migration_service_spark.tables.txn import group_commit
+
+        staged: dict[str, tuple[SnapshotTable, int]] = {}
+        skipped: list[str] = []
+        try:
+            for name, batch in batches.items():
+                eng = self.engines[name]
+                stats = apply_changes(eng.table, batch, eng.cfg,
+                                      epoch=epoch, publish=False)
+                if stats.skipped:
+                    skipped.append(name)
+                else:
+                    staged[name] = (eng.table, stats.snapshot_id)
+        except Exception:
+            for name, (t, sid) in staged.items():
+                t.discard_staged(sid)
+            raise
+        txn = group_commit(catalog_root, staged) if staged else None
+        return {"txn": txn, "skipped": skipped,
+                "published": {n: sid for n, (_, sid) in staged.items()}}
+
     def verify_all(self, expected: dict[str, DataFrame],
                    content_col: str = "content") -> dict[str, Any]:
         """POST /data/verification without a table param: verify every

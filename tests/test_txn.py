@@ -110,3 +110,42 @@ def test_group_commit_guards(spark, tmp_path):
                    "pins": {"ghost": {"root": "/x", "sid": 1}}}, f)
     with pytest.raises(ValueError, match="ghost"):
         recover(cat, {"a": ta})
+
+
+def test_engine_group_apply_all_atomic(spark, tmp_path):
+    """The facade path: one source transaction fanned out to two tables —
+    atomic publish, idempotent re-delivery, stage-failure rollback."""
+    from data_migration_service_spark.api import Engine, EngineGroup
+    from data_migration_service_spark.tables.txn import consistent_snapshots
+
+    cfgs = {}
+    for name in ("a", "b"):
+        root = str(tmp_path / name)
+        SnapshotTable.create(spark, root, TABLE_SCHEMA, ["repo", "path"], 4)
+        cfgs[name] = EngineConfig(table_path=root, n_buckets=4)
+    grp = EngineGroup(spark, cfgs)
+    cat = str(tmp_path / "catalog")
+
+    ba = gen_changes(spark, 300, n_repos=4, n_paths_per_repo=8, seed=1)
+    bb = gen_changes(spark, 200, n_repos=4, n_paths_per_repo=8, seed=2)
+    rep = grp.apply_all_atomic({"a": ba, "b": bb}, epoch=0, catalog_root=cat)
+    assert rep["txn"] == 0 and rep["skipped"] == []
+    pins = consistent_snapshots(cat)
+    assert set(pins) == {"a", "b"}
+    na = grp.engines["a"].table.read().count()
+    assert na > 0 and grp.engines["b"].table.read().count() > 0
+
+    # re-delivery of the whole transaction: both halves skip, no new txn
+    rep2 = grp.apply_all_atomic({"a": ba, "b": bb}, epoch=0,
+                                catalog_root=cat)
+    assert rep2["txn"] is None and sorted(rep2["skipped"]) == ["a", "b"]
+
+    # stage failure on table b (broken batch: LSN column missing) rolls
+    # back table a's staged half — nothing new becomes visible
+    bad = bb.drop("lsn")
+    with pytest.raises(Exception):
+        grp.apply_all_atomic({"a": ba.where(F.col("lsn") > 300), "b": bad},
+                             epoch=1, catalog_root=cat)
+    assert grp.engines["a"].table.read().count() == na
+    assert grp.engines["a"].table.staged_snapshots() == []
+    assert consistent_snapshots(cat) == pins
