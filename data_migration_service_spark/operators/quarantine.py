@@ -53,9 +53,18 @@ def tag_invalid(
     lsn_col: str = "lsn",
     op_col: str = "op",
     valid_ops: Sequence[str] = VALID_OPS,
+    constraints: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append `_quarantine_reasons` (empty array = valid). Pure projection:
-    every check is a `when()` expression inside whole-stage codegen."""
+    every check is a `when()` expression inside whole-stage codegen.
+
+    `constraints` are table-declared CHECK expressions (name -> boolean
+    SQL over the event columns, e.g. {"nonneg_size": "size_bytes >= 0"}),
+    the Delta CHECK-constraint analogue with CDC semantics: ANSI CHECK
+    rules (NULL passes — only a row where the expression is definitively
+    FALSE violates), and DELETE events are exempt (a tombstone's value
+    columns are legitimately null; the constraint governs what may be
+    UPSERTED, not what may be erased)."""
     checks = [
         F.when(F.col(lsn_col).isNull(), F.lit("null_lsn")),
         F.when(
@@ -66,6 +75,10 @@ def tag_invalid(
     checks += [
         F.when(F.col(k).isNull(), F.lit(f"null_key:{k}")) for k in key_cols
     ]
+    for name, expr in (constraints or {}).items():
+        violated = ~F.coalesce(F.expr(expr), F.lit(True))  # NULL passes
+        checks.append(F.when((F.col(op_col) != "delete") & violated,
+                             F.lit(f"constraint:{name}")))
     return events.withColumn(REASONS_COL, F.array_compact(F.array(*checks)))
 
 
@@ -75,10 +88,12 @@ def split_quarantine(
     lsn_col: str = "lsn",
     op_col: str = "op",
     valid_ops: Sequence[str] = VALID_OPS,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined): valid rows lose the reasons column and flow to
     the merge; quarantined rows keep it for triage."""
-    tagged = tag_invalid(events, key_cols, lsn_col, op_col, valid_ops)
+    tagged = tag_invalid(events, key_cols, lsn_col, op_col, valid_ops,
+                         constraints)
     ok = F.size(REASONS_COL) == 0
     return (
         tagged.where(ok).drop(REASONS_COL),
@@ -95,6 +110,7 @@ def quarantine_and_filter(
     lsn_col: str = "lsn",
     op_col: str = "op",
     valid_ops: Sequence[str] = VALID_OPS,
+    constraints: dict[str, str] | None = None,
 ) -> tuple[DataFrame, int]:
     """The apply-path entry: returns (valid_rows, n_quarantined).
 
@@ -102,8 +118,11 @@ def quarantine_and_filter(
     reasons included) BEFORE the limit check, so the evidence survives the
     batch failure. `skip_limit=None` disables the limit (quarantine-only
     mode); `quarantine_path=None` with malformed rows present always
-    raises — silently dropping events is never an option."""
-    valid, bad = split_quarantine(events, key_cols, lsn_col, op_col, valid_ops)
+    raises — silently dropping events is never an option. `constraints`
+    adds table-declared CHECK expressions to the validity rules (see
+    `tag_invalid`)."""
+    valid, bad = split_quarantine(events, key_cols, lsn_col, op_col,
+                                  valid_ops, constraints)
     # cheap short-circuit: one aggregate over the tagged batch; the valid
     # side is re-derived lazily by the caller's plan (no cache needed — the
     # tag is a projection, not a shuffle)

@@ -147,11 +147,17 @@ class ReplayEngine:
             # after-image would NULL the fields it omitted)
             ops = (VALID_OPS + ("patch",)
                    if self.cfg.merge_mode == "patch" else VALID_OPS)
+            # table-declared CHECK constraints (props["constraints"] =
+            # JSON {name: boolean SQL}): enforced at the same gate as the
+            # structural checks — violating upserts quarantine, deletes
+            # are exempt, NULL passes (ANSI CHECK)
+            cons = json.loads(
+                self.table.current().props.get("constraints", "{}"))
             batch, n_quarantined = quarantine_and_filter(
                 batch, list(self.cfg.key_cols), self.cfg.quarantine_path,
                 epoch=epoch, skip_limit=self.cfg.skip_limit,
                 lsn_col=self.cfg.lsn_col, op_col=self.cfg.op_col,
-                valid_ops=ops,
+                valid_ops=ops, constraints=cons,
             )
         if self.audit_gate is None:
             stats = apply_changes(self.table, batch, self.cfg, epoch=epoch)

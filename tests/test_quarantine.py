@@ -173,3 +173,53 @@ def test_requeue_reparks_still_invalid_rows(spark, tmp_path):
     assert len(dirs) == 1 and dirs[0] > 0
     assert left.count() == 1 and left.collect()[0]["path"] == "b"
     assert [r["path"] for r in t.read().collect()] == ["a"]
+
+
+def test_check_constraints_quarantine_upserts_exempt_deletes(spark, tmp_path):
+    """Table-declared CHECK constraints (props['constraints']): violating
+    upserts quarantine with a named reason, NULL passes (ANSI CHECK),
+    DELETE events are exempt, and valid rows apply normally."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "t")
+    SnapshotTable.create(
+        spark, root, schema, ["repo", "path"], 4,
+        props={"constraints": _json.dumps(
+            {"nonneg_size": "size_bytes >= 0",
+             "content_present": "length(content) > 0"})})
+    cfg = EngineConfig(
+        table_path=root, n_buckets=4, merge_mode="mor",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        quarantine_path=str(tmp_path / "dlq"), skip_limit=10)
+    table = SnapshotTable(spark, root)
+    eng = ReplayEngine(spark, table, cfg)
+
+    rows = [
+        ("r", "ok", "insert", "text", 10, 1),        # valid
+        ("r", "neg", "insert", "text", -5, 2),       # violates nonneg_size
+        ("r", "empty", "insert", "", 3, 3),          # violates content_present
+        ("r", "nullsize", "insert", "text", None, 4),  # NULL passes CHECK
+        ("r", "ok", "delete", None, None, 5),        # delete exempt
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, op string, content string, "
+              "size_bytes long, lsn long")
+    stats = eng.apply_batch(df, epoch=0)
+    assert stats.extra.get("rows_quarantined") == 2
+
+    state = {r["path"]: r for r in table.read().collect()}
+    assert set(state) == {"nullsize"}  # ok was deleted; violators parked
+    parked = spark.read.parquet(str(tmp_path / "dlq"))
+    reasons = {r["path"]: list(r["_quarantine_reasons"])
+               for r in parked.collect()}
+    assert reasons["neg"] == ["constraint:nonneg_size"]
+    assert reasons["empty"] == ["constraint:content_present"]
