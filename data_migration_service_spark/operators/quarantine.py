@@ -186,14 +186,24 @@ def requeue_quarantined(
     a crash mid-requeue leaves the queue intact (re-running re-applies,
     and the LWW merge is idempotent for replayed events).
     """
+    import json
+
     from data_migration_service_spark.operators.merge import cdc_apply
 
     bad, todo = read_quarantined(table.spark, cfg.quarantine_path, epochs)
     if bad is None or not todo:
         return {"requeued": 0, "still_bad": 0, "epochs": []}
     fixed = fixer(bad.drop(REASONS_COL))
+    # the SAME validation that parked the rows: patch tables accept the
+    # partial-update op, and table-declared CHECK constraints re-apply —
+    # a constraint-parked row whose fixer didn't actually fix it must go
+    # back to quarantine, never slip into the table
+    ops = (VALID_OPS + ("patch",)
+           if getattr(cfg, "merge_mode", "cow") == "patch" else VALID_OPS)
+    cons = json.loads(table.current().props.get("constraints", "{}"))
     valid, still_bad = split_quarantine(
-        fixed, list(cfg.key_cols), cfg.lsn_col, cfg.op_col)
+        fixed, list(cfg.key_cols), cfg.lsn_col, cfg.op_col,
+        valid_ops=ops, constraints=cons)
     n_still = still_bad.count()
     if n_still:
         # re-park BEFORE touching the consumed dirs — evidence is never

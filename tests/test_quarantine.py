@@ -223,3 +223,51 @@ def test_check_constraints_quarantine_upserts_exempt_deletes(spark, tmp_path):
                for r in parked.collect()}
     assert reasons["neg"] == ["constraint:nonneg_size"]
     assert reasons["empty"] == ["constraint:content_present"]
+
+
+def test_requeue_revalidates_constraints(spark, tmp_path):
+    """A constraint-parked row whose fixer did NOT fix it re-parks on
+    requeue instead of slipping into the table; one the fixer did fix
+    applies."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from data_migration_service_spark.operators.quarantine import (
+        requeue_quarantined,
+    )
+    from data_migration_service_spark.streaming.replay import ReplayEngine
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("size_bytes", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(
+        spark, root, schema, ["repo", "path"], 4,
+        props={"constraints": _json.dumps({"nonneg": "size_bytes >= 0"})})
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       checkpoint_path=str(tmp_path / "ckpt"),
+                       quarantine_path=str(tmp_path / "dlq"), skip_limit=10)
+    eng = ReplayEngine(spark, t, cfg)
+    df = spark.createDataFrame(
+        [("r", "fixable", "insert", -10, 1),
+         ("r", "hopeless", "insert", -99, 2)],
+        "repo string, path string, op string, size_bytes long, lsn long")
+    eng.apply_batch(df, epoch=0)
+    assert t.read().count() == 0
+
+    # fixer repairs only the fixable row
+    def fixer(d):
+        return d.withColumn(
+            "size_bytes",
+            F.when(F.col("path") == "fixable", F.lit(10)).otherwise(
+                F.col("size_bytes")))
+
+    rep = requeue_quarantined(t, cfg, fixer, epoch=1)
+    assert rep["requeued"] == 1 and rep["still_bad"] == 1
+    assert [r["path"] for r in t.read().collect()] == ["fixable"]
+    parked = spark.read.parquet(str(tmp_path / "dlq"))
+    assert {r["path"] for r in parked.collect()} == {"hopeless"}
