@@ -27,8 +27,12 @@ Verb mapping (reference -> CLI):
                                      (--sample N: 1/N key-sample canary)
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
     (engine-added)                -> maintain [--apply] [--table t]
-    (engine-added)                -> fsck [--table t] (metadata-vs-storage
-                                     audit; exit 1 if any table is broken)
+    (engine-added)                -> fsck [--table t] [--deep]
+                                     (metadata-vs-storage audit; exit 1 if
+                                     any table is broken)
+    (engine-added)                -> erase --table t --keys <parquet>
+                                     (compliance erase; exit 1 unless
+                                     residual_rows == 0)
     (engine-added)                -> tag create|list|drop (pin corpus states)
     (engine-added)                -> index create|sync|find (secondary
                                      value->key indexes, changefeed-synced)
@@ -219,6 +223,23 @@ def cmd_fsck(args) -> int:
     return 0 if all(r["ok"] for r in out.values()) else 1
 
 
+def cmd_erase(args) -> int:
+    """Compliance erase (GDPR right-to-be-forgotten) for one table: hard
+    delete + history expiry + sub-dir purge + residual-rows verification
+    (Engine.erase_keys). `--keys` is a parquet path whose columns include
+    the table's merge key. Exits 1 if any residual row survives."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    if args.table is None:
+        raise SystemExit("erase requires --table (one table per erase)")
+    eng = engines[args.table]
+    keys = spark.read.parquet(args.keys)
+    report = eng.erase_keys(keys)
+    print(json.dumps(report, default=str))
+    return 0 if report.get("residual_rows", 1) == 0 else 1
+
+
 def cmd_tag_create(args) -> int:
     tables = load_config(args.config)
     spark = get_spark(app_name="dms-cli")
@@ -380,6 +401,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="also cross-check _stats.json sidecars against "
                          "parquet footer row counts")
     fs.set_defaults(fn=cmd_fsck)
+
+    er = sub.add_parser("erase",
+                        help="compliance erase: hard delete + history "
+                             "purge + no-trace verification")
+    er.add_argument("--table", required=True)
+    er.add_argument("--keys", required=True,
+                    help="parquet path carrying the merge-key columns")
+    er.set_defaults(fn=cmd_erase)
 
     args = ap.parse_args(argv)
     return args.fn(args)

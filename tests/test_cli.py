@@ -243,3 +243,20 @@ def test_cli_index_create_sync_find(spark, tmp_path, capsys):
     assert rc == 0 and st["skipped"] and st["compacted"]
     ix_t = SnapshotTable(spark, ix_path)
     assert not any(ix_t.current().deltas.values())
+
+
+def test_cli_erase_verb(spark, tmp_path, capsys):
+    """`erase --table t --keys keys.parquet` hard-deletes + purges history
+    and exits 0 only when no residual row survives anywhere."""
+    cfg, tables, _ = _setup(spark, tmp_path, names=("solo4",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+    t = SnapshotTable(spark, tables["solo4"]["table_path"])
+    keys = t.read().select("repo", "path").limit(2)
+    kp = str(tmp_path / "erase_keys")
+    keys.write.parquet(kp)
+    before = t.read().count()
+    rc, rep = _run(capsys, ["--config", cfg, "erase", "--table", "solo4",
+                            "--keys", kp])
+    assert rc == 0 and rep["residual_rows"] == 0
+    assert t.read().count() == before - 2
