@@ -1257,6 +1257,43 @@ def q_embedding_ivf_topk(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+def q_frame_sample(spark, sf):
+    """Deterministic video frame-sampling plan (multimodal.frame_sample_plan):
+    which timestamps to decode — segment-midpoint integer math, computed
+    distributed before any decoder runs. Oracle re-derives the same plan
+    with generate_series over the fixture's (id*500 ms) durations."""
+    from data_migration_service_spark.operators.multimodal import (
+        frame_sample_plan,
+        gen_media_fixture,
+    )
+
+    media = gen_media_fixture(spark, n=64)
+    return frame_sample_plan(media, target_frames=8, min_spacing_ms=100) \
+        .select("media_id", "duration_ms", "n_frames", "frame_idx", "ts_ms")
+
+
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT id AS media_id, CAST(id * 500 AS BIGINT) AS duration_ms
+  FROM range(64) t(id) WHERE id % 3 = 2
+), n AS (
+  SELECT media_id, duration_ms,
+         CAST(CASE WHEN duration_ms > 0
+              THEN least(8, greatest(1, duration_ms // 100))
+              ELSE 1 END AS INT) AS n_frames
+  FROM v
+)
+SELECT media_id, duration_ms, n_frames, frame_idx,
+       CAST((2 * frame_idx + 1) * duration_ms
+            // (2 * n_frames) AS BIGINT) AS ts_ms
+FROM (
+  SELECT media_id, duration_ms, n_frames,
+         CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx
+  FROM n
+)
+"""
+
+
 def q_multimodal_features(spark, sf):
     media = gen_media_fixture(spark, n=64)
     feats = extract_features(media, dim=8)
@@ -1985,7 +2022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "multimodal_features": q_multimodal_features,    # rows-only
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
         "topk_per_group": q_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
@@ -2261,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only
         "multimodal_features": _MULTIMODAL_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
         # minhash_lsh_pairs_fast (xxhash64: no DuckDB twin): rows-only check
     }
 

@@ -117,3 +117,46 @@ def gen_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.col("id") * 500).alias("duration_ms"),
     )
     return df
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    target_frames: int = 8,
+    min_spacing_ms: int = 100,
+) -> DataFrame:
+    """Deterministic uniform frame-sampling PLAN for video rows — which
+    timestamps to decode, computed before any decoder runs. At 100 TB the
+    plan is the cheap half that must be exact and distributed (the decode
+    is an Arrow-batched map over it, `extract_features`-style); emitting
+    it as rows also makes the sampling layout joinable, auditable, and
+    resumable.
+
+    Per video: n = min(target_frames, max(1, duration_ms / min_spacing_ms))
+    frames (integer division; 1 frame for unknown/zero duration), sampled
+    at segment MIDPOINTS — ts_i = floor((2i+1) * duration / (2n)) — so
+    frames never cluster at the start and the last frame never lands on
+    the final instant. Pure integer JVM expressions (in-row sequence +
+    explode), bit-identical on any engine.
+
+    Output: (media_id, duration_ms, n_frames, frame_idx, ts_ms)."""
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long")
+    n = F.when(
+        dur > 0,
+        F.least(F.lit(target_frames),
+                F.greatest(F.lit(1), (dur / min_spacing_ms).cast("long"))),
+    ).otherwise(F.lit(1)).cast("int")
+    planned = (
+        df.where(F.col("kind") == "video")
+        .select(F.col("media_id"), dur.alias("duration_ms"),
+                n.alias("n_frames"))
+        .select(
+            "media_id", "duration_ms", "n_frames",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1))
+            .alias("frame_idx"),
+        )
+    )
+    ts = F.floor(
+        (2 * F.col("frame_idx") + 1) * F.col("duration_ms")
+        / (2 * F.col("n_frames"))
+    ).cast("long")
+    return planned.withColumn("ts_ms", ts)
