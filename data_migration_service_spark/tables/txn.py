@@ -100,7 +100,9 @@ def group_commit(catalog_root: str,
                 f"table {name!r}: snapshot {sid} is not staged "
                 f"(staged: {t.staged_snapshots()})")
     ks = _list_txns(catalog_root)
-    k = (ks[-1] + 1) if ks else 0
+    # ids must clear both the live intents and any ids already folded into
+    # the base by prune_txns (a reused id would resurrect a pruned txn)
+    k = max((ks[-1] + 1) if ks else 0, _read_base(catalog_root)["through"] + 1)
     intent = {
         "txn": k,
         "status": "pending",
@@ -142,16 +144,67 @@ def recover(catalog_root: str,
     return done
 
 
+_BASE = "pins.json"
+
+
+def _read_base(catalog_root: str) -> dict[str, Any]:
+    p = os.path.join(catalog_root, _BASE)
+    if not os.path.exists(p):
+        return {"pins": {}, "through": -1}
+    with open(p) as f:
+        return json.load(f)
+
+
 def consistent_snapshots(catalog_root: str) -> dict[str, int]:
     """(table name -> snapshot id) of the LAST SEALED transaction — the
     cross-table-consistent read pin. Tables absent from that transaction
     keep their pin from the latest earlier sealed transaction that named
-    them (a transaction only moves the tables it touched)."""
-    pins: dict[str, int] = {}
+    them (a transaction only moves the tables it touched). Reads the
+    folded base (`pins.json`, see `prune_txns`) plus the unpruned intent
+    tail — O(tail), not O(all transactions ever)."""
+    base = _read_base(catalog_root)
+    pins: dict[str, int] = {k: int(v) for k, v in base["pins"].items()}
     for k in _list_txns(catalog_root):
+        if k <= base["through"]:
+            continue
         intent = _read_intent(catalog_root, k)
         if intent.get("status") != "committed":
             continue
         for name, pin in intent["pins"].items():
             pins[name] = int(pin["sid"])
     return pins
+
+
+def prune_txns(catalog_root: str, keep_last: int = 16) -> int:
+    """Fold sealed intents older than the newest `keep_last` into the
+    base pins file and delete them — the catalog stays O(keep_last) no
+    matter how many transactions ever committed (at one transaction per
+    micro-batch the intent dir would otherwise grow forever). Pending
+    intents are NEVER pruned (recover() still needs them), and a pending
+    intent blocks folding past it (seal order is pin order). Returns the
+    number of intents folded. Atomic: the base is os.replace'd after the
+    fold, and a crash between fold and deletes only leaves already-folded
+    intents behind for the next prune."""
+    base = _read_base(catalog_root)
+    ks = [k for k in _list_txns(catalog_root) if k > base["through"]]
+    if len(ks) <= keep_last:
+        return 0
+    foldable: list[int] = []
+    for k in ks[:-keep_last] if keep_last else ks:
+        if _read_intent(catalog_root, k).get("status") != "committed":
+            break  # never fold past a pending intent
+        foldable.append(k)
+    if not foldable:
+        return 0
+    for k in foldable:
+        for name, pin in _read_intent(catalog_root, k)["pins"].items():
+            base["pins"][name] = int(pin["sid"])
+    base["through"] = foldable[-1]
+    p = os.path.join(catalog_root, _BASE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(base, f)
+    os.replace(tmp, p)
+    for k in foldable:
+        os.remove(_intent_path(catalog_root, k))
+    return len(foldable)

@@ -149,3 +149,44 @@ def test_engine_group_apply_all_atomic(spark, tmp_path):
     assert grp.engines["a"].table.read().count() == na
     assert grp.engines["a"].table.staged_snapshots() == []
     assert consistent_snapshots(cat) == pins
+
+
+def test_prune_txns_folds_and_preserves_pins(spark, tmp_path):
+    """Catalog compaction: old sealed intents fold into the base pins file
+    (consistent view identical before/after), pending intents block the
+    fold, ids never reuse folded slots."""
+    import json
+    import os
+
+    from data_migration_service_spark.tables.txn import prune_txns
+
+    ta, ca = _mk(spark, tmp_path, "a")
+    cat = str(tmp_path / "catalog")
+    sids = []
+    for e, (lo, hi) in enumerate([(1, 100), (101, 200), (201, 300),
+                                  (301, 400), (401, 500)]):
+        s = _stage_epoch(spark, ta, ca, 1, e, lo, hi)
+        group_commit(cat, {"a": (ta, s)})
+        sids.append(s)
+    before = consistent_snapshots(cat)
+    folded = prune_txns(cat, keep_last=2)
+    assert folded == 3
+    assert consistent_snapshots(cat) == before
+    live = [f for f in os.listdir(cat) if f.startswith("txn-")]
+    assert len(live) == 2
+
+    # new ids clear the folded range
+    s = _stage_epoch(spark, ta, ca, 1, 9, 501, 600)
+    k = group_commit(cat, {"a": (ta, s)})
+    assert k == 5
+    assert consistent_snapshots(cat)["a"] == s
+
+    # a pending intent blocks folding past it
+    with open(os.path.join(cat, "txn-00000006.json"), "x") as f:
+        json.dump({"txn": 6, "status": "pending",
+                   "pins": {"a": {"root": ta.root, "sid": s}}}, f)
+    s2 = _stage_epoch(spark, ta, ca, 1, 10, 601, 700)
+    group_commit(cat, {"a": (ta, s2)})
+    assert prune_txns(cat, keep_last=0) >= 1   # folds up TO the pending one
+    rest = sorted(f for f in os.listdir(cat) if f.startswith("txn-"))
+    assert rest[0] == "txn-00000006.json"      # pending survives
