@@ -1257,6 +1257,52 @@ def q_embedding_ivf_topk(spark, sf):
     return out.withColumn("cosine", F.round("cosine", 4))
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (similarity.semantic_dedup): cluster-bounded semantic
+    dedup — embedding-space near-duplicate removal where pair generation
+    is an equi-join on the nearest-centroid cell (per-cell quadratic,
+    never corpus x corpus). Hash-derived `pseudo_centroids` make the
+    assignment + in-cell dominance rule fully oracle-checkable; the
+    trained-centroid path (`ivf_fit`) runs the identical pipeline."""
+    emb = _t(spark, sf, "embeddings")
+    cents = S.pseudo_centroids(dim=64, n_centroids=8, seed=42)
+    return S.semantic_dedup(emb, "vec_id", "embedding", cents, eps=0.4)
+
+
+def _semantic_dedup_sql(n_centroids: int = 8, dim: int = 64, seed: int = 42,
+                        eps: float = 0.4) -> str:
+    """DuckDB twin of `q_semantic_dedup`: same centroid literals and argmin
+    assignment as `_ivf_topk_sql`, then the greedy keep-lowest-id rule —
+    drop vec_id iff a lower-id member of its cell is eps-close."""
+    from data_migration_service_spark.operators.similarity import pseudo_centroids
+
+    cents = pseudo_centroids(dim=dim, n_centroids=n_centroids, seed=seed)
+    rows = ", ".join(
+        "({i}, [{c}]::DOUBLE[], {ss!r})".format(
+            i=i, c=", ".join(repr(x) for x in c), ss=sum(x * x for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), cent(ci, c, ss) AS (
+          SELECT * FROM (VALUES {rows})
+        ), assign AS (
+          SELECT v.vec_id, v.e,
+                 CAST(min([c.ss - 2.0 * list_dot_product(v.e, c.c),
+                           CAST(c.ci AS DOUBLE)])[2] AS INT) AS cell
+          FROM v CROSS JOIN cent c GROUP BY v.vec_id, v.e
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.e, b.e) >= {eps!r}
+        )
+        SELECT a.vec_id, a.cell FROM assign a
+        WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
 def q_frame_sample(spark, sf):
     """Deterministic video frame-sampling plan (multimodal.frame_sample_plan):
     which timestamps to decode — segment-midpoint integer math, computed
@@ -2022,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
@@ -2295,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_incremental": _embedding_incremental_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
         "embedding_ivf_topk": _ivf_topk_sql(k=25),
+        "semantic_dedup": _semantic_dedup_sql(),
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only

@@ -247,6 +247,71 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    eps: float = 0.95,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-bounded
+    semantic deduplication — remove documents whose EMBEDDINGS are
+    near-identical even when their text is not (paraphrases, translations,
+    boilerplate rewrites), the dedup family exact/MinHash/SimHash ops miss.
+
+    Method, exactly as published: coarse-cluster the embedding space
+    (k-means cells — `ivf_fit` output, or `pseudo_centroids` for the
+    oracle twin), then compare pairs ONLY within a cell and drop one side
+    of every pair with cosine >= eps. The cells bound the quadratic: pair
+    generation is an equi-join on cell id (per-cell O(m^2), k ~ sqrt(n)
+    cells keeps m small), never corpus x corpus — the same trick that
+    makes `near_dup_pairs_lsh` scale, with data-adapted cells instead of
+    data-oblivious hyperplanes.
+
+    Keep rule (deterministic, SQL-expressible): a vector is DROPPED iff
+    some lower-id member of its cell is eps-close to it; the lowest id of
+    every eps-neighborhood always survives. This is greedy dominance —
+    b dropped by a does not un-drop c when c is eps-close to b only
+    (matches the paper's "keep one representative per duplicate group"
+    under transitive chaining, with ids replacing the paper's
+    centroid-distance ranking for cross-engine determinism).
+
+    `max_cell` skips pathologically hot cells (degenerate embeddings) —
+    the same skew guard as `near_dup_pairs_lsh(max_bucket=)`; skipped
+    cells keep all members (dedup never silently drops unexamined data).
+
+    Returns survivors `(id_col, cell)`.
+    """
+    ids = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    ids = ids.withColumn("_cell", ivf_assign("_v", centroids))
+    pairs_src = ids
+    if max_cell is not None:
+        sizes = ids.groupBy("_cell").agg(F.count(F.lit(1)).alias("_n"))
+        pairs_src = ids.join(sizes, "_cell").where(
+            F.col("_n") <= max_cell).drop("_n")
+    a = pairs_src.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_cell")
+    b = pairs_src.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_cell")
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    dropped = (
+        a.join(b, "_cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cos >= eps)
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        ids.join(dropped, "_id", "left_anti")
+        .select(F.col("_id").alias(id_col), F.col("_cell").alias("cell"))
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -531,3 +531,81 @@ def test_cross_group_gram_overlap_semantics_and_plan(spark):
                 (r["shared_grams"], r["frac_a"], r["frac_b"])
                 for r in fast.collect()}
     assert got_fast == expect
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def _py_cell(v, centroids):
+    """Python twin of ivf_assign: argmin |c|^2 - 2 v.c, id tie-break."""
+    best = None
+    for i, c in enumerate(centroids):
+        s = sum(x * x for x in c) - 2.0 * sum(x * y for x, y in zip(v, c))
+        if best is None or (s, i) < best:
+            best = (s, i)
+    return best[1]
+
+
+def _py_cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    return num / den
+
+
+def test_semantic_dedup_matches_brute_force_model(spark, planted):
+    """Survivor set == the greedy keep-lowest-id model computed from first
+    principles in Python (same cells, exact cosine, margin-safe eps)."""
+    cents = S.pseudo_centroids(dim=DIM, n_centroids=4, seed=11)
+    got = {r["vec_id"] for r in
+           S.semantic_dedup(planted, "vec_id", "embedding", cents,
+                            eps=0.9).collect()}
+
+    rows = [(r["vec_id"], list(r["embedding"])) for r in planted.collect()]
+    cell = {i: _py_cell(v, cents) for i, v in rows}
+    dropped = set()
+    for i, vi in rows:
+        for j, vj in rows:
+            if i < j and cell[i] == cell[j] and _py_cos(vi, vj) >= 0.9:
+                dropped.add(j)
+    expect = {i for i, _ in rows} - dropped
+    assert got == expect
+    # the planted dups sit at cosine ~0.995: every same-cell planted pair
+    # must have lost its high-id member
+    same_cell_dups = [i for i in range(30) if cell[i] == cell[1000 + i]]
+    assert same_cell_dups, "fixture degenerate: no same-cell planted pair"
+    assert all(1000 + i not in got for i in same_cell_dups)
+    assert all(i in got for i in range(60))  # lowest ids always survive
+
+
+def test_semantic_dedup_transitive_chain_greedy_dominance(spark):
+    """a~b and b~c but a!~c: greedy dominance drops BOTH b and c (b by a,
+    c by b even though b itself was dropped) — the documented keep rule."""
+    a = [1.0, 0.0]
+    b = [math.cos(0.2), math.sin(0.2)]   # cos(a,b) ~ 0.980
+    c = [math.cos(0.4), math.sin(0.4)]   # cos(b,c) ~ 0.980, cos(a,c) ~ 0.921
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0]]  # one cell
+    got = sorted(r["vec_id"] for r in
+                 S.semantic_dedup(df, "vec_id", "embedding", cents,
+                                  eps=0.95).collect())
+    assert got == [0]
+
+
+def test_semantic_dedup_max_cell_skips_hot_cell(spark, planted):
+    """A cell over max_cell is excluded from pair generation: all members
+    survive (skew guard never silently drops unexamined vectors)."""
+    cents = [[0.0] * DIM]  # everything lands in one hot cell
+    got = S.semantic_dedup(planted, "vec_id", "embedding", cents,
+                           eps=0.9, max_cell=10)
+    assert got.count() == planted.count()
+
+
+def test_semantic_dedup_plan_is_cell_bounded(spark, planted):
+    """Pair generation must be the cell equi-join — no cartesian /
+    nested-loop join anywhere in the physical plan."""
+    cents = S.pseudo_centroids(dim=DIM, n_centroids=4, seed=11)
+    out = S.semantic_dedup(planted, "vec_id", "embedding", cents, eps=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
