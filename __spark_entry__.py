@@ -1433,6 +1433,62 @@ GROUP BY ROLLUP (c_nationkey, c_mktsegment)
 """
 
 
+def q_cube_doc_stats(spark, sf):
+    """CUBE (lang, source) over documents — all four grouping sets in one
+    pass (Catalyst Expand: partial aggregation per set, scan read once).
+    `gid` disambiguates a real NULL group key from a subtotal row the way
+    GROUPING() does in ANSI SQL; sentinels keep the driver hash stable."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("sum_chars"),
+             (F.grouping("lang") * 2 + F.grouping("source")).alias("gid"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid", "n_docs", "sum_chars",
+        )
+    )
+
+
+_CUBE_DOC_STATS_SQL = """
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       GROUPING(lang) * 2 + GROUPING(source) AS gid,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
+def q_pivot_lang_counts(spark, sf):
+    """PIVOT: per-source document counts spread across language columns —
+    the reshape step of a corpus-composition report. Explicit pivot values
+    keep the plan a single pass (no distinct-scan to discover columns) and
+    make the output schema static, which is what a 100 TB job wants anyway
+    (a data-dependent column set is a driver-side collect in disguise)."""
+    docs = _t(spark, sf, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        docs.groupBy("source").pivot("lang", langs).count()
+        .na.fill(0, langs)
+    )
+
+
+_PIVOT_LANG_COUNTS_SQL = """
+SELECT source,
+       count(*) FILTER (lang = 'de') AS de,
+       count(*) FILTER (lang = 'en') AS en,
+       count(*) FILTER (lang = 'es') AS es,
+       count(*) FILTER (lang = 'fr') AS fr,
+       count(*) FILTER (lang = 'zh') AS zh
+FROM documents
+GROUP BY source
+"""
+
+
 def q_debezium_roundtrip(spark, sf):
     """Debezium wire-format codec (sources/debezium.py): cast the events
     table into a CDC shape, encode as JSON envelopes, decode back, and
@@ -2069,6 +2125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "semantic_dedup": q_semantic_dedup,
+        "cube_doc_stats": q_cube_doc_stats,
+        "pivot_lang_counts": q_pivot_lang_counts,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
@@ -2343,6 +2401,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
         "embedding_ivf_topk": _ivf_topk_sql(k=25),
         "semantic_dedup": _semantic_dedup_sql(),
+        "cube_doc_stats": _CUBE_DOC_STATS_SQL,
+        "pivot_lang_counts": _PIVOT_LANG_COUNTS_SQL,
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only
