@@ -477,6 +477,66 @@ class Engine:
                 (len(v) for v in snap.deltas.values()), default=0),
         }
 
+    def inspect_files(self, with_rows: bool = True) -> DataFrame:
+        """Iceberg `table.files` metadata-table analogue: one row per live
+        data file of HEAD, as a DataFrame so layout questions are plain SQL
+        (`GROUP BY bucket`, `WHERE kind = 'delta'`, skew joins against
+        query logs). Metadata-only — manifest + directory listing + parquet
+        FOOTERS, never data pages; `with_rows=False` skips the footer reads
+        too (pure listing) for very wide tables where even footer opens
+        cost (rows comes back -1)."""
+        import pyarrow.parquet as pq
+
+        snap = self.table.current()
+        data = self.table._datadir
+        rows = []
+        for b in sorted(set(snap.buckets) | set(snap.deltas)):
+            dirs = []
+            if b in snap.buckets:
+                dirs.append((snap.buckets[b], "base"))
+            dirs += [(d, "delta") for d in snap.deltas.get(b, [])]
+            for dirname, kind in dirs:
+                p = os.path.join(data, dirname, f"_bucket={b}")
+                if not os.path.isdir(p):
+                    continue
+                for e in sorted(os.scandir(p), key=lambda x: x.name):
+                    if not e.name.endswith(".parquet"):
+                        continue
+                    n = (pq.ParquetFile(e.path).metadata.num_rows
+                         if with_rows else -1)
+                    rows.append((snap.snapshot_id, b, kind, dirname,
+                                 e.name, int(n), e.stat().st_size))
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, bucket int, kind string, dir string, "
+            "file string, rows long, bytes long",
+        )
+
+    def inspect_snapshots(self) -> DataFrame:
+        """Iceberg `table.snapshots` analogue: the retained ledger as a
+        DataFrame (id, parent, operation, epoch, committed_at, rows
+        written) — manifests only, no data or footer reads, so it is safe
+        to query every epoch at any table size."""
+        rows = []
+        for sid in self.table.snapshots():
+            s = self.table.load_snapshot(sid)
+            rows.append((
+                s.snapshot_id,
+                s.parent,
+                s.summary.get("operation"),
+                int(s.props.get("epoch", "-1")),
+                float(s.summary.get("committed_at", 0.0)),
+                s.n_buckets,
+                len(s.buckets),
+                sum(len(v) for v in s.deltas.values()),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent long, operation string, epoch long, "
+            "committed_at double, n_buckets int, n_base_dirs int, "
+            "n_delta_dirs int",
+        )
+
     # ---- history (GET /jobs run listing) ----
     def history(self) -> list[dict[str, Any]]:
         """All retained snapshots oldest-first: id, parent, operation,

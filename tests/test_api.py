@@ -511,3 +511,59 @@ def test_maintenance_plan_metadata_only(spark, tmp_path):
     eng = Engine(spark, cfg)
     assert eng.maintenance_plan(keep_snapshots=1)["snapshot_id"] \
         == t.current().snapshot_id
+
+
+def test_inspect_metadata_tables(spark, tmp_path):
+    """Iceberg metadata-table analogues: `inspect_files` (one row per live
+    data file, footer row counts) and `inspect_snapshots` (the ledger as a
+    DataFrame) agree with table_stats/history and with the actual state."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from data_migration_service_spark.api import Engine
+    from data_migration_service_spark.operators.merge import cdc_apply
+    from data_migration_service_spark.tables.lake import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "meta")
+    t = SnapshotTable.create(spark, root, schema, ["repo", "path"], 4)
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       compact_threshold=100)
+    for e in range(2):
+        rows = [("r", f"p{i}", "x" * 20, e * 10 + i + 1) for i in range(8)]
+        cdc_apply(t, spark.createDataFrame(rows, schema)
+                  .withColumn("op", F.lit("insert" if e == 0 else "update")),
+                  cfg, epoch=e + 1)
+    eng = Engine(spark, cfg)
+    eng.compact()  # fold epoch-1/2 deltas into a base dir
+    rows = [("r", f"p{i}", "y" * 20, 100 + i) for i in range(8)]
+    cdc_apply(t, spark.createDataFrame(rows, schema)
+              .withColumn("op", F.lit("update")), cfg, epoch=3)
+
+    files = eng.inspect_files().collect()
+    stats = eng.table_stats()
+    assert len(files) == stats["total_files"]
+    assert sum(r["bytes"] for r in files) == stats["total_bytes"]
+    assert {r["kind"] for r in files} == {"base", "delta"}
+    # footer rows: compacted base holds the 8 LWW winners, the epoch-3
+    # delta its 8 updates — raw (pre-reduce) total is exact
+    assert sum(r["rows"] for r in files) == 16
+    # with_rows=False never opens footers and marks rows unknown
+    fast = eng.inspect_files(with_rows=False).collect()
+    assert len(fast) == len(files) and all(r["rows"] == -1 for r in fast)
+
+    snaps = {r["snapshot_id"]: r for r in eng.inspect_snapshots().collect()}
+    hist = eng.history()
+    assert set(snaps) == {h["snapshot_id"] for h in hist}
+    head = eng.table.current()
+    assert snaps[head.snapshot_id]["epoch"] == 3
+    assert all(r["committed_at"] > 0 for r in snaps.values())
+    # metadata tables are DataFrames: plain SQL over layout works
+    per_bucket = (eng.inspect_files().groupBy("bucket")
+                  .agg(F.sum("rows").alias("n")).count())
+    assert per_bucket <= 4
