@@ -249,6 +249,7 @@ def main() -> int:
                 "remove_duplicate_spans", "rare_token_stats",
                 "source_overlap", "budget_select",
                 "mixture_sample", "corpus_shuffle", "corpus_build",
+                "semantic_dedup", "cube_doc_stats", "pivot_lang_counts",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

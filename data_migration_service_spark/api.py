@@ -84,12 +84,15 @@ class JobLock:
 class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig,
                  registry: SchemaRegistry | None = None,
-                 meta_store=None, audit_gate=None):
+                 meta_store=None, audit_gate=None, transform=None):
         # meta_store: commit-protocol backend (tables/metastore.py) — None
         # = local FS; an object-store deployment passes its conditional-PUT
         # store here and nothing else changes.
         # audit_gate: optional Callable[[DataFrame], bool] — run every
         # replayed micro-batch under write-audit-publish (streaming/replay).
+        # transform: optional Callable[[DataFrame], DataFrame] — ingest-time
+        # per-batch transform (the reference's ItemProcessor hook); runs
+        # post-decode, pre-quarantine; must preserve key/LSN/op columns.
         self.spark = spark
         self.cfg = cfg
         self.table = SnapshotTable(spark, cfg.table_path,
@@ -97,7 +100,8 @@ class Engine:
         self.registry = registry
         self._replayer = ReplayEngine(spark, self.table, cfg,
                                       registry=registry,
-                                      audit_gate=audit_gate)
+                                      audit_gate=audit_gate,
+                                      transform=transform)
         self.lock = (
             JobLock(os.path.join(cfg.checkpoint_path, "job.lock"))
             if cfg.checkpoint_path else None

