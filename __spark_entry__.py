@@ -1489,6 +1489,79 @@ GROUP BY source
 """
 
 
+def q_merge_upsert(spark, sf):
+    """Generic conditional MERGE (operators/merge_into.merge_frames — the
+    Delta MERGE INTO resolution core): customers merged against a per-key
+    order rollup. Exercises every clause kind in Delta's evaluation order:
+    a conditional DELETE (single-order customers vanish), a conditional
+    UPDATE (high spenders get acctbal bumped + remarked), matched-keep
+    fallthrough, a conditional INSERT of source-only keys (one in ten
+    custkeys is remapped out of the target's key space), and source-only
+    drop below the insert threshold. The oracle re-derives the same final
+    state as two relational branches (kept/updated target rows UNION
+    inserted source rows)."""
+    from data_migration_service_spark.operators.merge_into import merge_frames
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    src = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.when(F.col("o_custkey") % 10 == 0,
+                   F.col("o_custkey") + 4000000)
+            .otherwise(F.col("o_custkey")).alias("c_custkey"),
+            "spend", "n_orders")
+    )
+    out = merge_frames(
+        cust, src, ["c_custkey"],
+        matched=[
+            {"action": "delete", "condition": "s.n_orders <= 1"},
+            {"action": "update", "condition": "s.spend > 1000",
+             "set": {"c_acctbal": "t.c_acctbal + s.spend / 100",
+                     "c_mktsegment": "'UPSERTED'"}},
+        ],
+        not_matched={
+            "condition": "s.spend > 5000",
+            "values": {
+                "c_name": "concat('new#', cast(s.c_custkey as string))",
+                "c_nationkey": "cast(null as int)",
+                "c_acctbal": "s.spend / 100",
+                "c_mktsegment": "'NEWBIE'",
+            },
+        },
+    )
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "c_mktsegment")
+
+
+_MERGE_UPSERT_SQL = """
+WITH src AS (
+  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 4000000
+              ELSE o_custkey END AS c_custkey,
+         sum(o_totalprice) AS spend, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT t.c_custkey, t.c_name, t.c_nationkey,
+       round(CASE WHEN s.c_custkey IS NOT NULL
+                   AND NOT (s.n_orders <= 1) AND s.spend > 1000
+             THEN t.c_acctbal + s.spend / 100 ELSE t.c_acctbal END, 2)
+         AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL
+             AND NOT (s.n_orders <= 1) AND s.spend > 1000
+            THEN 'UPSERTED' ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT coalesce(s.n_orders <= 1, FALSE)
+UNION ALL
+SELECT s.c_custkey, 'new#' || CAST(s.c_custkey AS VARCHAR),
+       CAST(NULL AS INT), round(s.spend / 100, 2), 'NEWBIE'
+FROM src s LEFT JOIN customer t ON t.c_custkey = s.c_custkey
+WHERE t.c_custkey IS NULL AND s.spend > 5000
+"""
+
+
 def q_debezium_roundtrip(spark, sf):
     """Debezium wire-format codec (sources/debezium.py): cast the events
     table into a CDC shape, encode as JSON envelopes, decode back, and
@@ -2127,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "cube_doc_stats": q_cube_doc_stats,
         "pivot_lang_counts": q_pivot_lang_counts,
+        "merge_upsert": q_merge_upsert,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,    # rows-only
         "debezium_roundtrip": q_debezium_roundtrip,
@@ -2403,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "cube_doc_stats": _CUBE_DOC_STATS_SQL,
         "pivot_lang_counts": _PIVOT_LANG_COUNTS_SQL,
+        "merge_upsert": _MERGE_UPSERT_SQL,
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only

@@ -250,6 +250,7 @@ def main() -> int:
                 "source_overlap", "budget_select",
                 "mixture_sample", "corpus_shuffle", "corpus_build",
                 "semantic_dedup", "cube_doc_stats", "pivot_lang_counts",
+                "merge_upsert",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()
