@@ -1562,6 +1562,46 @@ WHERE t.c_custkey IS NULL AND s.spend > 5000
 """
 
 
+def q_merge_sync(spark, sf):
+    """Full-snapshot sync via WHEN NOT MATCHED BY SOURCE
+    (operators/merge_into.py): the source is the set of currently-active
+    custkeys (those with a 1995+ order); matched customers get re-flagged,
+    target-only (inactive) customers are either demoted (negative balance)
+    or deleted — the Delta by-source clause family, first-match-wins."""
+    from data_migration_service_spark.operators.merge_into import merge_frames
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    src = (orders.where(F.year("o_orderdate") >= 1995)
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    out = merge_frames(
+        cust, src, ["c_custkey"],
+        matched=[{"action": "update", "condition": None,
+                  "set": {"c_mktsegment": "'ACTIVE'"}}],
+        not_matched_by_source=[
+            {"action": "update", "condition": "t.c_acctbal < 0",
+             "set": {"c_mktsegment": "'DORMANT'"}},
+            {"action": "delete", "condition": None},
+        ])
+    return out.select("c_custkey", "c_name", "c_nationkey",
+                      F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "c_mktsegment")
+
+
+_MERGE_SYNC_SQL = """
+WITH src AS (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE year(o_orderdate) >= 1995
+)
+SELECT t.c_custkey, t.c_name, t.c_nationkey, round(t.c_acctbal, 2) AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN 'ACTIVE'
+            WHEN t.c_acctbal < 0 THEN 'DORMANT'
+            ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+WHERE s.c_custkey IS NOT NULL OR t.c_acctbal < 0
+"""
+
+
 def q_debezium_roundtrip(spark, sf):
     """Debezium wire-format codec (sources/debezium.py): cast the events
     table into a CDC shape, encode as JSON envelopes, decode back, and
@@ -2201,8 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_doc_stats": q_cube_doc_stats,
         "pivot_lang_counts": q_pivot_lang_counts,
         "merge_upsert": q_merge_upsert,
+        "merge_sync": q_merge_sync,
         "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,    # rows-only
+        "frame_sample": q_frame_sample,
         "debezium_roundtrip": q_debezium_roundtrip,
         "topk_per_group": q_topk_per_group,
         "rollup_revenue": q_rollup_revenue,
@@ -2478,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_doc_stats": _CUBE_DOC_STATS_SQL,
         "pivot_lang_counts": _PIVOT_LANG_COUNTS_SQL,
         "merge_upsert": _MERGE_UPSERT_SQL,
+        "merge_sync": _MERGE_SYNC_SQL,
         # the media payload is ASCII-hex bytes (gen_media_fixture), so the
         # stub decoder's sha256(payload) has an exact VARCHAR twin here —
         # the whole Arrow mapInPandas path is value-checked, not rows-only

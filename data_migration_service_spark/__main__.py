@@ -33,6 +33,8 @@ Verb mapping (reference -> CLI):
     (engine-added)                -> erase --table t --keys <parquet>
                                      (compliance erase; exit 1 unless
                                      residual_rows == 0)
+    (engine-added)                -> merge --table t --source <parquet>
+                                     --spec <json> (conditional MERGE INTO)
     (engine-added)                -> tag create|list|drop (pin corpus states)
     (engine-added)                -> index create|sync|find (secondary
                                      value->key indexes, changefeed-synced)
@@ -240,6 +242,33 @@ def cmd_erase(args) -> int:
     return 0 if report.get("residual_rows", 1) == 0 else 1
 
 
+def cmd_merge(args) -> int:
+    """Ad-hoc conditional MERGE (Delta MERGE INTO analogue): --source is a
+    parquet path, --spec a JSON file {"matched": [{"action": "update"|
+    "delete", "condition": <SQL over t./s.>, "set": {col: expr}}, ...],
+    "not_matched": {"condition": ..., "values": {...}}, "epoch": n,
+    "lsn": n}. Runs under the table's job lock (can't race a replay)."""
+    import dataclasses
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    if args.table is None:
+        raise SystemExit("merge requires --table (one table per merge)")
+    engines = _engines(spark, tables, args.table)
+    eng = engines[args.table]
+    with open(args.spec) as f:
+        spec = json.load(f)
+    src = spark.read.parquet(args.source)
+    st = eng.merge(src, matched=spec.get("matched", ()),
+                   not_matched=spec.get("not_matched"),
+                   not_matched_by_source=spec.get("not_matched_by_source",
+                                                  ()),
+                   epoch=spec.get("epoch"), lsn=spec.get("lsn"))
+    print(json.dumps({"table": args.table, **dataclasses.asdict(st)},
+                     default=str))
+    return 0
+
+
 def cmd_tag_create(args) -> int:
     tables = load_config(args.config)
     spark = get_spark(app_name="dms-cli")
@@ -401,6 +430,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="also cross-check _stats.json sidecars against "
                          "parquet footer row counts")
     fs.set_defaults(fn=cmd_fsck)
+
+    mg = sub.add_parser("merge",
+                        help="ad-hoc conditional MERGE (Delta MERGE INTO "
+                             "analogue) from a parquet source + JSON spec")
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet path of the merge source")
+    mg.add_argument("--spec", required=True,
+                    help="JSON file with matched / not_matched clauses")
+    mg.set_defaults(fn=cmd_merge)
 
     er = sub.add_parser("erase",
                         help="compliance erase: hard delete + history "

@@ -216,6 +216,27 @@ class Engine:
             if self.lock is not None:
                 self.lock.release()
 
+    def merge(self, source: DataFrame, matched=(), not_matched=None,
+              not_matched_by_source=(),
+              epoch: int | None = None, lsn: int | None = None):
+        """Ad-hoc conditional MERGE (Delta MERGE INTO analogue) under the
+        same job lock as a replay — backfills and corrections can't race a
+        running CDC stream on this table. See operators/merge_into."""
+        from data_migration_service_spark.operators.merge_into import merge_into
+
+        if self.lock is not None:
+            if not self.lock.acquire():
+                raise RuntimeError(
+                    f"job already running for table {self.cfg.table_path}")
+        try:
+            return merge_into(self.table, source, self.cfg, matched=matched,
+                              not_matched=not_matched,
+                              not_matched_by_source=not_matched_by_source,
+                              epoch=epoch, lsn=lsn)
+        finally:
+            if self.lock is not None:
+                self.lock.release()
+
     # ---- POST /jobs/migrateSpecificRecords ----
     def replay_keys(self, events: DataFrame, keys: DataFrame,
                     epoch: int | None = None):

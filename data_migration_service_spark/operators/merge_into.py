@@ -63,11 +63,11 @@ def _cond(c: str | Column | None) -> Column:
     return F.expr(c) if isinstance(c, str) else c
 
 
-def _validate_clauses(matched, not_matched) -> None:
-    for cl in matched:
+def _validate_clauses(matched, not_matched, by_source=()) -> None:
+    for cl in list(matched) + list(by_source):
         act = cl.get("action")
         if act not in ("update", "delete"):
-            raise ValueError(f"matched clause action must be update|delete, got {act!r}")
+            raise ValueError(f"clause action must be update|delete, got {act!r}")
         if act == "update" and not cl.get("set"):
             raise ValueError("update clause requires a non-empty 'set' mapping")
         if act == "delete" and cl.get("set"):
@@ -83,6 +83,7 @@ def merge_frames(
     keys: Sequence[str],
     matched: Sequence[Mapping[str, Any]] = (),
     not_matched: Mapping[str, Any] | None = None,
+    not_matched_by_source: Sequence[Mapping[str, Any]] = (),
     keep_actions: bool = False,
 ) -> DataFrame:
     """Resolve a MERGE over plain DataFrames; returns the final state with
@@ -96,6 +97,10 @@ def merge_frames(
     - `not_matched`: `{"condition": ..., "values": {col: expr}}` — insert
       clause for source-only keys. `values` defaults each target column to
       `s.<col>` when the source has it, else NULL. None = never insert.
+    - `not_matched_by_source`: ordered update/delete clauses applied to
+      TARGET-ONLY rows (Delta's WHEN NOT MATCHED BY SOURCE — the
+      full-snapshot-sync family: "delete whatever the source no longer
+      has"). Source columns are NULL in these clauses' expressions.
     - Expressions reference the two sides as `t.<col>` / `s.<col>`.
 
     With `keep_actions=True` every joined row survives, tagged in
@@ -107,7 +112,8 @@ def merge_frames(
     (`merge_into` enforces it; the pure form stays lazy and does not).
     """
     matched = list(matched)
-    _validate_clauses(matched, not_matched)
+    by_source = list(not_matched_by_source)
+    _validate_clauses(matched, not_matched, by_source)
     out_fields = target.schema.fields
     t = target.withColumn(_T_MARK, F.lit(True)).alias("t")
     s = source.withColumn(_S_MARK, F.lit(True)).alias("s")
@@ -117,21 +123,27 @@ def merge_frames(
     has_t = F.col(f"t.{_T_MARK}").isNotNull()
     has_s = F.col(f"s.{_S_MARK}").isNotNull()
 
-    # first-match-wins action tag over the ordered matched clauses
-    m_chain: Column | None = None
-    for i, cl in enumerate(matched):
-        tag = F.lit(f"{cl['action']}{i}")
-        c = _cond(cl.get("condition"))
-        m_chain = F.when(c, tag) if m_chain is None else m_chain.when(c, tag)
-    m_act = m_chain.otherwise(F.lit("keep")) if m_chain is not None \
-        else F.lit("keep")
+    # first-match-wins action tag over the ordered clause lists (matched
+    # clauses index from 0; by-source clauses continue the numbering so
+    # ACTION_COL tags stay unique across both lists)
+    def _chain(clauses, offset):
+        chain: Column | None = None
+        for i, cl in enumerate(clauses):
+            tag = F.lit(f"{cl['action']}{offset + i}")
+            c = _cond(cl.get("condition"))
+            chain = F.when(c, tag) if chain is None else chain.when(c, tag)
+        return chain.otherwise(F.lit("keep")) if chain is not None \
+            else F.lit("keep")
+
+    m_act = _chain(matched, 0)
+    bs_act = _chain(by_source, len(matched))
     ins_cond = _cond(not_matched.get("condition")) if not_matched is not None \
         else F.lit(False)
     act = (
         F.when(has_t & has_s, m_act)
         .when(~has_t & ins_cond, F.lit("insert"))
         .when(~has_t, F.lit("drop"))
-        .otherwise(F.lit("keep"))  # target-only rows pass through
+        .otherwise(bs_act)  # target-only rows
     )
     j = j.withColumn(ACTION_COL, act)
 
@@ -142,7 +154,7 @@ def merge_frames(
         c = f.name
         expr: Column = F.when(F.col(ACTION_COL) == "insert",
                               _ins_expr(c, ins_values, src_cols))
-        for i, cl in enumerate(matched):
+        for i, cl in enumerate(matched + by_source):
             if cl["action"] != "update":
                 continue
             upd = cl["set"].get(c)
@@ -181,6 +193,7 @@ def merge_into(
     cfg: EngineConfig,
     matched: Sequence[Mapping[str, Any]] = (),
     not_matched: Mapping[str, Any] | None = None,
+    not_matched_by_source: Sequence[Mapping[str, Any]] = (),
     epoch: int | None = None,
     lsn: int | None = None,
     collect_stats: bool = True,
@@ -197,7 +210,11 @@ def merge_into(
       default 1 + the affected buckets' LSN high-watermark, so the merge
       totally orders AFTER everything it read (kept rows keep their LSN);
     - duplicate source keys raise (Delta's multiple-match error);
-    - exactly-once: `epoch` replays are skipped via the snapshot prop guard.
+    - exactly-once: `epoch` replays are skipped via the snapshot prop guard;
+    - `not_matched_by_source` clauses act on rows the source does NOT have,
+      so the source-keyed pruning is unsound for them — the merge reads and
+      rewrites EVERY bucket (inherent to the clause, same cost in Delta;
+      use it for full-snapshot syncs, not incremental corrections).
     """
     snap = table.current()
     ekey = epoch_key(cfg)
@@ -219,12 +236,16 @@ def merge_into(
 
     # bucket pruning from the SOURCE keys alone — the only buckets whose
     # contents can change (updates/deletes hit existing keys there; inserts
-    # land there by bucket_expr determinism)
+    # land there by bucket_expr determinism). By-source clauses touch
+    # target-only rows anywhere: every existing bucket is in play.
     affected = sorted(
         int(r[0]) for r in
         source.select(bucket_expr(keys, snap.n_buckets).alias(BUCKET_COL))
         .distinct().collect()
     )
+    if not_matched_by_source:
+        affected = sorted(set(affected)
+                          | set(snap.buckets) | set(snap.deltas or {}))
     if not affected:
         new = table.commit("merge_into", {}, props_update=(
             {ekey: str(epoch)} if epoch is not None else {}),
@@ -242,7 +263,9 @@ def merge_into(
         lsn = int(hi) + 1 if hi is not None else 1
 
     resolved = merge_frames(tgt_live, source, keys, matched=matched,
-                            not_matched=not_matched, keep_actions=True)
+                            not_matched=not_matched,
+                            not_matched_by_source=not_matched_by_source,
+                            keep_actions=True)
     written = ~F.col(ACTION_COL).isin("keep", "drop")
     out = (
         resolved.where(F.col(ACTION_COL) != "drop")
@@ -258,11 +281,19 @@ def merge_into(
     if collect_stats:
         counts = {r[0]: int(r[1]) for r in
                   resolved.groupBy(ACTION_COL).count().collect()}
-        stats.rows_matched = sum(n for a, n in counts.items()
-                                 if a.startswith("update"))
-        stats.rows_deleted = sum(n for a, n in counts.items()
-                                 if a.startswith("delete"))
+
+        def _n(kind, by_source):
+            return sum(n for a, n in counts.items()
+                       if a.startswith(kind)
+                       and (int(a[len(kind):]) >= len(list(matched)))
+                       == by_source)
+
+        stats.rows_matched = _n("update", False)
+        stats.rows_deleted = _n("delete", False)
         stats.rows_inserted = counts.get("insert", 0)
+        if not_matched_by_source:
+            stats.extra["by_source_updated"] = _n("update", True)
+            stats.extra["by_source_deleted"] = _n("delete", True)
 
     out = out.unionByName(tombs.select(*data_cols, DELETED_COL)) \
              .withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))

@@ -260,3 +260,37 @@ def test_cli_erase_verb(spark, tmp_path, capsys):
                             "--keys", kp])
     assert rc == 0 and rep["residual_rows"] == 0
     assert t.read().count() == before - 2
+
+
+def test_cli_merge_verb(spark, tmp_path, capsys):
+    cfg, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+
+    # correction: rewrite one live doc's content, insert a brand-new one
+    state = SnapshotTable(spark, tables["repos_a"]["table_path"],)
+    k = state.read().select("repo", "path").orderBy("repo", "path").first()
+    src_path = str(tmp_path / "merge_src")
+    spark.createDataFrame(
+        [(k["repo"], k["path"], "patched"), ("rNEW", "pNEW", "added")],
+        "repo string, path string, body string",
+    ).write.mode("overwrite").parquet(src_path)
+    spec_path = str(tmp_path / "merge_spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({
+            "matched": [{"action": "update", "condition": None,
+                         "set": {"content": "s.body"}}],
+            "not_matched": {"values": {"content": "s.body",
+                                       "lang": "'md'", "size_bytes": "0"}},
+            "epoch": 10_000,
+        }, f)
+
+    rc, res = _run(capsys, ["--config", cfg, "merge", "--table", "repos_a",
+                            "--source", src_path, "--spec", spec_path])
+    assert rc == 0
+    assert (res["rows_matched"], res["rows_inserted"]) == (1, 1)
+    after = SnapshotTable(spark, tables["repos_a"]["table_path"]).read()
+    assert after.where((F.col("repo") == k["repo"]) &
+                       (F.col("path") == k["path"])) \
+                .first()["content"] == "patched"
+    assert after.where("repo='rNEW'").first()["content"] == "added"

@@ -149,6 +149,29 @@ def test_merge_into_prunes_to_source_buckets(spark, tmp_path):
     assert len(changed) == 1  # exactly the source key's bucket rewritten
 
 
+def test_engine_merge_facade_holds_job_lock(spark, tmp_path):
+    from data_migration_service_spark.api import Engine
+
+    t, cfg, base = _bootstrapped(spark, tmp_path)
+    cfg2 = EngineConfig(table_path=cfg.table_path, n_buckets=8,
+                        checkpoint_path=str(tmp_path / "ckpt"))
+    eng = Engine(spark, cfg2)
+    src = spark.createDataFrame([("r0", "p0", "fix")],
+                                "repo string, path string, action string")
+    st = eng.merge(src, matched=[{"action": "update", "condition": None,
+                                  "set": {"content": "'merged'"}}], epoch=1)
+    assert st.rows_matched == 1
+    assert eng.table.read().where("repo='r0' AND path='p0'") \
+                   .first()["content"] == "merged"
+    # a held lock blocks the merge (same single-job rule as replay)
+    assert eng.lock.acquire()
+    try:
+        with pytest.raises(RuntimeError, match="already running"):
+            eng.merge(src, matched=[{"action": "delete", "condition": None}])
+    finally:
+        eng.lock.release()
+
+
 def test_merge_into_epoch_skip_and_duplicate_source(spark, tmp_path):
     t, cfg, base = _bootstrapped(spark, tmp_path)
     src = spark.createDataFrame([("r0", "p0", "fix")],
@@ -165,3 +188,39 @@ def test_merge_into_epoch_skip_and_duplicate_source(spark, tmp_path):
         merge_into(t, dup, cfg, matched=[
             {"action": "update", "condition": None,
              "set": {"content": "'z'"}}])
+
+
+def test_merge_frames_not_matched_by_source(spark):
+    """Full-snapshot sync: delete target rows the source no longer has,
+    flag (not delete) the protected ones."""
+    out = merge_frames(
+        _target(spark),
+        spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, amt double"),
+        ["id"],
+        matched=[{"action": "update", "condition": None,
+                  "set": {"bal": "s.amt"}}],
+        not_matched_by_source=[
+            {"action": "update", "condition": "t.bal >= 40",
+             "set": {"name": "'orphaned'"}},
+            {"action": "delete", "condition": None},
+        ])
+    got = {r["id"]: (r["name"], r["bal"]) for r in out.collect()}
+    assert got == {
+        1: ("a", 5.0), 2: ("b", 6.0),   # matched -> synced
+        4: ("orphaned", 40.0),          # by-source clause 1 (first wins)
+    }                                    # 3 deleted by by-source clause 2
+
+
+def test_merge_into_by_source_rewrites_every_bucket(spark, tmp_path):
+    t, cfg, base = _bootstrapped(spark, tmp_path)
+    # sync against a source holding only r0's docs: everything else goes
+    src = base.where("repo = 'r0'").select("repo", "path")
+    st = merge_into(
+        t, src, cfg, epoch=1,
+        not_matched_by_source=[{"action": "delete", "condition": None}])
+    assert st.extra["by_source_deleted"] == 30
+    state = t.read()
+    assert state.count() == 10
+    assert state.select("repo").distinct().collect() == [("r0",)]
+    # deletes are tombstones, not vanished rows
+    assert t.read(include_deleted=True).count() == 40
