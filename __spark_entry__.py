@@ -613,6 +613,25 @@ def q_token_count(spark, sf):
     return X.token_count(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+def q_chunk_documents(spark, sf):
+    """Token-window chunking for RAG/context prep — in-row sequence +
+    explode, zero shuffles; oracle = DuckDB range() + list slicing."""
+    out = X.chunk_documents(_t(spark, sf, "documents"), "doc_id", "text",
+                            size=32, stride=24)
+    return out.orderBy("doc_id", "chunk_id")
+
+
+def q_embedding_sq_topk(spark, sf):
+    """int8 scalar-quantized ANN (faiss SQ8 family): integer-domain
+    candidate scoring (bit-exact cross-engine, so the candidate cut has no
+    float-tie risk), exact-cosine rerank of k*rerank survivors."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    out = S.sq_topk(emb, "vec_id", "embedding", qv, k=25, rerank=4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_quality_score(spark, sf):
     return X.quality_score(_t(spark, sf, "documents"), "doc_id", "text")
 
@@ -2206,6 +2225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsn_gaps": q_lsn_gaps,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "chunk_documents": q_chunk_documents,
+        "embedding_sq_topk": q_embedding_sq_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2376,6 +2397,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
             FROM documents
         """,
+        # chunk starts = range(0, n_tokens, stride); DuckDB list slice is
+        # 1-based inclusive, so ts[st+1 : st+size] is Spark's
+        # slice(ts, st+1, size)
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), s AS (
+              SELECT doc_id, ts, len(ts) AS n,
+                     unnest(range(0, len(ts), 24)) AS st
+              FROM t WHERE len(ts) > 0
+            )
+            SELECT doc_id,
+                   CAST(st // 24 AS BIGINT) AS chunk_id,
+                   CAST(st AS BIGINT) AS start_token,
+                   CAST(least(32, n - st) AS BIGINT) AS n_tokens,
+                   array_to_string(ts[st+1 : st+32], ' ') AS chunk_text
+            FROM s ORDER BY doc_id, chunk_id
+        """,
         "quality_score": r"""
             WITH t AS (
               SELECT doc_id, text, length(text) AS n_chars,
@@ -2509,6 +2551,41 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
                    ), 4) AS cosine
             FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 25
+        """,
+        # int8 SQ ANN: the quantized codes are exact integers (floor(x+0.5)
+        # form, clamp 0..255), so the candidate cut — an integer dot on
+        # centered codes — is bit-identical cross-engine; only the final
+        # rerank cosine is float, rounded to 4dp like every ANN query
+        "embedding_sq_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), pos AS (
+              SELECT vec_id, unnest(v) AS x,
+                     unnest(range(1, len(v)+1)) AS i
+              FROM e
+            ), sc AS (
+              SELECT i, min(x) AS mn,
+                     CASE WHEN max(x) > min(x)
+                          THEN 255.0 / (max(x) - min(x)) ELSE 0.0 END AS s
+              FROM pos GROUP BY i
+            ), qc AS (
+              SELECT pos.vec_id, pos.i,
+                     CAST(greatest(0, least(255,
+                       floor((pos.x - sc.mn) * sc.s + 0.5))) AS BIGINT) AS q
+              FROM pos JOIN sc USING (i)
+            ), qq AS (
+              SELECT i, q FROM qc WHERE vec_id = 0
+            ), scores AS (
+              SELECT qc.vec_id, sum((qc.q - 128) * (qq.q - 128)) AS sq
+              FROM qc JOIN qq USING (i) GROUP BY qc.vec_id
+            ), cand AS (
+              SELECT vec_id FROM scores ORDER BY sq DESC, vec_id LIMIT 100
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     e.v, (SELECT v FROM e WHERE vec_id = 0)), 4) AS cosine
+            FROM e JOIN cand USING (vec_id)
             ORDER BY cosine DESC, vec_id LIMIT 25
         """,
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),

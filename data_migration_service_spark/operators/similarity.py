@@ -344,6 +344,111 @@ def lsh_topk(
     )
 
 
+def sq_fit(df: DataFrame, vec_col: str, dim: int) -> tuple[list[float], list[float]]:
+    """Fit an int8 scalar quantizer: per-dimension (min, max) in ONE
+    aggregate pass (2*dim tiny agg expressions, map-side combine). The
+    'model' is 2*dim driver floats — like `ivf_fit`'s centroids it ships
+    to executors as literals, nothing broadcast or versioned."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(v[i]).alias(f"_mn{i}"))
+        aggs.append(F.max(v[i]).alias(f"_mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return ([float(row[f"_mn{i}"]) for i in range(dim)],
+            [float(row[f"_mx{i}"]) for i in range(dim)])
+
+
+def _sq_scales(mins: list[float], maxs: list[float]) -> list[float]:
+    # driver-side doubles: identical IEEE arithmetic to the SQL oracle twin
+    return [255.0 / (mx - mn) if mx > mn else 0.0
+            for mn, mx in zip(mins, maxs)]
+
+
+def sq_code(vec_col, mins: list[float], maxs: list[float]) -> F.Column:
+    """Per-dim uint8 code: clamp(floor((v-min)*scale + 0.5), 0, 255) with
+    scale = 255/(max-min). floor(x+0.5) instead of round() — HALF_UP vs
+    banker's rounding differs across engines; this form is bit-identical
+    everywhere. Codes are exact integers, so everything computed FROM them
+    is cross-engine deterministic."""
+    v = (F.col(vec_col).cast("array<double>")
+         if isinstance(vec_col, str) else vec_col)
+    mn = F.array(*[F.lit(float(x)) for x in mins])
+    sc = F.array(*[F.lit(float(x)) for x in _sq_scales(mins, maxs)])
+    centered = F.zip_with(v, mn, lambda x, m: x - m)
+    return F.zip_with(
+        centered, sc,
+        lambda x, s: F.greatest(
+            F.lit(0), F.least(F.lit(255), F.floor(x * s + F.lit(0.5)))
+        ).cast("int"),
+    )
+
+
+def sq_quantize(df: DataFrame, id_col: str, vec_col: str,
+                mins: list[float], maxs: list[float],
+                code_col: str = "code") -> DataFrame:
+    """Materialize the quantized-code column next to the id — the write-time
+    artifact. At 100 TB the codes (1 byte/dim vs 8 for doubles) are stored
+    as their own narrow table/column; ANN candidate generation scans ONLY
+    codes (8x less IO), and full floats are fetched just for the rerank
+    candidates via a point join."""
+    return df.select(
+        F.col(id_col), sq_code(vec_col, mins, maxs).alias(code_col))
+
+
+def sq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    rerank: int = 4,
+    fit: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k via int8 scalar quantization (the third ANN family next to
+    LSH and IVF — the faiss SQ8 pattern): candidate scoring runs entirely
+    in the quantized integer domain, then `k*rerank` survivors get the
+    exact float cosine.
+
+    Plan shape at scale: one narrow scan of the code column computing
+    sum((code-128)*(qcode-128)) — a pure-integer zip/fold, whole-stage
+    codegen, bit-identical on any engine (the candidate CUT is therefore
+    deterministic: no float last-ULP tie risk) — then a top-(k*rerank)
+    TakeOrdered (no global sort), then exact rerank of that tiny set.
+    Integer range is safe: |code-128| <= 128, so dim * 128^2 fits a long
+    at any realistic dim."""
+    mins, maxs = fit if fit is not None else sq_fit(df, vec_col, len(query))
+    sc = _sq_scales(mins, maxs)
+    qcode = [
+        int(min(255, max(0, __import__("math").floor(
+            (float(q) - mn) * s + 0.5))))
+        for q, mn, s in zip(query, mins, sc)
+    ]
+    qarr = F.array(*[F.lit(c) for c in qcode])
+    coded = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        sq_code(vec_col, mins, maxs).alias("_code"),
+    )
+    score_int = F.aggregate(
+        F.zip_with(F.col("_code"), qarr,
+                   lambda a, b: ((a - 128) * (b - 128)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        coded.withColumn("_sq", score_int)
+        .orderBy(F.desc("_sq"), F.col(id_col))
+        .limit(k * rerank)
+    )
+    return (
+        cosine_scores(cand.select(F.col(id_col), F.col("_v")),
+                      id_col, "_v", query)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def vector_index(df: DataFrame, id_col: str, vec_col: str,
                  n_planes: int = 8, seed: int = 42,
                  dim: int = 64) -> DataFrame:

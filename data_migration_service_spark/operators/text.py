@@ -104,6 +104,48 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Da
     )
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    size: int = 64, stride: int = 48) -> DataFrame:
+    """Token-window chunking (RAG / context-window prep): split each doc
+    into windows of `size` whitespace tokens starting every `stride`
+    tokens (stride < size = overlapping windows, the standard retrieval
+    layout; stride == size = disjoint tiling).
+
+    Entirely IN-ROW (sequence of starts -> explode -> slice/join): a
+    map-only pass with zero shuffles — document text never crosses the
+    wire, chunk rows are born on the partition that read the doc. That is
+    the plan that survives 100 TB: chunking cost is one scan, parallelism
+    = input splits, and the output can flow straight into the shard
+    writer (`corpus.export_shards`) without repartitioning.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens;
+    empty docs yield zero chunks. Output: (id, chunk_id, start_token,
+    n_tokens, chunk_text) — deterministic, so chunk ids are stable
+    re-ingestion keys.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    ts = tokens(text_col)
+    n = F.size(ts)
+    starts = F.when(n <= 0, F.array().cast("array<long>")).otherwise(
+        F.sequence(F.lit(0).cast("long"), (n - 1).cast("long"),
+                   F.lit(stride).cast("long")))
+    e = df.select(
+        F.col(id_col), ts.alias("_ts"), n.alias("_n"),
+        F.explode(starts).alias("_st"),
+    )
+    return e.select(
+        F.col(id_col),
+        (F.col("_st") / stride).cast("long").alias("chunk_id"),
+        F.col("_st").alias("start_token"),
+        F.least(F.lit(size).cast("long"),
+                F.col("_n") - F.col("_st")).alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_ts"), (F.col("_st") + 1).cast("int"), size), " "
+        ).alias("chunk_text"),
+    )
+
+
 def tf_idf_top_terms(df: DataFrame, id_col: str, text_col: str,
                      top_k: int = 3, min_df: int = 1) -> DataFrame:
     """Top-`top_k` TF-IDF keywords per document.

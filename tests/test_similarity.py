@@ -609,3 +609,65 @@ def test_semantic_dedup_plan_is_cell_bounded(spark, planted):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq_codes_bounded_and_reconstruction(planted):
+    """int8 SQ invariants: codes in [0,255]; dequantized values within half
+    a quantization step of the original (the SQ8 error bound)."""
+    dim = DIM
+    mins, maxs = S.sq_fit(planted, "embedding", dim)
+    rows = planted.select(
+        "vec_id", "embedding",
+        S.sq_code("embedding", mins, maxs).alias("code")).collect()
+    assert rows
+    for r in rows:
+        assert len(r["code"]) == dim
+        for d, (q, x) in enumerate(zip(r["code"], r["embedding"])):
+            assert 0 <= q <= 255
+            span = maxs[d] - mins[d]
+            if span > 0:
+                dequant = mins[d] + q * span / 255.0
+                assert abs(dequant - x) <= span / 255.0 / 2 + 1e-9
+
+
+def test_sq_topk_exact_when_rerank_covers_corpus(planted):
+    """With k*rerank >= n the candidate cut keeps everything, so sq_topk
+    degenerates to the exact brute-force top-k — ids AND scores."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    n = planted.count()
+    k = 10
+    exact = [(r["vec_id"], round(r["cosine"], 6)) for r in
+             cosine_topk(planted, "vec_id", "embedding", qv, k).collect()]
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in
+           S.sq_topk(planted, "vec_id", "embedding", qv, k=k,
+                     rerank=(n // k) + 1).collect()]
+    assert got == exact
+
+
+def test_sq_topk_recall_at_default_rerank(planted):
+    """Integer-domain candidate scoring keeps most of the true top-k: the
+    planted corpus's near-dup structure survives 8-bit quantization."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    k = 15
+    exact_ids = {r["vec_id"] for r in
+                 cosine_topk(planted, "vec_id", "embedding", qv, k).collect()}
+    got_ids = {r["vec_id"] for r in
+               S.sq_topk(planted, "vec_id", "embedding", qv,
+                         k=k, rerank=4).collect()}
+    assert len(got_ids & exact_ids) / k >= 0.8
+    # the planted twin of the query (cosine ~0.995) must survive SQ
+    assert 1000 in got_ids
+
+
+def test_sq_fit_minmax_semantics(spark):
+    rows = [(1, [0.0, -2.0]), (2, [1.0, 2.0]), (3, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mins, maxs = S.sq_fit(df, "embedding", 2)
+    assert mins == [0.0, -2.0] and maxs == [1.0, 2.0]
+    codes = {r["vec_id"]: r["code"] for r in df.select(
+        "vec_id", S.sq_code("embedding", mins, maxs).alias("code")).collect()}
+    assert codes[1] == [0, 0]      # per-dim minima -> 0
+    assert codes[2] == [255, 255]  # per-dim maxima -> 255
+    assert codes[3] == [128, 128]  # midpoints -> floor(127.5+0.5)

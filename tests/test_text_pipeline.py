@@ -243,3 +243,44 @@ def test_rare_token_stats_semantics(spark):
     assert rows[1]["n_rare"] == 1  # 'cat'
     assert rows[2]["n_rare"] == 2 and abs(rows[2]["rare_token_ratio"] - 2 / 3) < 1e-12
     assert rows[3]["rare_token_ratio"] == 1.0
+
+
+def test_chunk_documents_tiling_and_overlap(spark):
+    from data_migration_service_spark.operators.text import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "only two  tokens"), (3, "   "), (4, "")],
+        "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", size=4, stride=3)
+    rows = sorted([(r["doc_id"], r["chunk_id"], r["start_token"],
+                    r["n_tokens"], r["chunk_text"])
+                   for r in out.collect()])
+    # doc 1: starts 0,3,6,9 — overlapping windows, last one truncated
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+    ]
+    # doc 2: 3 tokens (double space collapses), one chunk
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 3, "only two tokens")]
+    # empty / whitespace-only docs yield zero chunks
+    assert not [r for r in rows if r[0] in (3, 4)]
+    # coverage invariant: with stride <= size every token index is covered
+    covered = set()
+    for _, _, st, n, _ in rows:
+        covered |= set(range(st, st + n))
+    assert covered >= set(range(10))
+
+
+def test_chunk_documents_is_map_only(spark):
+    from data_migration_service_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(i, "a b c d e f g h") for i in range(20)],
+                               "doc_id long, text string")
+    plan = chunk_documents(df, "doc_id", "text", size=4, stride=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # text never shuffles: chunking is map-only
+    with __import__("pytest").raises(ValueError):
+        chunk_documents(df, "doc_id", "text", size=0, stride=4)
