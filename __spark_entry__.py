@@ -1240,6 +1240,78 @@ def _ivf_topk_sql(k: int = 25, n_centroids: int = 8, n_probe: int = 2,
     """
 
 
+def _pq_topk_sql(k: int = 25, rerank: int = 4, m: int = 8, n_codes: int = 16,
+                 dim: int = 64, seed: int = 42) -> str:
+    """DuckDB twin of `q_embedding_pq_topk`: same hash-derived codebook
+    literals, same per-subspace argmin assignment ([score, idx] min), same
+    INTEGER ADC lookup tables (floor(dot * 2^20 + 0.5) — order-independent
+    sum, so the candidate cut is bit-identical), same exact-cosine rerank."""
+    from data_migration_service_spark.operators.similarity import (
+        pq_pseudo_codebooks,
+    )
+
+    cbs = pq_pseudo_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    dsub = dim // m
+    rows = ", ".join(
+        "({j}, {i}, [{c}]::DOUBLE[], {ss!r})".format(
+            j=j, i=i, c=", ".join(repr(x) for x in c),
+            ss=sum(x * x for x in c))
+        for j, cb in enumerate(cbs) for i, c in enumerate(cb)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+          SELECT e AS qe FROM v WHERE vec_id = 0
+        ), cent(j, ci, c, ss) AS (
+          SELECT * FROM (VALUES {rows})
+        ), codes AS (
+          SELECT v.vec_id, cent.j,
+                 CAST(min([cent.ss - 2.0 * list_dot_product(
+                             v.e[cent.j*{dsub}+1 : cent.j*{dsub}+{dsub}],
+                             cent.c),
+                           CAST(cent.ci AS DOUBLE)])[2] AS INT) AS code
+          FROM v CROSS JOIN cent GROUP BY v.vec_id, cent.j
+        ), lut AS (
+          SELECT cent.j, cent.ci,
+                 CAST(floor(list_dot_product(
+                        (SELECT qe FROM q)[cent.j*{dsub}+1 : cent.j*{dsub}+{dsub}],
+                        cent.c) * 1048576.0 + 0.5) AS BIGINT) AS ival
+          FROM cent
+        ), scores AS (
+          SELECT codes.vec_id, sum(lut.ival) AS adc
+          FROM codes JOIN lut ON lut.j = codes.j AND lut.ci = codes.code
+          GROUP BY codes.vec_id
+        ), cand AS (
+          SELECT vec_id FROM scores ORDER BY adc DESC, vec_id
+          LIMIT {k * rerank}
+        )
+        SELECT v.vec_id,
+               round(list_cosine_similarity(v.e, (SELECT qe FROM q)), 4)
+                 AS cosine
+        FROM v JOIN cand USING (vec_id)
+        ORDER BY round(list_cosine_similarity(v.e, (SELECT qe FROM q)), 6)
+                   DESC,
+                 v.vec_id
+        LIMIT {k}
+    """
+
+
+def q_embedding_pq_topk(spark, sf):
+    """Product-quantization ANN with asymmetric distance (Jegou et al.
+    2011, the billion-scale standard): corpus vectors become m-byte codes,
+    scoring is m integer table lookups, exact rerank on the survivors.
+    Hash-derived codebooks (`pq_pseudo_codebooks`) make the whole pipeline
+    oracle-checkable; the TRAINED path (`pq_fit`, per-subspace k-means) is
+    pinned by tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cbs = S.pq_pseudo_codebooks(dim=64, m=8, n_codes=16, seed=42)
+    out = S.pq_topk(emb, "vec_id", "embedding", qv, cbs, k=25, rerank=4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_embedding_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -2227,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
         "embedding_sq_topk": q_embedding_sq_topk,
+        "embedding_pq_topk": q_embedding_pq_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2586,12 +2659,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(
                      e.v, (SELECT v FROM e WHERE vec_id = 0)), 4) AS cosine
             FROM e JOIN cand USING (vec_id)
-            ORDER BY cosine DESC, vec_id LIMIT 25
+            ORDER BY round(list_cosine_similarity(
+                       e.v, (SELECT v FROM e WHERE vec_id = 0)), 6) DESC,
+                     vec_id
+            LIMIT 25
         """,
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
         "embedding_incremental": _embedding_incremental_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
         "embedding_ivf_topk": _ivf_topk_sql(k=25),
+        "embedding_pq_topk": _pq_topk_sql(k=25),
         "semantic_dedup": _semantic_dedup_sql(),
         "cube_doc_stats": _CUBE_DOC_STATS_SQL,
         "pivot_lang_counts": _PIVOT_LANG_COUNTS_SQL,

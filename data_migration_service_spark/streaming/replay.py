@@ -258,12 +258,21 @@ class ReplayEngine:
         await_termination: bool = True,
         timeout_sec: int | None = None,
         source_format: str = "parquet",
+        dedup_within: str | None = None,
     ):
         """Tail a growing directory of event files (the binlog/WAL analogue).
 
         `source_format="parquet"` expects RAW_EVENT_SCHEMA files;
         `"debezium"` tails newline-JSON Debezium envelopes
         (sources/debezium.py) decoded JVM-side into the same typed shape.
+
+        `dedup_within="10 minutes"` inserts a watermark-bounded in-stream
+        duplicate suppressor on the LSN (streaming/dedup.py) ahead of the
+        merge: at-least-once transport re-deliveries are dropped before
+        they cost a decode + shuffle + bucket rewrite. Purely an
+        optimization — the sink's LWW + epoch guard already make
+        duplicates harmless — so it is opt-in and needs an event-time
+        column (`ts`) in the stream.
 
         Uses the file source's checkpointed offsets for resume; availableNow
         drains everything present then stops — kill the query mid-run and a
@@ -300,6 +309,15 @@ class ReplayEngine:
             )
         else:
             raise ValueError(f"unknown source_format: {source_format!r}")
+
+        if dedup_within is not None:
+            from data_migration_service_spark.streaming.dedup import (
+                streaming_dedup_events,
+            )
+
+            stream = streaming_dedup_events(
+                stream, [self.cfg.lsn_col], ts_col="ts",
+                watermark=dedup_within)
 
         # Epoch identity is scoped to THIS checkpoint: micro-batch ids always
         # start at 0 for a fresh checkpoint, so tagging epochs with the raw

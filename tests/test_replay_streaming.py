@@ -394,3 +394,45 @@ def test_ingest_transform_dropping_required_column_fails_loudly(spark, tmp_path)
     with pytest.raises(Exception) as ei:
         eng2.replay_stream(src)
     assert "transform dropped required column" in str(ei.value)
+
+
+def test_stream_replay_dedup_within_watermark(spark, tmp_path):
+    """At-least-once transport re-delivery: the SAME event files land twice
+    in the source dir. With dedup_within set, the in-stream
+    dropDuplicatesWithinWatermark suppresses the second copies BEFORE the
+    apply path — lineage shows the duplicate batches contributing zero
+    rows — and the final state is exact (it would be exact without dedup
+    too, via LWW; the point is the duplicates never cost an apply)."""
+    ch, raw, reg, t, eng = _setup(spark, tmp_path, n_events=1200,
+                                  v2_at=401, v3_at=801)
+    src = str(tmp_path / "events_src")
+    raw.coalesce(1).write.mode("append").parquet(src)   # original delivery
+    raw.coalesce(1).write.mode("append").parquet(src)   # duplicate delivery
+    eng.replay_stream(src, max_files_per_trigger=1, dedup_within="2 hours")
+    _assert_final(t, ch)
+    lin = eng.lineage()
+    n_events = raw.count()
+    assert sum(r["rows_in_batch"] for r in lin) == n_events
+    # at least one micro-batch was fully suppressed duplicates
+    assert any(r["rows_in_batch"] == 0 for r in lin)
+
+
+def test_streaming_dedup_events_unit(spark, tmp_path):
+    from data_migration_service_spark.streaming.dedup import (
+        dedup_events,
+        streaming_dedup_events,
+    )
+
+    # batch twin: exact duplicate removal
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "lsn long, v string")
+    assert dedup_events(df, ["lsn"]).count() == 2
+    # streaming plan carries BOTH the watermark and the bounded-state dedup
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("lsn long, ts timestamp, v string") \
+        .parquet(str(src))
+    plan = streaming_dedup_events(stream, ["lsn"], "ts", "5 minutes") \
+        ._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+    assert "DeduplicateWithinWatermark" in plan

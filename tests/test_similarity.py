@@ -671,3 +671,51 @@ def test_sq_fit_minmax_semantics(spark):
     assert codes[1] == [0, 0]      # per-dim minima -> 0
     assert codes[2] == [255, 255]  # per-dim maxima -> 255
     assert codes[3] == [128, 128]  # midpoints -> floor(127.5+0.5)
+
+
+def test_pq_assign_argmin_semantics(spark):
+    """Per-subspace argmin with id tie-break, on a hand-checkable case."""
+    # dim=4, m=2, dsub=2; codebooks chosen so nearest entries are obvious
+    cbs = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 1.0], [1.0, 0.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.0, 0.0, 0.9]), (2, [0.9, 1.1, 1.0, 0.1])],
+        "vec_id long, embedding array<double>")
+    codes = {r["vec_id"]: list(r["c"]) for r in df.select(
+        "vec_id", S.pq_assign("embedding", cbs).alias("c")).collect()}
+    assert codes[1] == [0, 0]  # near (0,0) then near (0,1)
+    assert codes[2] == [1, 1]  # near (1,1) then near (1,0)
+    with pytest.raises(ValueError):
+        S.pq_pseudo_codebooks(dim=10, m=4)
+
+
+def test_pq_topk_exact_when_rerank_covers_corpus(planted):
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cbs = S.pq_pseudo_codebooks(dim=DIM, m=4, n_codes=8, seed=42)
+    n = planted.count()
+    k = 10
+    exact = [(r["vec_id"], round(r["cosine"], 6)) for r in
+             cosine_topk(planted, "vec_id", "embedding", qv, k).collect()]
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in
+           S.pq_topk(planted, "vec_id", "embedding", qv, cbs, k=k,
+                     rerank=(n // k) + 1).collect()]
+    assert got == exact
+
+
+def test_pq_fit_trained_codebooks_recall(planted):
+    """TRAINED PQ (per-subspace k-means) must beat random chance decisively:
+    the ADC candidate cut keeps most of the true top-k, and the planted
+    twin of the query survives."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cbs = S.pq_fit(planted, "embedding", m=4, n_codes=8, seed=1)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == DIM // 4 for cb in cbs for c in cb)
+    k = 15
+    exact_ids = {r["vec_id"] for r in
+                 cosine_topk(planted, "vec_id", "embedding", qv, k).collect()}
+    got_ids = {r["vec_id"] for r in
+               S.pq_topk(planted, "vec_id", "embedding", qv, cbs,
+                         k=k, rerank=4).collect()}
+    assert len(got_ids & exact_ids) / k >= 0.6
+    assert 1000 in got_ids  # the cosine ~0.995 planted twin
