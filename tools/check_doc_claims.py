@@ -1,0 +1,115 @@
+"""Doc-claims audit: every code object, test, and query the docs cite must
+exist.
+
+Round 1's only documentation defect was a coverage row claiming a function
+that did not exist (VERDICT.md "What's wrong" #3). This check makes that
+class of drift mechanical to catch:
+
+- every `tests/test_*.py::test_name` referenced in COVERAGE.md / README.md /
+  PLANS.md must be a real test function in that file;
+- every backticked `queries()` key claimed as a query in COVERAGE.md must
+  exist in `__spark_entry__.queries()` (checked against the source, no
+  Spark session needed);
+- every `module.function` citation of the package (e.g.
+  `similarity.sq_topk`, `text.chunk_documents`) must resolve to a real
+  attribute.
+
+Pure static analysis (ast + regex) — runs in milliseconds, no Spark.
+Exit 1 with a list of dangling claims, 0 when clean.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = ["COVERAGE.md", "README.md", "PLANS.md", "BENCH.md", "BASELINE.md"]
+PKG = "data_migration_service_spark"
+
+
+def _defs(path: str) -> set[str]:
+    """Top-level function/class names + methods, one parse, no import."""
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out.add(node.name)
+    return out
+
+
+def _query_keys() -> set[str]:
+    """Keys of __spark_entry__.queries() read from the source dict literal."""
+    with open(os.path.join(REPO, "__spark_entry__.py")) as f:
+        tree = ast.parse(f.read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+            keys: set[str] = set()
+            for sub in ast.walk(node):
+                if isinstance(sub, ast.Dict):
+                    for k in sub.keys:
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                            keys.add(k.value)
+            return keys
+    raise AssertionError("queries() not found")
+
+
+def main() -> int:
+    problems: list[str] = []
+    qkeys = _query_keys()
+
+    # module.function citations like `similarity.sq_topk` / `tables/txn.py`
+    mod_defs: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for fn in files:
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                mod_defs[os.path.splitext(fn)[0]] = (
+                    mod_defs.get(os.path.splitext(fn)[0], set()) | _defs(p))
+
+    test_defs: dict[str, set[str]] = {}
+    for fn in os.listdir(os.path.join(REPO, "tests")):
+        if fn.startswith("test_") and fn.endswith(".py"):
+            test_defs[fn] = _defs(os.path.join(REPO, "tests", fn))
+
+    cite_test = re.compile(r"tests/(test_\w+\.py)::(test_\w+)")
+    cite_fn = re.compile(r"`(\w+)\.(\w+)`")
+    cite_query = re.compile(r"quer(?:y|ies) `([a-z0-9_]+)`")
+
+    for doc in DOCS:
+        path = os.path.join(REPO, doc)
+        if not os.path.exists(path):
+            continue
+        text = open(path).read()
+        for m in cite_test.finditer(text):
+            fn, tname = m.group(1), m.group(2)
+            if fn not in test_defs:
+                problems.append(f"{doc}: cites missing test file {fn}")
+            elif tname not in test_defs[fn]:
+                problems.append(f"{doc}: cites missing {fn}::{tname}")
+        for m in cite_fn.finditer(text):
+            mod, name = m.group(1), m.group(2)
+            if mod in mod_defs and name not in mod_defs[mod] \
+                    and not name.startswith(("py", "md")):
+                problems.append(f"{doc}: cites `{mod}.{name}` but "
+                                f"{mod}.py defines no {name}")
+        for m in cite_query.finditer(text):
+            if m.group(1) not in qkeys:
+                problems.append(
+                    f"{doc}: claims query `{m.group(1)}` not in queries()")
+
+    if problems:
+        print("\n".join(problems))
+        print(f"\n{len(problems)} dangling doc claim(s)")
+        return 1
+    print(f"doc claims OK: {len(qkeys)} queries, "
+          f"{sum(len(v) for v in test_defs.values())} tests, "
+          f"{len(mod_defs)} modules checked")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
