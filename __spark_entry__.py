@@ -1297,6 +1297,115 @@ def _pq_topk_sql(k: int = 25, rerank: int = 4, m: int = 8, n_codes: int = 16,
     """
 
 
+def _ivfpq_topk_sql(k: int = 25, n_centroids: int = 8, n_probe: int = 2,
+                    m: int = 8, n_codes: int = 16, dim: int = 64,
+                    seed: int = 42) -> str:
+    """DuckDB twin of `q_embedding_ivfpq_topk`: the full IVFADC composition
+    — same hash-derived coarse centroids and PQ codebooks, same cell argmin
+    + top-n_probe probe choice, same elementwise residual (v - centroid),
+    same per-subspace residual-code argmin, same per-probed-cell INTEGER
+    lookup tables over the query's residual, same exact-cosine rerank."""
+    from data_migration_service_spark.operators.similarity import (
+        pq_pseudo_codebooks,
+        pseudo_centroids,
+    )
+
+    cents = pseudo_centroids(dim=dim, n_centroids=n_centroids, seed=seed)
+    cbs = pq_pseudo_codebooks(dim=dim, m=m, n_codes=n_codes, seed=seed)
+    dsub = dim // m
+    crows = ", ".join(
+        "({i}, [{c}]::DOUBLE[], {ss!r})".format(
+            i=i, c=", ".join(repr(x) for x in c), ss=sum(x * x for x in c))
+        for i, c in enumerate(cents)
+    )
+    brows = ", ".join(
+        "({j}, {i}, [{c}]::DOUBLE[], {ss!r})".format(
+            j=j, i=i, c=", ".join(repr(x) for x in c),
+            ss=sum(x * x for x in c))
+        for j, cb in enumerate(cbs) for i, c in enumerate(cb)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), q AS (
+          SELECT e AS qe FROM v WHERE vec_id = 0
+        ), cent(ci, c, ss) AS (
+          SELECT * FROM (VALUES {crows})
+        ), cb(j, ki, cc, ss2) AS (
+          SELECT * FROM (VALUES {brows})
+        ), assign AS (
+          SELECT v.vec_id, v.e,
+                 CAST(min([c.ss - 2.0 * list_dot_product(v.e, c.c),
+                           CAST(c.ci AS DOUBLE)])[2] AS INT) AS cell
+          FROM v CROSS JOIN cent c GROUP BY v.vec_id, v.e
+        ), probes AS (
+          SELECT c.ci FROM cent c CROSS JOIN q
+          ORDER BY [c.ss - 2.0 * list_dot_product(q.qe, c.c),
+                    CAST(c.ci AS DOUBLE)]
+          LIMIT {n_probe}
+        ), resid AS (
+          SELECT a.vec_id, a.e, a.cell,
+                 list_transform(generate_series(1, {dim}),
+                                i -> a.e[i] - c.c[i]) AS r
+          FROM assign a JOIN cent c ON c.ci = a.cell
+          WHERE a.cell IN (SELECT ci FROM probes)
+        ), codes AS (
+          SELECT resid.vec_id, resid.cell, cb.j,
+                 CAST(min([cb.ss2 - 2.0 * list_dot_product(
+                             resid.r[cb.j*{dsub}+1 : cb.j*{dsub}+{dsub}],
+                             cb.cc),
+                           CAST(cb.ki AS DOUBLE)])[2] AS INT) AS code
+          FROM resid CROSS JOIN cb GROUP BY resid.vec_id, resid.cell, cb.j
+        ), qres AS (
+          SELECT c.ci, list_transform(generate_series(1, {dim}),
+                                      i -> q.qe[i] - c.c[i]) AS qr
+          FROM cent c CROSS JOIN q
+          WHERE c.ci IN (SELECT ci FROM probes)
+        ), lut AS (
+          SELECT qres.ci, cb.j, cb.ki,
+                 CAST(floor(list_dot_product(
+                        qres.qr[cb.j*{dsub}+1 : cb.j*{dsub}+{dsub}],
+                        cb.cc) * 1048576.0 + 0.5) AS BIGINT) AS ival
+          FROM qres CROSS JOIN cb
+        ), scores AS (
+          SELECT codes.vec_id, sum(lut.ival) AS adc
+          FROM codes JOIN lut ON lut.ci = codes.cell AND lut.j = codes.j
+                             AND lut.ki = codes.code
+          GROUP BY codes.vec_id
+        ), cand AS (
+          SELECT vec_id FROM scores ORDER BY adc DESC, vec_id
+          LIMIT {k * 4}
+        )
+        SELECT v.vec_id,
+               round(list_cosine_similarity(v.e, (SELECT qe FROM q)), 4)
+                 AS cosine
+        FROM v JOIN cand USING (vec_id)
+        ORDER BY round(list_cosine_similarity(v.e, (SELECT qe FROM q)), 6)
+                   DESC,
+                 v.vec_id
+        LIMIT {k}
+    """
+
+
+def q_embedding_ivfpq_topk(spark, sf):
+    """IVF-PQ / IVFADC ANN (Jegou et al. 2011, the billion-scale index
+    shape): coarse cells prune the scan to n_probe partitions, residual
+    (v - centroid) PQ codes compress each kept vector to m bytes, ADC
+    scoring is m integer-LUT lookups per row with a LUT per probed cell,
+    and only the k*rerank survivors touch full vectors. Hash-derived
+    centroids + codebooks make the whole composition oracle-checkable;
+    the trained path (ivf_fit + pq_fit_residuals) is pinned by
+    tests/test_similarity.py."""
+    emb = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = S.pseudo_centroids(dim=64, n_centroids=8, seed=42)
+    cbs = S.pq_pseudo_codebooks(dim=64, m=8, n_codes=16, seed=42)
+    out = S.ivfpq_topk(emb, "vec_id", "embedding", qv, cents, cbs,
+                       k=25, n_probe=2, rerank=4)
+    return out.withColumn("cosine", F.round("cosine", 4))
+
+
 def q_embedding_pq_topk(spark, sf):
     """Product-quantization ANN with asymmetric distance (Jegou et al.
     2011, the billion-scale standard): corpus vectors become m-byte codes,
@@ -2300,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "embedding_sq_topk": q_embedding_sq_topk,
         "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2668,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_incremental": _embedding_incremental_sql(),
         "embedding_ann_lsh": _ann_lsh_sql(k=25),
         "embedding_ivf_topk": _ivf_topk_sql(k=25),
+        "embedding_ivfpq_topk": _ivfpq_topk_sql(k=25),
         "embedding_pq_topk": _pq_topk_sql(k=25),
         "semantic_dedup": _semantic_dedup_sql(),
         "cube_doc_stats": _CUBE_DOC_STATS_SQL,

@@ -250,7 +250,8 @@ def main() -> int:
                 "source_overlap", "budget_select",
                 "mixture_sample", "corpus_shuffle", "corpus_build",
                 "semantic_dedup", "cube_doc_stats", "pivot_lang_counts",
-                "merge_upsert",
+                "merge_upsert", "embedding_sq_topk", "embedding_pq_topk",
+                "embedding_ivfpq_topk", "chunk_documents",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

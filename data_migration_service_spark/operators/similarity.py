@@ -572,6 +572,215 @@ def pq_topk(
     )
 
 
+def pq_fit_residuals(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on IVF RESIDUALS (v - nearest coarse centroid) —
+    the IVFADC formulation (Jegou et al. 2011 §III): residuals are what PQ
+    actually encodes in a combined IVF-PQ index, and they are much better
+    conditioned than raw vectors (the coarse quantizer has removed the
+    between-cell variance, so each sub-quantizer spends its 2^bits codes on
+    the within-cell remainder). Same contract as `pq_fit`: the returned
+    'index' is plain driver floats, shipped as literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(centroids[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    res = df.select(_residual_col(vec_col, centroids).alias("_r"))
+    out = []
+    for j in range(m):
+        train = res.select(array_to_vector(
+            F.slice(F.col("_r"), j * dsub + 1, dsub)).alias("features"))
+        km = KMeans(k=n_codes, seed=seed + j, maxIter=max_iter).fit(train)
+        out.append([[float(x) for x in c] for c in km.clusterCenters()])
+    return out
+
+
+def _residual_col(vec_col, centroids: list[list[float]],
+                  cell: F.Column | None = None) -> F.Column:
+    """v - centroid[nearest cell]: elementwise double subtraction (exactly
+    rounded, so bit-identical on any engine), centroid picked by the same
+    argmin as `ivf_assign` (or a precomputed `cell` column)."""
+    v = (F.col(vec_col).cast("array<double>")
+         if isinstance(vec_col, str) else vec_col)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    if cell is None:
+        cell = ivf_assign_col(v, centroids)
+    return F.zip_with(v, F.element_at(cent_lit, cell + 1),
+                      lambda a, b: a - b)
+
+
+def ivf_assign_col(v: F.Column, centroids: list[list[float]]) -> F.Column:
+    """`ivf_assign` over an arbitrary array<double> Column."""
+    cells = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        score = F.lit(sum(x * x for x in c)) - 2.0 * _dot(v, carr)
+        cells.append(F.struct(score.alias("s"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*cells))["i"]
+
+
+def _ivfpq_adc(cell: F.Column, code: F.Column, query: list[float],
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               probes: list[int]) -> F.Column:
+    """Integer ADC score: one LUT per probed cell, built from the query's
+    residual vs that cell's centroid (driver floats; elementwise q-c
+    subtraction matches the executor-side residual bit-for-bit), selected
+    by a codegen CASE on the cell id."""
+    import math
+
+    dsub = len(codebooks[0][0])
+
+    def cell_score(ci: int) -> F.Column:
+        qr = [q - c for q, c in zip(query, centroids[ci])]
+        score = None
+        for j, cb in enumerate(codebooks):
+            lut = [int(math.floor(
+                sum(a * b for a, b in zip(qr[j * dsub:(j + 1) * dsub], c))
+                * (1 << 20) + 0.5)) for c in cb]
+            term = F.element_at(F.array(*[F.lit(x).cast("long") for x in lut]),
+                                code[j] + 1)
+            score = term if score is None else score + term
+        return score
+
+    adc = None
+    for ci in probes:
+        adc = F.when(cell == ci, cell_score(ci)) if adc is None \
+            else adc.when(cell == ci, cell_score(ci))
+    return adc
+
+
+def _query_probes(query: list[float], centroids: list[list[float]],
+                  n_probe: int) -> list[int]:
+    """Driver-side top-n_probe cells for a query vector (argmin of
+    |c|^2 - 2 q·c with index tie-break — the same rule as `ivf_assign`)."""
+    def d2(c):
+        return sum(x * x for x in c) - 2 * sum(x * y for x, y in zip(query, c))
+
+    order = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))
+    return order[:max(1, min(n_probe, len(centroids)))]
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the full IVFADC pipeline (Jegou et al. 2011),
+    composing this module's coarse quantizer (`ivf_assign` cells, probe
+    pruning) with product-quantized asymmetric-distance scoring over
+    RESIDUALS:
+
+      1. restrict to the `n_probe` cells nearest the query (as `ivf_topk`);
+      2. inside a probed cell, each vector's residual r = v - centroid is
+         PQ-coded (m sub-quantizer argmins — at 100 TB this is a WRITE-TIME
+         m-byte column, like `pq_assign`'s);
+      3. ADC score = m integer-LUT lookups, with a LUT PER PROBED CELL
+         built from the query's own residual q - centroid (asymmetric:
+         the query is never quantized);
+      4. exact-cosine rerank of the k*rerank ADC survivors.
+
+    Plan shape at scale: the cell filter prunes to n_probe partitions of a
+    cell-partitioned table, the scan reads only (id, cell, m-byte code),
+    scoring is a codegen `CASE WHEN cell=...` over literal LUT arrays, and
+    only the k*rerank survivors ever touch full vectors. Integer LUTs
+    (floor(dot * 2^20 + 0.5), as `pq_topk`) keep the candidate cut
+    order-independent and bit-identical cross-engine, which is what lets
+    the whole composition be oracle-checked end-to-end with
+    `pseudo_centroids` + `pq_pseudo_codebooks`."""
+    probes = _query_probes(query, centroids, n_probe)
+    v = F.col(vec_col).cast("array<double>")
+    cand = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .withColumn("_cell", ivf_assign_col(F.col("_v"), centroids))
+        .where(F.col("_cell").isin(*probes))
+        .withColumn("_code",
+                    pq_assign(_residual_col(F.col("_v"), centroids,
+                                            cell=F.col("_cell")),
+                              codebooks))
+    )
+
+    adc = _ivfpq_adc(F.col("_cell"), F.col("_code"), query, centroids,
+                     codebooks, probes)
+    cand = cand.withColumn("_adc", adc) \
+               .orderBy(F.desc("_adc"), F.col(id_col)).limit(k * rerank)
+    return (
+        cosine_scores(cand.select(F.col(id_col), F.col("_v")),
+                      id_col, "_v", query)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_index(df: DataFrame, id_col: str, vec_col: str,
+             centroids: list[list[float]],
+             codebooks: list[list[list[float]]]) -> DataFrame:
+    """Persistable IVF-PQ index rows (id, cell, code, vec) — the write-time
+    half of `ivfpq_topk`, factored out so the expensive parts (cell argmin,
+    residual PQ coding) run ONCE per ingested vector instead of per query.
+    Every column is row-local (nothing trained at index time — centroids
+    and codebooks are inputs), so the index is built once per corpus and
+    APPENDED per batch, exactly like `vector_index`.
+
+    Store partitioned by `cell`: a search prunes to n_probe partitions and
+    scans only (id, cell, code) — m bytes per vector — touching `vec` just
+    for the k*rerank rerank survivors. At 100 TB keep `vec` in a separate
+    column family / table joined back by id if the store charges for
+    column-pruned-but-present blobs."""
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(F.col(id_col), v.alias("vec")) \
+            .withColumn("cell", ivf_assign_col(F.col("vec"), centroids))
+    return out.withColumn(
+        "code", pq_assign(_residual_col(F.col("vec"), centroids,
+                                        cell=F.col("cell")), codebooks))
+
+
+def ivfpq_search(
+    index: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Query a stored `pq_index`: cell-partition-pruned scan of the probed
+    cells, integer ADC over the STORED codes (no per-query re-coding — the
+    difference from `ivfpq_topk`, which computes codes inline), exact
+    rerank via the stored vectors. Identical results to `ivfpq_topk` on
+    the same corpus and parameters (pinned in tests)."""
+    probes = _query_probes(query, centroids, n_probe)
+    cand = index.where(F.col("cell").isin(*probes))
+    adc = _ivfpq_adc(F.col("cell"), F.col("code"), query, centroids,
+                     codebooks, probes)
+    cand = cand.withColumn("_adc", adc) \
+               .orderBy(F.desc("_adc"), F.col(id_col)).limit(k * rerank)
+    return (
+        cosine_scores(cand.select(F.col(id_col), F.col("vec")),
+                      id_col, "vec", query)
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def vector_index(df: DataFrame, id_col: str, vec_col: str,
                  n_planes: int = 8, seed: int = 42,
                  dim: int = 64) -> DataFrame:

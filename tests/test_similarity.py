@@ -719,3 +719,91 @@ def test_pq_fit_trained_codebooks_recall(planted):
                          k=k, rerank=4).collect()}
     assert len(got_ids & exact_ids) / k >= 0.6
     assert 1000 in got_ids  # the cosine ~0.995 planted twin
+
+
+def test_ivfpq_exact_when_full_probe_and_rerank(planted):
+    """With every cell probed and rerank covering the corpus, IVF-PQ
+    degenerates to exact brute-force top-k (the ADC cut keeps everyone)."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = S.pseudo_centroids(dim=DIM, n_centroids=4, seed=42)
+    cbs = S.pq_pseudo_codebooks(dim=DIM, m=4, n_codes=8, seed=42)
+    n = planted.count()
+    k = 10
+    exact = [(r["vec_id"], round(r["cosine"], 6)) for r in
+             cosine_topk(planted, "vec_id", "embedding", qv, k).collect()]
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in
+           S.ivfpq_topk(planted, "vec_id", "embedding", qv, cents, cbs,
+                        k=k, n_probe=4, rerank=(n // k) + 1).collect()]
+    assert got == exact
+
+
+def test_ivfpq_candidates_respect_probed_cells(planted):
+    """Every returned id must live in one of the n_probe cells nearest the
+    query — the partition-pruning contract that makes IVF-PQ O(probed)
+    instead of O(corpus)."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = S.pseudo_centroids(dim=DIM, n_centroids=4, seed=42)
+    cbs = S.pq_pseudo_codebooks(dim=DIM, m=4, n_codes=8, seed=42)
+    got = S.ivfpq_topk(planted, "vec_id", "embedding", qv, cents, cbs,
+                       k=10, n_probe=2, rerank=4)
+    cells = planted.select(
+        "vec_id", S.ivf_assign("embedding", cents).alias("cell"))
+    joined = got.join(cells, "vec_id")
+
+    def d2(c):
+        return sum(x * x for x in c) - 2 * sum(a * b for a, b in zip(qv, c))
+
+    probed = sorted(range(len(cents)), key=lambda i: (d2(cents[i]), i))[:2]
+    assert joined.where(~F.col("cell").isin(probed)).count() == 0
+    assert got.count() == 10
+
+
+def test_ivfpq_trained_residual_codebooks_recall(planted):
+    """The trained path: k-means coarse centroids + PQ trained on RESIDUALS
+    (pq_fit_residuals) must keep most of the true top-k through the ADC cut
+    and retain the planted cosine-0.995 twin."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = S.ivf_fit(planted, "embedding", n_centroids=4, seed=1)
+    cbs = S.pq_fit_residuals(planted, "embedding", cents, m=4, n_codes=8,
+                             seed=1)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(c) == DIM // 4 for cb in cbs for c in cb)
+    k = 15
+    exact_ids = {r["vec_id"] for r in
+                 cosine_topk(planted, "vec_id", "embedding", qv, k).collect()}
+    got_ids = {r["vec_id"] for r in
+               S.ivfpq_topk(planted, "vec_id", "embedding", qv, cents, cbs,
+                            k=k, n_probe=3, rerank=4).collect()}
+    assert len(got_ids & exact_ids) / k >= 0.6
+    assert 1000 in got_ids  # the planted twin of the query
+
+
+def test_pq_index_search_matches_inline_ivfpq(planted, tmp_path):
+    """ivfpq_search over a stored pq_index (written to parquet partitioned
+    by cell, reopened) must equal the inline ivfpq_topk exactly — the
+    write-time-column contract: coding once at ingest changes nothing."""
+    qv = [float(x) for x in
+          planted.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = S.pseudo_centroids(dim=DIM, n_centroids=4, seed=42)
+    cbs = S.pq_pseudo_codebooks(dim=DIM, m=4, n_codes=8, seed=42)
+    idx = S.pq_index(planted, "vec_id", "embedding", cents, cbs)
+    path = str(tmp_path / "pqidx")
+    idx.write.partitionBy("cell").parquet(path)
+    spark = planted.sparkSession
+    stored = spark.read.parquet(path)
+    inline = [(r["vec_id"], round(r["cosine"], 6)) for r in
+              S.ivfpq_topk(planted, "vec_id", "embedding", qv, cents, cbs,
+                           k=10, n_probe=2, rerank=4).collect()]
+    via_index = [(r["vec_id"], round(r["cosine"], 6)) for r in
+                 S.ivfpq_search(stored, qv, cents, cbs, id_col="vec_id",
+                                k=10, n_probe=2, rerank=4).collect()]
+    assert via_index == inline
+    # the probe scan prunes partitions: only probed cells' files are read
+    probes = set(S._query_probes(qv, cents, 2))
+    pruned = S.ivfpq_search(stored, qv, cents, cbs, k=10, n_probe=2)
+    files = pruned.inputFiles()
+    assert files and all(
+        any(f"cell={c}" in f for c in probes) for f in files)
