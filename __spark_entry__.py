@@ -453,6 +453,100 @@ def q_verify_sample(spark, sf):
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_bucket_verify_dirty(spark, sf):
+    """Merkle level of the hierarchical verification
+    (operators/verify.py:verify_hierarchical — the 100 TB verify shape):
+    per-bucket (count, hash_sum, hash_xor) signatures on each side, then a
+    signature diff over n_buckets rows. Only the buckets returned here ever
+    pay row-level work; an identical table returns zero rows and the whole
+    verification cost two scans plus a 64-row join."""
+    src, tgt = _li_sides(spark, sf)
+    src_h = src.withColumn("_vh", F.sha2("content", 256))
+    tgt_h = tgt.withColumn("_vh", F.sha2("content", 256))
+    keys = ["l_orderkey", "l_linenumber"]
+    dirty = V.bucket_diff(
+        V.bucket_signatures(src_h, keys, F.col("_vh"), n_buckets=64),
+        V.bucket_signatures(tgt_h, keys, F.col("_vh"), n_buckets=64),
+    )
+    return dirty.select("bucket", "src_rows", "tgt_rows")
+
+
+def q_bucket_verify_drilldown(spark, sf):
+    """Row level of the hierarchical verification: the SAME classified
+    hash-diff as `hash_diff_status_counts`, but scanning ONLY rows whose
+    key falls in a dirty bucket from the Merkle level — the drill-down
+    `verify_hierarchical` runs after signature compare. Statuses != OK
+    match the full diff exactly (every bad row's bucket is dirty by
+    construction); OK counts shrink to the dirty buckets' population —
+    the work actually avoided is the difference."""
+    src, tgt = _li_sides(spark, sf)
+    keys = ["l_orderkey", "l_linenumber"]
+    src_h = src.withColumn("_vh", F.sha2("content", 256))
+    tgt_h = tgt.withColumn("_vh", F.sha2("content", 256))
+    dirty = V.bucket_diff(
+        V.bucket_signatures(src_h, keys, F.col("_vh"), n_buckets=64),
+        V.bucket_signatures(tgt_h, keys, F.col("_vh"), n_buckets=64),
+    )
+    dirty_ids = sorted(int(r["bucket"]) for r in dirty.collect())
+    in_dirty = V.key_bucket(keys, 64).isin(*dirty_ids)
+    diff = V.hash_diff(src_h.where(in_dirty), tgt_h.where(in_dirty),
+                       keys, F.col("_vh"), F.col("_vh"))
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+_BUCKET_SIDES_SQL = """
+WITH content_t AS (
+  SELECT l_orderkey, l_linenumber,
+         l_returnflag || '|' || l_linestatus || '|' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS content
+  FROM lineitem
+), src AS (
+  SELECT * FROM content_t WHERE l_orderkey % 103 <> 0
+), tgt AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_orderkey % 97 = 0 THEN 'CORRUPT' ELSE content END AS content
+  FROM content_t WHERE l_orderkey % 101 <> 0
+), sb AS (
+  SELECT ('0x' || substr(sha256('vbucket:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+         ('0x' || substr(sha256(content), 1, 8))::BIGINT AS h32
+  FROM src
+), tb AS (
+  SELECT ('0x' || substr(sha256('vbucket:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket,
+         ('0x' || substr(sha256(content), 1, 8))::BIGINT AS h32
+  FROM tgt
+), ss AS (
+  SELECT bucket, count(*) AS n_rows, CAST(sum(h32) AS BIGINT) AS hash_sum,
+         bit_xor(h32) AS hash_xor
+  FROM sb GROUP BY bucket
+), ts AS (
+  SELECT bucket, count(*) AS n_rows, CAST(sum(h32) AS BIGINT) AS hash_sum,
+         bit_xor(h32) AS hash_xor
+  FROM tb GROUP BY bucket
+), dirty AS (
+  SELECT coalesce(ss.bucket, ts.bucket) AS bucket,
+         coalesce(ss.n_rows, 0) AS src_rows,
+         coalesce(ts.n_rows, 0) AS tgt_rows
+  FROM ss FULL OUTER JOIN ts ON ss.bucket = ts.bucket
+  WHERE ss.n_rows IS DISTINCT FROM ts.n_rows
+     OR ss.hash_sum IS DISTINCT FROM ts.hash_sum
+     OR ss.hash_xor IS DISTINCT FROM ts.hash_xor
+)
+"""
+
+_BUCKET_DRILL_SQL = _BUCKET_SIDES_SQL + """
+, drill AS (
+  SELECT CASE WHEN t.l_orderkey IS NULL THEN 'MISSING_IN_TARGET'
+              WHEN s.l_orderkey IS NULL THEN 'MISSING_IN_SOURCE'
+              WHEN sha256(s.content) <> sha256(t.content) THEN 'MISMATCH'
+              ELSE 'OK' END AS status
+  FROM src s FULL OUTER JOIN tgt t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+  WHERE ('0x' || substr(sha256('vbucket:' || CAST(coalesce(s.l_orderkey, t.l_orderkey) AS VARCHAR) || ':' || CAST(coalesce(s.l_linenumber, t.l_linenumber) AS VARCHAR)), 1, 8))::BIGINT % 64
+        IN (SELECT bucket FROM dirty)
+)
+SELECT status, count(*) AS n FROM drill GROUP BY status
+"""
+
+
 def q_numeric_quantiles(spark, sf):
     """Distribution half of the profile verification gate
     (operators/profile.py:numeric_quantiles): per-column quantiles in one
@@ -2391,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_hash_canonical": q_row_hash_canonical,
         "hash_diff_status_counts": q_hash_diff_status_counts,
         "verify_sample": q_verify_sample,
+        "bucket_verify_dirty": q_bucket_verify_dirty,
+        "bucket_verify_drilldown": q_bucket_verify_drilldown,
         "numeric_quantiles": q_numeric_quantiles,
         "mismatch_report": q_mismatch_report,
         "recheck_values": q_recheck_values,
@@ -2499,6 +2595,9 @@ def oracle_sql() -> dict[str, str]:
         "hash_diff_status_counts": _LI_SIDES_SQL
         + "SELECT status, count(*) AS n FROM diff GROUP BY status",
         "verify_sample": _verify_sample_sql(),
+        "bucket_verify_dirty": _BUCKET_SIDES_SQL
+        + "SELECT bucket, src_rows, tgt_rows FROM dirty",
+        "bucket_verify_drilldown": _BUCKET_DRILL_SQL,
         "numeric_quantiles": _numeric_quantiles_sql(),
         "mismatch_report": _LI_SIDES_SQL
         + """

@@ -277,3 +277,175 @@ def verify_row_hashes(
         source, target, key_cols,
         row_sha256(source, cols), row_sha256(target, cols),
     )
+
+
+# ---------- hierarchical (Merkle-style) verification ----------
+
+
+def key_bucket(key_cols: list[str], n_buckets: int,
+               salt: str = "vbucket") -> F.Column:
+    """Deterministic verification bucket of a row's KEY: first 8 hex chars
+    of sha256(salt ':' k1 ':' k2 …) parsed to a long, mod `n_buckets`.
+
+    Pure function of the key and engine-portable (the identical expression
+    runs in ANSI SQL), so the same logical row lands in the same bucket on
+    both sides of a verification regardless of partitioning, cluster size,
+    or engine — the property every stage of `verify_hierarchical` rests on.
+    """
+    h = F.substring(
+        F.sha2(F.concat_ws(
+            ":", F.lit(salt), *[F.col(c).cast("string") for c in key_cols],
+        ), 256), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def bucket_signatures(
+    df: DataFrame,
+    key_cols: list[str],
+    hash_col,
+    n_buckets: int = 1024,
+    salt: str = "vbucket",
+) -> DataFrame:
+    """Per-bucket verification signature: (bucket, n_rows, hash_sum,
+    hash_xor) — the Merkle level above `hash_diff`'s row level.
+
+    The row hash's first 8 hex chars become a 32-bit value combined with
+    the two cheapest order-independent, partial-aggregable reductions
+    (sum and xor). Either alone is forgeable by accident (xor cancels
+    duplicate pairs, sum is robust to neither reorder nor offset trades
+    but collides on swapped deltas); together with the row count the
+    signature detects any single-row difference and any realistic
+    multi-row corruption. One scan, map-side combine, and the shuffle
+    carries `n_buckets` rows — not the table.
+
+    hash_sum stays inside a long for < 2^31 rows per bucket (32-bit terms);
+    size `n_buckets` so buckets stay under that (at 10^10 rows and the
+    default 1024 buckets: ~10^7 rows/bucket — 4 orders of headroom).
+    """
+    h32 = F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long")
+    return (
+        df.select(
+            key_bucket(key_cols, n_buckets, salt).alias("bucket"),
+            h32.alias("_h32"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_h32").alias("hash_sum"),
+            F.bit_xor("_h32").alias("hash_xor"),
+        )
+    )
+
+
+def bucket_diff(src_sigs: DataFrame, tgt_sigs: DataFrame) -> DataFrame:
+    """Dirty buckets: full-outer join of the two signature sets (≤ n_buckets
+    rows per side — driver-trivial) keeping buckets whose signature differs.
+    Output: (bucket, src_rows, tgt_rows) with 0 for a side missing the
+    bucket entirely."""
+    s = src_sigs.select("bucket", F.col("n_rows").alias("_sn"),
+                        F.col("hash_sum").alias("_ss"),
+                        F.col("hash_xor").alias("_sx"))
+    t = tgt_sigs.select("bucket", F.col("n_rows").alias("_tn"),
+                        F.col("hash_sum").alias("_ts"),
+                        F.col("hash_xor").alias("_tx"))
+    j = s.join(t, "bucket", "full_outer")
+    dirty = (
+        ~F.col("_sn").eqNullSafe(F.col("_tn"))
+        | ~F.col("_ss").eqNullSafe(F.col("_ts"))
+        | ~F.col("_sx").eqNullSafe(F.col("_tx"))
+    )
+    return j.where(dirty).select(
+        "bucket",
+        F.coalesce("_sn", F.lit(0)).alias("src_rows"),
+        F.coalesce("_tn", F.lit(0)).alias("tgt_rows"),
+    )
+
+
+def verify_hierarchical(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    n_buckets: int = 1024,
+    salt: str = "vbucket",
+    group_cols: list[str] | None = None,
+    report_cap: int = 100,
+) -> VerifyResult:
+    """Merkle-style two-level verification — the 100 TB shape of
+    `verify_state`.
+
+    `verify_state` shuffles BOTH full tables into one row-level full-outer
+    join: correct, but at 10^10 rows the verification itself costs a
+    table-sized shuffle even when the tables are identical — the common
+    case for a continuously-verified pipeline. This variant makes the
+    identical-table case (and the few-bad-buckets case) cheap:
+
+    1. per side: one scan -> per-bucket (count, hash_sum, hash_xor)
+       signature; the shuffle carries n_buckets rows, not the table;
+    2. signature compare (full-outer join of 2×n_buckets rows) -> dirty
+       bucket set, collected to the driver (≤ n_buckets ints);
+    3. clean verification exits here — two scans, ZERO row-level shuffle;
+       otherwise the row-level `hash_diff` runs ONLY over rows whose key
+       falls in a dirty bucket. The bucket predicate is a pure key
+       expression evaluated map-side inside the scan stage; on a
+       bucket-partitioned layout it prunes partitions outright.
+
+    Detection: any single-row difference flips its bucket's signature
+    (count, sum, or xor differs), so recall vs `verify_state` is exact for
+    the realistic corruption classes; the constructed blind spot (a
+    multi-row in-bucket edit preserving count, 32-bit sum AND xor
+    simultaneously) is adversarial, not accidental — run full
+    `verify_state` when the threat model includes an adversary.
+
+    Returns the same `VerifyResult`, with `extra` recording
+    n_buckets / dirty bucket ids / rows drilled, so callers can see the
+    work actually done."""
+    src_h = source.withColumn("_vh", content_sha256(content_col))
+    tgt_h = target.withColumn("_vh", content_sha256(content_col))
+    dirty = bucket_diff(
+        bucket_signatures(src_h, key_cols, F.col("_vh"), n_buckets, salt),
+        bucket_signatures(tgt_h, key_cols, F.col("_vh"), n_buckets, salt),
+    )
+    dirty_ids = sorted(r["bucket"] for r in dirty.collect())
+
+    counts = count_check(source, target, group_cols or key_cols[:1])
+    count_rows = counts.where(~F.col("count_ok")).limit(report_cap).collect()
+    n_src = source.count()
+    n_tgt = target.count()
+
+    if not dirty_ids:
+        return VerifyResult(
+            consistent=n_src == n_tgt and not count_rows,
+            source_rows=n_src, target_rows=n_tgt,
+            n_mismatch=0, n_missing_in_target=0, n_missing_in_source=0,
+            report=[], more=False,
+            count_by_group=[r.asDict() for r in count_rows],
+            extra={"n_buckets": n_buckets, "dirty_buckets": [],
+                   "rows_drilled": 0},
+        )
+
+    in_dirty = key_bucket(key_cols, n_buckets, salt).isin(
+        *[int(b) for b in dirty_ids])
+    diff = hash_diff(
+        src_h.where(in_dirty), tgt_h.where(in_dirty), key_cols,
+        F.col("_vh"), F.col("_vh"),
+    )
+    agg = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_status = {r["status"]: r["n"] for r in agg}
+    bad = diff.where(F.col("status") != OK)
+    report = [r.asDict() for r in
+              bad.select(*key_cols, "status").limit(report_cap + 1).collect()]
+    more = len(report) > report_cap
+    n_mm = by_status.get(MISMATCH, 0)
+    n_mt = by_status.get(MISSING_IN_TARGET, 0)
+    n_ms = by_status.get(MISSING_IN_SOURCE, 0)
+    return VerifyResult(
+        consistent=False if (n_mm or n_mt or n_ms or count_rows) else True,
+        source_rows=n_src, target_rows=n_tgt,
+        n_mismatch=n_mm, n_missing_in_target=n_mt, n_missing_in_source=n_ms,
+        report=report[:report_cap], more=more,
+        count_by_group=[r.asDict() for r in count_rows],
+        extra={"n_buckets": n_buckets,
+               "dirty_buckets": [int(b) for b in dirty_ids],
+               "rows_drilled": int(sum(by_status.values()))},
+    )

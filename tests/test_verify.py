@@ -195,3 +195,73 @@ def test_profile_diff_statuses(spark):
     assert d["id"]["status"] == "MISMATCH" and not d["id"]["max_val_match"]
     assert d["id"]["n_rows_match"]  # counts agree, values drifted
     assert d["extra"]["status"] == "TARGET_ONLY"
+
+
+# ---------- hierarchical (Merkle-style) verification ----------
+
+
+def _vh_sides(spark, corrupt_key=None, drop_key=None, n=2000):
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("content"),
+    )
+    tgt = base
+    if corrupt_key is not None:
+        tgt = tgt.withColumn(
+            "content",
+            F.when(F.col("k") == corrupt_key, F.lit("CORRUPT"))
+            .otherwise(F.col("content")),
+        )
+    if drop_key is not None:
+        tgt = tgt.where(F.col("k") != drop_key)
+    return base, tgt
+
+
+def test_hierarchical_identical_tables_zero_drilldown(spark):
+    from data_migration_service_spark.operators.verify import verify_hierarchical
+
+    src, tgt = _vh_sides(spark)
+    res = verify_hierarchical(src, tgt, ["k"], n_buckets=64)
+    assert res.consistent
+    assert res.extra["dirty_buckets"] == []
+    assert res.extra["rows_drilled"] == 0
+
+
+def test_hierarchical_single_corruption_prunes_to_one_bucket(spark):
+    from data_migration_service_spark.operators.verify import verify_hierarchical
+
+    src, tgt = _vh_sides(spark, corrupt_key=777)
+    res = verify_hierarchical(src, tgt, ["k"], n_buckets=64)
+    assert not res.consistent
+    assert res.n_mismatch == 1
+    assert len(res.extra["dirty_buckets"]) == 1
+    # the drill-down scanned one bucket's population, not the table:
+    # ~n/64 rows, far below n
+    assert 0 < res.extra["rows_drilled"] < 200
+    assert res.report[0]["k"] == 777
+    assert res.report[0]["status"] == MISMATCH
+
+
+def test_hierarchical_missing_row_detected(spark):
+    from data_migration_service_spark.operators.verify import verify_hierarchical
+
+    src, tgt = _vh_sides(spark, drop_key=42)
+    res = verify_hierarchical(src, tgt, ["k"], n_buckets=64)
+    assert not res.consistent
+    assert res.n_missing_in_target == 1
+    assert res.n_mismatch == 0
+    assert res.report[0]["k"] == 42
+    assert res.report[0]["status"] == MISSING_IN_TARGET
+
+
+def test_hierarchical_matches_full_verify_state(spark):
+    """Same verdict + per-class counts as the one-shot row-level verify."""
+    from data_migration_service_spark.operators.verify import verify_hierarchical
+
+    src, tgt = _vh_sides(spark, corrupt_key=13, drop_key=99)
+    full = verify_state(src, tgt, ["k"])
+    hier = verify_hierarchical(src, tgt, ["k"], n_buckets=32)
+    assert (full.n_mismatch, full.n_missing_in_target,
+            full.n_missing_in_source) == (
+        hier.n_mismatch, hier.n_missing_in_target, hier.n_missing_in_source)
+    assert full.consistent == hier.consistent
