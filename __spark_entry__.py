@@ -1174,6 +1174,45 @@ def q_lsn_gaps(spark, sf):
     return lsn_gaps(ev.select(F.col("event_id").alias("lsn")), "lsn")
 
 
+def q_range_count_windows(spark, sf):
+    """Range join (operators/ranges.py): events attributed to overlapping,
+    variable-width event_id windows (spans 20..420 force multiple grid
+    levels at bin_size=64) and rolled up per window — multi-level bin
+    equi-join + residual filter, never a nested loop; the oracle is the
+    naive BETWEEN join DuckDB can afford at sf0.01."""
+    from data_migration_service_spark.operators.ranges import range_count
+
+    ev = _t(spark, sf, "events").select("event_id")
+    ivs = (
+        ev.select((F.col("event_id") / 37).cast("long").alias("g")).distinct()
+        .select(
+            (F.col("g") * 37).alias("iv_id"),
+            (F.col("g") * 37).alias("lo"),
+            (F.col("g") * 37 + 20 + F.pmod(F.col("g"), F.lit(11)) * 40)
+            .alias("hi"),
+        )
+    )
+    out = range_count(ev, ivs, "event_id", "lo", "hi",
+                      iv_id_cols=["iv_id", "lo", "hi"], bin_size=64)
+    return out.select("iv_id", "lo", "hi", "n_points",
+                      F.col("min_point").alias("min_event_id"),
+                      F.col("max_point").alias("max_event_id"))
+
+
+_RANGE_COUNT_SQL = """
+WITH ivs AS (
+  SELECT g * 37 AS iv_id, g * 37 AS lo, g * 37 + 20 + (g % 11) * 40 AS hi
+  FROM (SELECT DISTINCT CAST(event_id // 37 AS BIGINT) AS g FROM events)
+)
+SELECT iv.iv_id, iv.lo, iv.hi,
+       count(*) AS n_points,
+       min(e.event_id) AS min_event_id,
+       max(e.event_id) AS max_event_id
+FROM ivs iv JOIN events e ON e.event_id BETWEEN iv.lo AND iv.hi
+GROUP BY iv.iv_id, iv.lo, iv.hi
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
@@ -2500,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_agg": q_windowed_agg,
         "sessionize": q_sessionize,
         "lsn_gaps": q_lsn_gaps,
+        "range_count_windows": q_range_count_windows,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
@@ -2658,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sessionize": _sessionize_sql(),
+        "range_count_windows": _RANGE_COUNT_SQL,
         "lsn_gaps": """
             WITH l AS (
               SELECT event_id AS lsn,
