@@ -134,6 +134,56 @@ FROM last WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_repair_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair (Engine.repair, api.py): replay only the first
+    60% of the derived log — a stale replica missing later inserts/updates
+    AND still holding keys the full log later deleted — then repair against
+    the full-log expected state. The diff's MISMATCH/MISSING_IN_TARGET keys
+    come back as upserts, MISSING_IN_SOURCE keys as tombstones, all at one
+    LSN past the high-watermark, applied through the standard CDC merge
+    (bucket-pruned, epoch-guarded). Final state must equal the complete LWW
+    replay; the oracle is the same fold DuckDB runs for
+    cdc_replay_final_state (minus last_lsn — repaired rows carry the
+    synthetic repair LSN by design)."""
+    from data_migration_service_spark.api import Engine
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_repair_")
+    path = os.path.join(root, "repos")
+    t = SnapshotTable.create(spark, path, schema, ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=path, n_buckets=16, salt_factor=2)
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    cdc_apply(t, ch.where(F.col("lsn") <= max(hi * 3 // 5, 1)), cfg, epoch=0)
+    w = W.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+    exp = (
+        ch.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("op") != "delete"))
+        .select("repo", "path", "content")
+    )
+    Engine(spark, cfg).repair(exp, verify_after=False)
+    return t.read().select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha256"))
+
+
+_REPAIR_CONVERGENCE_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path, sha256(content) AS content_sha256
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Secondary-index maintenance end-to-end (tables/index.py): build the
     table in two epochs, sync the content->key inverted index after EACH
@@ -2514,6 +2564,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_replay_final_state": _replay_final_state,
+        "repair_convergence": q_repair_convergence,
         "index_state": _index_state,
         "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
@@ -2599,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
     sep = "chr(31)"
     return {
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
+        "repair_convergence": _REPAIR_CONVERGENCE_SQL,
         "index_state": _INDEX_STATE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing

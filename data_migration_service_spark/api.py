@@ -10,6 +10,7 @@ mapped 1:1:
 | POST /jobs/migrateSpecificRecords  | Engine.replay_keys(...)        |
 | GET  /jobs[/{table}]               | Engine.status(detail=...)      |
 | POST /data/verification[/{table}]  | Engine.verify(...)             |
+| verification + re-migration loop   | Engine.repair(...)             |
 | POST /data/cleanup[/{table}]       | Engine.cleanup(...)            |
 
 The table-level job lock (BatchJobParameterHolder.java:33-57) is explicit:
@@ -33,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.functions.hashing import row_sha256
 from data_migration_service_spark.operators import verify as V
 from data_migration_service_spark.operators.merge import (
     compact,
@@ -325,6 +327,111 @@ class Engine:
         if predicate is None and keys is None:
             return self.table.truncate().snapshot_id
         return delete_where(self.table, self.cfg, predicate, keys=keys)
+
+    # ---- verification-driven repair (anti-entropy) ----
+    def repair(self, expected: DataFrame,
+               compare_cols: list[str] | None = None,
+               epoch: int | None = None,
+               repair_lsn: int | None = None,
+               dry_run: bool = False,
+               verify_after: bool = True) -> dict[str, Any]:
+        """Close the verification loop: diff the table against the
+        source-of-truth state and apply the minimal fix — the reference
+        runs verification (DataVerificationService.java:126-252) and then
+        re-migrates flagged records by hand through
+        migrateSpecificRecords (DataMigrationService.java:312-342); this
+        composes the two into one anti-entropy pass.
+
+        `expected` is the full desired row set (key columns + data
+        columns; an `lsn`/`op` column, if present, is ignored for the
+        comparison and replaced in the fix). Plan:
+
+        1. diff: one full-outer fingerprint join (verify.hash_diff) over
+           `row_sha256(compare_cols)` — NULL values hash to the sentinel,
+           so a NULL-content row is compared, never misread as absent;
+        2. fix batch: MISMATCH / MISSING_IN_TARGET keys take the expected
+           row as an upsert; MISSING_IN_SOURCE keys (rows the source of
+           truth no longer has) become delete tombstones;
+        3. every fix event carries `repair_lsn` (default: one past the
+           max LSN on either side — a narrow column-pruned aggregate), so
+           LWW makes the repair win over any stale version while staying
+           an ordinary CDC batch: bucket pruning rewrites only hit
+           buckets, the epoch guard makes a re-run idempotent, and a
+           quarantine/audit-gated table treats repairs like any ingest.
+
+        `dry_run=True` returns the planned counts without touching the
+        table. Scale: both sides shuffle once on the key for the diff
+        (same cost as `verify`); the fix batch is bad-keys-sized, so a
+        mostly-healthy 10^10-row table repairs in O(diff) + O(bad)."""
+        key_cols = list(self.cfg.key_cols)
+        meta = {self.cfg.lsn_col, self.cfg.op_col}
+        data_cols = [c for c in expected.columns
+                     if c not in set(key_cols) | meta]
+        cmp_cols = list(compare_cols) if compare_cols is not None else data_cols
+        tgt = self.table.read(columns=cmp_cols)
+        diff = V.hash_diff(
+            expected, tgt, key_cols,
+            row_sha256(expected, cmp_cols), row_sha256(tgt, cmp_cols),
+        )
+        bad = diff.where(F.col("status") != V.OK).select(*key_cols, "status")
+        bad = bad.cache()
+        try:
+            counts = {r["status"]: r["n"] for r in
+                      bad.groupBy("status")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            n_upsert = (counts.get(V.MISMATCH, 0)
+                        + counts.get(V.MISSING_IN_TARGET, 0))
+            n_delete = counts.get(V.MISSING_IN_SOURCE, 0)
+            report: dict[str, Any] = {
+                "n_mismatch": counts.get(V.MISMATCH, 0),
+                "n_missing_in_target": counts.get(V.MISSING_IN_TARGET, 0),
+                "n_missing_in_source": counts.get(V.MISSING_IN_SOURCE, 0),
+                "n_upserts": n_upsert, "n_deletes": n_delete,
+                "applied": False, "dry_run": dry_run,
+            }
+            if dry_run or n_upsert + n_delete == 0:
+                return report
+            if repair_lsn is None:
+                hi_t = (self.table.read(columns=[])
+                        .agg(F.max(self.cfg.lsn_col)).collect()[0][0]) or 0
+                hi_e = 0
+                if self.cfg.lsn_col in expected.columns:
+                    hi_e = (expected.agg(F.max(self.cfg.lsn_col))
+                            .collect()[0][0]) or 0
+                repair_lsn = max(int(hi_t), int(hi_e)) + 1
+            up_keys = (bad.where(F.col("status") != V.MISSING_IN_SOURCE)
+                       .select(*key_cols))
+            upserts = (
+                expected.join(maybe_broadcast_keys(up_keys, n_upsert),
+                              key_cols, "left_semi")
+                .select(*key_cols, *data_cols)
+                .withColumn(self.cfg.op_col, F.lit("update"))
+            )
+            dtypes = {f.name: f.dataType for f in expected.schema.fields}
+            deletes = (bad.where(F.col("status") == V.MISSING_IN_SOURCE)
+                       .select(*key_cols))
+            for c in data_cols:
+                deletes = deletes.withColumn(c, F.lit(None).cast(dtypes[c]))
+            deletes = deletes.withColumn(self.cfg.op_col, F.lit("delete"))
+            batch = (upserts.unionByName(deletes)
+                     .withColumn(self.cfg.lsn_col, F.lit(repair_lsn)))
+            e = (epoch if epoch is not None
+                 else current_epoch(self.table, self.cfg) + 1)
+            stats = apply_changes(self.table, batch, self.cfg, epoch=e)
+            report.update(applied=not stats.skipped, epoch=e,
+                          repair_lsn=repair_lsn,
+                          snapshot_id=stats.snapshot_id)
+        finally:
+            bad.unpersist()
+        if verify_after:
+            tgt2 = self.table.read(columns=cmp_cols)
+            residual = (
+                V.hash_diff(expected, tgt2, key_cols,
+                            row_sha256(expected, cmp_cols),
+                            row_sha256(tgt2, cmp_cols))
+                .where(F.col("status") != V.OK).count())
+            report["residual_bad_keys"] = residual
+        return report
 
     # ---- incremental verification ----
     def verify_incremental(self, expected: DataFrame, since_snapshot: int,

@@ -567,3 +567,71 @@ def test_inspect_metadata_tables(spark, tmp_path):
     per_bucket = (eng.inspect_files().groupBy("bucket")
                   .agg(F.sum("rows").alias("n")).count())
     assert per_bucket <= 4
+
+
+def test_repair_fixes_mismatch_missing_and_extra(spark, tmp_path):
+    """Engine.repair: one pass fixes all three divergence kinds — a
+    corrupted row (MISMATCH -> upsert), a lost row (MISSING_IN_TARGET ->
+    upsert), an orphan row the source of truth never had
+    (MISSING_IN_SOURCE -> delete tombstone) — and converges to the
+    expected state; a second repair is a no-op (nothing applied)."""
+    from data_migration_service_spark.operators.patch import apply_changes
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=15).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+    exp = expected_final_state(ch).select(
+        "repo", "path", "commit", "lang", "content", "size_bytes")
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+
+    victims = eng.table.read().orderBy("repo", "path").limit(2).collect()
+    lost, corrupted = victims
+    eng.cleanup(keys=spark.createDataFrame(
+        [(lost["repo"], lost["path"])], "repo string, path string"))
+    drift = spark.createDataFrame(
+        [
+            (corrupted["repo"], corrupted["path"], corrupted["commit"],
+             corrupted["lang"], "DRIFTED CONTENT", 15, hi + 1, "update"),
+            ("ghost_repo", "ghost/path.py", None, None, "orphan row", 10,
+             hi + 1, "insert"),
+        ],
+        "repo string, path string, commit string, lang string, "
+        "content string, size_bytes long, lsn long, op string",
+    )
+    apply_changes(eng.table, drift, eng.cfg)
+
+    plan = eng.repair(exp, dry_run=True)
+    assert plan == {
+        "n_mismatch": 1, "n_missing_in_target": 1, "n_missing_in_source": 1,
+        "n_upserts": 2, "n_deletes": 1, "applied": False, "dry_run": True,
+    }
+
+    rep = eng.repair(exp)
+    assert rep["applied"] and rep["repair_lsn"] > hi + 1
+    assert rep["residual_bad_keys"] == 0
+    assert eng.verify(expected_final_state(ch)).consistent
+    # orphan physically resolved to a tombstone, not a live row
+    assert eng.table.read().where(F.col("repo") == "ghost_repo").count() == 0
+
+    rep2 = eng.repair(exp)
+    assert rep2["n_upserts"] + rep2["n_deletes"] == 0 and not rep2["applied"]
+
+
+def test_repair_stale_replica_converges(spark, tmp_path):
+    """Repair a replica that only saw a prefix of the log: upserts cover the
+    missed tail, tombstones remove keys the tail deleted; final state equals
+    the full replay (the driver query's shape, pinned here at test scale)."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 2000, n_repos=10, n_paths_per_repo=20).cache()
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+    from data_migration_service_spark.operators.patch import apply_changes
+
+    apply_changes(eng.table, ch.where(F.col("lsn") <= hi * 3 // 5),
+                  eng.cfg, epoch=0)
+    exp = expected_final_state(ch).select(
+        "repo", "path", "commit", "lang", "content", "size_bytes")
+    rep = eng.repair(exp)
+    assert rep["n_upserts"] > 0  # the missed tail
+    assert rep["residual_bad_keys"] == 0
+    assert eng.verify(expected_final_state(ch)).consistent
