@@ -1263,6 +1263,35 @@ GROUP BY iv.iv_id, iv.lo, iv.hi
 """
 
 
+def q_stream_enrich(spark, sf):
+    """Stream-stream enrichment join, batch twin (streaming/enrich.py):
+    every event paired with the user's dimension versions (events with
+    event_id % 50 == 0 acting as profile updates) current within the hour
+    before it — equi-join on the key plus the event-time range constraint,
+    the exact plan the watermarked streaming variant runs. Oracle = the
+    same BETWEEN join in DuckDB."""
+    from data_migration_service_spark.streaming.enrich import enrich_join
+
+    ev = _t(spark, sf, "events")
+    facts = ev.select(F.col("event_id").alias("fact_id"), "user_id",
+                      F.col("ts").alias("fact_ts"))
+    dims = ev.where(F.pmod("event_id", F.lit(50)) == 0).select(
+        F.col("event_id").alias("dim_id"), "user_id",
+        F.col("ts").alias("dim_ts"))
+    out = enrich_join(facts, dims, ["user_id"], "fact_ts", "dim_ts",
+                      tolerance="1 hour")
+    return out.select("fact_id", "user_id", "dim_id")
+
+
+_STREAM_ENRICH_SQL = """
+SELECT f.event_id AS fact_id, f.user_id, d.event_id AS dim_id
+FROM events f
+JOIN (SELECT * FROM events WHERE event_id % 50 = 0) d
+  ON f.user_id = d.user_id
+ AND d.ts BETWEEN f.ts - INTERVAL 1 HOUR AND f.ts
+"""
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", k=5, n_hashes=16)
@@ -2591,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lsn_gaps": q_lsn_gaps,
         "range_count_windows": q_range_count_windows,
+        "stream_enrich": q_stream_enrich,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
@@ -2751,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": _sessionize_sql(),
         "range_count_windows": _RANGE_COUNT_SQL,
+        "stream_enrich": _STREAM_ENRICH_SQL,
         "lsn_gaps": """
             WITH l AS (
               SELECT event_id AS lsn,
