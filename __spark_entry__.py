@@ -1263,6 +1263,36 @@ GROUP BY iv.iv_id, iv.lo, iv.hi
 """
 
 
+def q_top_events_per_type(spark, sf):
+    """Top-N per group (the ranking half of the relational surface): the 3
+    highest-value events of each type, deterministic tie-break on event_id.
+    The `row_number() <= 3` filter plans as Partial+Final WindowGroupLimit
+    (pinned in tests/test_plans.py) — each input partition keeps only its
+    own top 3 per group BEFORE the exchange, so the shuffle moves
+    O(groups x N x partitions) rows, never the table; the full-group sort
+    a naive window would pay never happens."""
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "event_id",
+                F.round("value", 2).alias("value_r"), "rn")
+    )
+
+
+_TOP_EVENTS_SQL = """
+SELECT event_type, event_id, round(value, 2) AS value_r, rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
 def q_stream_enrich(spark, sf):
     """Stream-stream enrichment join, batch twin (streaming/enrich.py):
     every event paired with the user's dimension versions (events with
@@ -2621,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsn_gaps": q_lsn_gaps,
         "range_count_windows": q_range_count_windows,
         "stream_enrich": q_stream_enrich,
+        "top_events_per_type": q_top_events_per_type,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
@@ -2782,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _sessionize_sql(),
         "range_count_windows": _RANGE_COUNT_SQL,
         "stream_enrich": _STREAM_ENRICH_SQL,
+        "top_events_per_type": _TOP_EVENTS_SQL,
         "lsn_gaps": """
             WITH l AS (
               SELECT event_id AS lsn,

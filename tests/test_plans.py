@@ -231,3 +231,24 @@ def test_columns_projection_narrows_mor_read_schema(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unknown columns"):
         tbl.read(columns=["nope"])
+
+
+def test_top_n_per_group_uses_window_group_limit(spark):
+    """q_top_events_per_type's shape: a rank<=N filter over a row_number
+    window must plan as Partial+Final WindowGroupLimit — each input
+    partition keeps its own top N per group BEFORE the exchange — never a
+    whole-group sort of the full table."""
+    import __spark_entry__ as entry
+
+    df = entry.q_top_events_per_type(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
+    assert plan.count("Exchange") == 1  # one hash exchange on the group key
+    # semantics: every group has at most 3 rows, ranks are 1..k contiguous
+    from collections import Counter
+    rows = df.collect()
+    by_group = Counter(r.event_type for r in rows)
+    assert by_group and all(n <= 3 for n in by_group.values())
+    for g in by_group:
+        assert sorted(r.rn for r in rows if r.event_type == g) == \
+            list(range(1, by_group[g] + 1))
