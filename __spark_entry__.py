@@ -1263,6 +1263,36 @@ GROUP BY iv.iv_id, iv.lo, iv.hi
 """
 
 
+def q_hll_distinct_bound(spark, sf):
+    """HLL sketch accuracy contract (the primitive under
+    operators/sketches.py's incremental distinct maintenance): per
+    event_type, the exact distinct-user count (oracle-checked value) plus
+    `within_bound` — whether the Datasketches estimate at lg_k=12 lands
+    within max(3, 5%) of exact (~3 sigma of the 1.6% HLL stderr). A sketch
+    regression flips the flag and the hash mismatches; the exact column
+    keeps the row content non-trivial."""
+    ev = _t(spark, sf, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", 12)).alias("_est"),
+    )
+    bound = F.greatest(F.lit(3.0), F.col("n_exact") * 0.05)
+    return out.select(
+        "event_type", "n_exact",
+        (F.abs(F.col("_est") - F.col("n_exact")) <= bound)
+        .alias("within_bound"),
+    )
+
+
+_HLL_DISTINCT_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       true AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def q_top_events_per_type(spark, sf):
     """Top-N per group (the ranking half of the relational surface): the 3
     highest-value events of each type, deterministic tie-break on event_id.
@@ -2652,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_count_windows": q_range_count_windows,
         "stream_enrich": q_stream_enrich,
         "top_events_per_type": q_top_events_per_type,
+        "hll_distinct_bound": q_hll_distinct_bound,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
@@ -2814,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "range_count_windows": _RANGE_COUNT_SQL,
         "stream_enrich": _STREAM_ENRICH_SQL,
         "top_events_per_type": _TOP_EVENTS_SQL,
+        "hll_distinct_bound": _HLL_DISTINCT_SQL,
         "lsn_gaps": """
             WITH l AS (
               SELECT event_id AS lsn,
