@@ -605,6 +605,7 @@ def test_repair_fixes_mismatch_missing_and_extra(spark, tmp_path):
     assert plan == {
         "n_mismatch": 1, "n_missing_in_target": 1, "n_missing_in_source": 1,
         "n_upserts": 2, "n_deletes": 1, "applied": False, "dry_run": True,
+        "buckets_checked": "all",
     }
 
     rep = eng.repair(exp)
@@ -635,3 +636,42 @@ def test_repair_stale_replica_converges(spark, tmp_path):
     assert rep["n_upserts"] > 0  # the missed tail
     assert rep["residual_bad_keys"] == 0
     assert eng.verify(expected_final_state(ch)).consistent
+
+
+def test_repair_incremental_scopes_to_changed_buckets(spark, tmp_path):
+    """repair(since_snapshot=N): after a clean state at N, only buckets
+    whose manifests moved since N are diffed — both sides pruned by the
+    same bucket hash — and the fix still converges the full table."""
+    from data_migration_service_spark.operators.patch import apply_changes
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=15).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+    eng.compact()  # settle deltas so later epochs' bucket diff is minimal
+    s0 = eng.table.current().snapshot_id
+    exp = expected_final_state(ch).select(
+        "repo", "path", "commit", "lang", "content", "size_bytes")
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+
+    # drift confined to ONE key after the clean snapshot
+    victim = eng.table.read().orderBy("repo", "path").limit(1).collect()[0]
+    drift = spark.createDataFrame(
+        [(victim["repo"], victim["path"], victim["commit"], victim["lang"],
+          "DRIFTED", 7, hi + 1, "update")],
+        "repo string, path string, commit string, lang string, "
+        "content string, size_bytes long, lsn long, op string")
+    apply_changes(eng.table, drift, eng.cfg)
+
+    rep = eng.repair(exp, since_snapshot=s0)
+    assert rep["buckets_checked"] != "all"
+    assert 0 < len(rep["buckets_checked"]) < eng.table.current().n_buckets
+    assert rep["n_mismatch"] == 1 and rep["n_missing_in_source"] == 0
+    assert rep["residual_bad_keys"] == 0
+    # the incremental scope did not mask anything: full verify is clean
+    assert eng.verify(expected_final_state(ch)).consistent
+
+    # clean incremental window -> structurally empty diff, nothing applied
+    s1 = eng.table.current().snapshot_id
+    rep2 = eng.repair(exp, since_snapshot=s1)
+    assert not rep2["applied"] and rep2["n_upserts"] + rep2["n_deletes"] == 0
