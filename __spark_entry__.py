@@ -2233,6 +2233,44 @@ GROUP BY repo
 """
 
 
+def q_matview_counts(spark, sf):
+    """Persisted materialized view (tables/matview.py): the facade over
+    the incremental-aggregate algebra — CREATE after epoch 0, REFRESH
+    (bucket-pruned signed delta, committed by an atomic state flip) after
+    epoch 1, then REOPEN from state.json as a fresh process would and
+    return its contents. The oracle recomputes the rollup from the final
+    LWW state, so delta drift, a broken commit flip, or a stale reopen all
+    break the hash."""
+    from data_migration_service_spark.tables.matview import (
+        MaterializedAggregate,
+    )
+
+    ch = _derived_changes(spark, sf)
+    schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = tempfile.mkdtemp(prefix="dms_mv_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       merge_mode="mor")
+    hi = ch.agg(F.max("lsn")).collect()[0][0] or 0
+    cdc_apply(t, ch.where(F.col("lsn") <= hi // 2), cfg, epoch=0)
+    mv = MaterializedAggregate.create(
+        spark, os.path.join(root, "mv"), t, ["repo"],
+        {"n_files": "1", "total_chars": "length(content)"},
+        count_measure="n_files")
+    cdc_apply(t, ch.where(F.col("lsn") > hi // 2), cfg, epoch=1)
+    mv.refresh()
+    reopened = MaterializedAggregate.open(spark, os.path.join(root, "mv"), t)
+    return reopened.read().select(
+        "repo", F.col("n_files").cast("long").alias("n_files"),
+        F.col("total_chars").cast("long").alias("total_chars"))
+
+
 def q_event_quarantine(spark, sf):
     """Dead-letter validation (operators/quarantine.py): corrupt the
     derived log deterministically (null keys/LSN, unknown op), split
@@ -2733,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "asof_lookup": q_asof_lookup,
         "incremental_agg": q_incremental_agg,
+        "matview_counts": q_matview_counts,
         "event_quarantine": q_event_quarantine,
         "table_profile": q_table_profile,
     }
@@ -2755,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_SQL,
         "asof_lookup": _ASOF_SQL,
         "incremental_agg": _INCREMENTAL_AGG_SQL,
+        "matview_counts": _INCREMENTAL_AGG_SQL,
         "event_quarantine": _EVENT_QUARANTINE_SQL,
         "table_profile": _TABLE_PROFILE_SQL,
         "lww_dedup": """
