@@ -86,7 +86,8 @@ class JobLock:
 class Engine:
     def __init__(self, spark: SparkSession, cfg: EngineConfig,
                  registry: SchemaRegistry | None = None,
-                 meta_store=None, audit_gate=None, transform=None):
+                 meta_store=None, audit_gate=None, transform=None,
+                 views=None):
         # meta_store: commit-protocol backend (tables/metastore.py) — None
         # = local FS; an object-store deployment passes its conditional-PUT
         # store here and nothing else changes.
@@ -100,10 +101,13 @@ class Engine:
         self.table = SnapshotTable(spark, cfg.table_path,
                                    meta_store=meta_store)
         self.registry = registry
+        # views: MaterializedAggregate list (tables/matview.py) refreshed
+        # after every published epoch of a replay
         self._replayer = ReplayEngine(spark, self.table, cfg,
                                       registry=registry,
                                       audit_gate=audit_gate,
-                                      transform=transform)
+                                      transform=transform,
+                                      views=views)
         self.lock = (
             JobLock(os.path.join(cfg.checkpoint_path, "job.lock"))
             if cfg.checkpoint_path else None

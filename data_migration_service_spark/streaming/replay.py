@@ -60,6 +60,7 @@ class ReplayEngine:
         audit_gate=None,
         indexes=None,
         transform=None,
+        views=None,
     ):
         # audit_gate: optional Callable[[DataFrame], bool] — when set, every
         # micro-batch commits STAGED (write-audit-publish), the gate runs on
@@ -88,9 +89,16 @@ class ReplayEngine:
         # DataFrame it composes JVM expressions / Arrow UDFs only — the
         # no-per-row-Python rule holds by construction. It must preserve
         # the key / LSN / op columns; apply_batch fails loudly if not.
+        # views: optional list of MaterializedAggregate (tables/matview.py)
+        # refreshed after every published epoch. refresh() is a no-op when
+        # the view is already at HEAD and commits via its own atomic state
+        # flip, so a crash between table commit and view refresh just
+        # catches up next batch — views trail the table by at most one
+        # epoch, never diverge.
         self.audit_gate = audit_gate
         self.transform = transform
         self.indexes = list(indexes or [])
+        self.views = list(views or [])
         self.checkpoint = checkpoint or cfg.checkpoint_path
         if self.checkpoint:
             os.makedirs(os.path.join(self.checkpoint, "lineage"), exist_ok=True)
@@ -210,6 +218,8 @@ class ReplayEngine:
                         f"{self.table.current().snapshot_id}")
         for ix in self.indexes:
             ix.sync(self.table)
+        for mv in self.views:
+            mv.refresh()
         stats.extra["wall_sec"] = round(time.monotonic() - t0, 3)
         if n_quarantined:
             stats.extra["rows_quarantined"] = n_quarantined

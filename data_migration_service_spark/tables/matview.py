@@ -140,17 +140,21 @@ class MaterializedAggregate:
         """Advance to the table's HEAD: bucket-pruned signed delta merged
         into the previous state (O(changed buckets) + O(groups)). A
         rebucket in the interval degrades to a full (but still exact)
-        signed diff inside agg_delta; an EXPIRED base snapshot — the one
-        case the delta cannot be computed at all — falls back to a
-        from-scratch rebuild. No-op when already current."""
+        signed diff inside agg_delta; an EXPIRED base snapshot or a schema
+        EVOLUTION in the interval (the two sides of the signed union would
+        carry different column sets) falls back to a from-scratch rebuild
+        — still exact, one scan, measures evaluated against the current
+        names. No-op when already current."""
         frm = self.state["snapshot_id"]
-        head = self.table.current().snapshot_id
+        cur = self.table.current()
+        head = cur.snapshot_id
         if head == frm:
             return {"refreshed": False, "snapshot_id": head}
         names = list(self.state["measures"])
         try:
-            self.table.load_snapshot(frm)
-            have_base = True
+            base = self.table.load_snapshot(frm)
+            have_base = (base.props.get("schema_version", "1")
+                         == cur.props.get("schema_version", "1"))
         except Exception:
             have_base = False  # expired since the last refresh
         if have_base:

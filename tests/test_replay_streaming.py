@@ -436,3 +436,38 @@ def test_streaming_dedup_events_unit(spark, tmp_path):
         ._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_stream_replay_with_continuous_view_refresh(spark, tmp_path):
+    """views=[...] on ReplayEngine: every published epoch is followed by a
+    materialized-view refresh, so the rollup trails the table by at most
+    one epoch and equals a from-scratch GROUP BY at the end — the
+    continuously-maintained-dashboard composition."""
+    from data_migration_service_spark.tables.matview import (
+        MaterializedAggregate,
+    )
+
+    ch, raw, reg, t, eng = _setup(spark, tmp_path)
+    mv = MaterializedAggregate.create(
+        spark, str(tmp_path / "mv"), t, ["repo"],
+        {"n": "1", "chars": "coalesce(length(content), 0)"},
+        count_measure="n")
+    assert mv.read().count() == 0  # table still empty
+
+    eng2 = ReplayEngine(spark, t, eng.cfg, registry=reg, views=[mv])
+    src = str(tmp_path / "events_src")
+    raw.where(F.col("lsn") <= 1200).coalesce(1).write.mode("append").parquet(src)
+    raw.where(F.col("lsn") > 1200).coalesce(1).write.mode("append").parquet(src)
+    eng2.replay_stream(src, max_files_per_trigger=1)
+
+    # refreshed in-stream: the view reflects HEAD without any manual call
+    assert mv.state["snapshot_id"] == t.current().snapshot_id
+    got = {r["repo"]: (r["n"], r["chars"]) for r in mv.read().collect()}
+    want = {
+        r["repo"]: (r["n"], r["chars"])
+        for r in t.read().groupBy("repo").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("coalesce(length(content), 0)")).alias("chars"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
