@@ -25,6 +25,10 @@ Verb mapping (reference -> CLI):
     GET  /jobs[/{t}]              -> jobs status [--table t] [--detail]
     POST /data/verification[/{t}] -> verify --expected <parquet> [--table t]
                                      (--sample N: 1/N key-sample canary)
+    (engine-added)                -> repair --expected <parquet> [--dry-run]
+                                     [--since-snapshot N] (anti-entropy:
+                                     verify + minimal fix in one pass;
+                                     exit 1 unless converged/clean)
     POST /data/cleanup[/{t}]      -> cleanup [--table t]
     (engine-added)                -> maintain [--apply] [--table t]
     (engine-added)                -> fsck [--table t] [--deep]
@@ -175,6 +179,37 @@ def cmd_verify(args) -> int:
             "more": res.more,
         }
         ok = ok and res.consistent
+    print(json.dumps(out, default=str))
+    return 0 if ok else 1
+
+
+def cmd_repair(args) -> int:
+    """Verification-driven anti-entropy (Engine.repair): diff each table
+    against its source-of-truth parquet and apply the minimal fix batch —
+    or just report it with --dry-run. Exit 1 if any table still diverges
+    after the repair (or would change under --dry-run)."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    out, ok = {}, True
+    for name, eng in engines.items():
+        exp_path = args.expected or tables[name].get("expected")
+        if not exp_path:
+            out[name] = {"status": "NO_EXPECTATION"}
+            ok = False
+            continue
+        rep = eng.repair(spark.read.parquet(exp_path), dry_run=args.dry_run,
+                         since_snapshot=args.since_snapshot)
+        if args.dry_run:
+            rep["status"] = ("CLEAN" if rep["n_upserts"] + rep["n_deletes"]
+                             == 0 else "WOULD_REPAIR")
+            ok = ok and rep["status"] == "CLEAN"
+        else:
+            rep["status"] = ("CONVERGED"
+                             if rep.get("residual_bad_keys", 0) == 0
+                             else "RESIDUAL_DIVERGENCE")
+            ok = ok and rep["status"] == "CONVERGED"
+        out[name] = rep
     print(json.dumps(out, default=str))
     return 0 if ok else 1
 
@@ -370,6 +405,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="verify a deterministic 1/N key-sample (the cheap "
                         "every-epoch canary; salt rotates with the epoch)")
     v.set_defaults(fn=cmd_verify)
+
+    rp = sub.add_parser("repair",
+                        help="diff vs source of truth, apply minimal fix")
+    rp.add_argument("--table", default=None)
+    rp.add_argument("--expected", default=None,
+                    help="parquet of expected state "
+                         "(default: per-table 'expected' in the config)")
+    rp.add_argument("--dry-run", action="store_true",
+                    help="report the planned fix without writing")
+    rp.add_argument("--since-snapshot", type=int, default=None,
+                    help="incremental mode: diff only buckets changed "
+                         "since this clean snapshot")
+    rp.set_defaults(fn=cmd_repair)
 
     tg = sub.add_parser("tag", help="pin/list/drop named snapshot refs")
     tsub = tg.add_subparsers(dest="tag_cmd", required=True)

@@ -294,3 +294,30 @@ def test_cli_merge_verb(spark, tmp_path, capsys):
                        (F.col("path") == k["path"])) \
                 .first()["content"] == "patched"
     assert after.where("repo='rNEW'").first()["content"] == "added"
+
+
+def test_cli_repair_verb(spark, tmp_path, capsys):
+    cfg, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    rc, _ = _run(capsys, ["--config", cfg, "jobs", "run", "--batch"])
+    assert rc == 0
+
+    # drift: drop one row from the target behind the source of truth's back
+    t = SnapshotTable(spark, tables["repos_a"]["table_path"])
+    k = t.read().select("repo", "path").orderBy("repo", "path").limit(1)
+    from data_migration_service_spark.operators.merge import delete_where
+    from data_migration_service_spark.config import EngineConfig
+    delete_where(t, EngineConfig(table_path=t.root), keys=k)
+
+    # dry run reports the drift and exits 1, table untouched
+    before = t.read().count()
+    rc, res = _run(capsys, ["--config", cfg, "repair", "--dry-run"])
+    assert rc == 1 and res["repos_a"]["status"] == "WOULD_REPAIR"
+    assert res["repos_a"]["n_missing_in_target"] == 1
+    assert t.read().count() == before
+
+    # real repair converges (exit 0); a second dry run is CLEAN
+    rc, res = _run(capsys, ["--config", cfg, "repair"])
+    assert rc == 0 and res["repos_a"]["status"] == "CONVERGED"
+    assert res["repos_a"]["residual_bad_keys"] == 0
+    rc, res = _run(capsys, ["--config", cfg, "repair", "--dry-run"])
+    assert rc == 0 and res["repos_a"]["status"] == "CLEAN"
