@@ -1263,6 +1263,96 @@ GROUP BY iv.iv_id, iv.lo, iv.hi
 """
 
 
+def q_funnel_steps(spark, sf):
+    """Ordered funnel (view -> click -> purchase): users reaching each step
+    with the steps in TIME ORDER (a click only counts after that user's
+    first view, a purchase only after that click). Scale shape: one
+    filtered hash aggregate per step + a user-keyed join to the previous
+    step's first-reach time — never a per-user window over the whole event
+    stream, never a self cross join; each stage's build side shrinks
+    monotonically."""
+    ev = _t(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step, prev):
+        e = ev.where(F.col("event_type") == step)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col("t_prev"))
+        return e.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s1 = first_after("view", None)
+    s2 = first_after("click", s1)
+    s3 = first_after("purchase", s2)
+    parts = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(F.lit(i + 1).alias("step"), F.lit(name).alias("event_type"),
+                "users")
+        for i, (name, s) in enumerate(
+            [("view", s1), ("click", s2), ("purchase", s3)])
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention: users grouped by the Monday week of their
+    FIRST event; for each (cohort week, week offset), the distinct users
+    active that week. Two hash aggregates + one user-keyed join — the
+    (user, week) distinct collapses the event volume before anything else,
+    so the join and final rollup see at most users x weeks rows."""
+    ev = _t(spark, sf, "events").select("user_id", "ts")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_hll_distinct_bound(spark, sf):
     """HLL sketch accuracy contract (the primitive under
     operators/sketches.py's incremental distinct maintenance): per
@@ -2721,6 +2811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "top_events_per_type": q_top_events_per_type,
         "hll_distinct_bound": q_hll_distinct_bound,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "chunk_documents": q_chunk_documents,
@@ -2886,6 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_enrich": _STREAM_ENRICH_SQL,
         "top_events_per_type": _TOP_EVENTS_SQL,
         "hll_distinct_bound": _HLL_DISTINCT_SQL,
+        "funnel_steps": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
         "lsn_gaps": """
             WITH l AS (
               SELECT event_id AS lsn,
