@@ -242,7 +242,9 @@ def main() -> int:
                 "minhash_lsh_pairs_fast", "embedding_topk",
                 "embedding_near_dup_lsh", "semi_join_replay",
                 "recheck_values", "scd2_history", "asof_lookup",
-                "range_count_windows",
+                "range_count_windows", "stream_enrich",
+                "top_events_per_type", "hll_distinct_bound",
+                "funnel_steps", "cohort_retention",
                 "tf_idf_top_terms", "dedup_clusters", "redact_pii",
                 "pack_offsets", "minhash_incremental",
                 "embedding_incremental", "patch_final_state",
