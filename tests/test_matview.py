@@ -89,3 +89,56 @@ def test_matview_drops_group_at_zero_and_rebuilds_after_expiry(spark, tmp_path):
     res = mv.refresh()
     assert res["refreshed"] and res["mode"] == "rebuild"
     assert _view(mv) == _scratch(tbl)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_N = 900
+_CACHE = {}
+
+
+def _log(spark):
+    if "ch" not in _CACHE:
+        _CACHE["ch"] = gen_changes(spark, _N, n_repos=6,
+                                   n_paths_per_repo=10).cache()
+    return _CACHE["ch"]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    cuts=st.lists(st.integers(min_value=2, max_value=_N - 1),
+                  min_size=0, max_size=3, unique=True),
+    mode=st.sampled_from(["cow", "mor"]),
+    refresh_every=st.integers(min_value=1, max_value=3),
+)
+def test_any_epoch_partition_view_equals_scratch(spark, tmp_path_factory,
+                                                 cuts, mode, refresh_every):
+    """Delta-algebra property: for ANY partition of the log into epochs,
+    ANY merge mode, and ANY refresh cadence (every epoch, every 2nd, ...),
+    the maintained view equals a from-scratch GROUP BY of the final state.
+    Skipped refreshes make each delta span multiple epochs — the
+    interval-composability the signed algebra must (and does) satisfy."""
+    import tempfile as _tf
+    from pathlib import Path
+
+    tmp = Path(_tf.mkdtemp(prefix="mv_prop_"))
+    ch = _log(spark)
+    tbl = make_table(spark, tmp, n_buckets=8)
+    cfg = EngineConfig(table_path=tbl.root, n_buckets=8, merge_mode=mode,
+                       compact_threshold=2)
+    bounds, lo = [], 1
+    for c in sorted(cuts):
+        bounds.append((lo, c))
+        lo = c + 1
+    bounds.append((lo, _N))
+    cdc_apply(tbl, ch.where(F.col("lsn").between(*bounds[0])), cfg, epoch=0)
+    mv = MaterializedAggregate.create(
+        spark, str(tmp / "mv"), tbl, ["repo"], MEASURES, count_measure="n")
+    for i, (a, b) in enumerate(bounds[1:], start=1):
+        cdc_apply(tbl, ch.where(F.col("lsn").between(a, b)), cfg, epoch=i)
+        if i % refresh_every == 0:
+            mv.refresh()
+    mv.refresh()
+    assert _view(mv) == _scratch(tbl)
