@@ -46,16 +46,15 @@ from data_migration_service_spark.operators.incremental import (
 )
 from data_migration_service_spark.tables.lake import SnapshotTable
 
-__all__ = ["MaterializedAggregate"]
+__all__ = ["MaterializedAggregate", "DistinctSketchView"]
 
 _STATE = "state.json"
 
 
-class MaterializedAggregate:
-    """A maintained `GROUP BY group_cols` rollup of SUM-decomposable
-    measures over a SnapshotTable. Measures are SQL expression strings
-    (`{"n": "1", "chars": "length(content)"}`), summed per group —
-    strings, not Columns, so the definition survives a process restart."""
+class _PersistedView:
+    """Shared persistence shell: versioned parquet generations under
+    `data/v{snapshot}/`, an atomic `state.json` flip as the commit point,
+    one generation of reader grace, reopenable by table root check."""
 
     def __init__(self, spark: SparkSession, root: str, table: SnapshotTable,
                  state: dict[str, Any]):
@@ -63,6 +62,62 @@ class MaterializedAggregate:
         self.root = root
         self.table = table
         self.state = state
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str, table: SnapshotTable):
+        """Reopen from disk (fresh process); the definition and the
+        reflected snapshot come from state.json."""
+        with open(os.path.join(root, _STATE)) as f:
+            state = json.load(f)
+        if os.path.realpath(state["table_root"]) != os.path.realpath(table.root):
+            raise ValueError(
+                f"view at {root} was built over {state['table_root']}, "
+                f"not {table.root}")
+        return cls(spark, root, table, state)
+
+    def _data_dir(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, "data", f"v{snapshot_id:08d}")
+
+    def _commit(self, df: DataFrame, snapshot_id: int) -> None:
+        """Write the new generation, flip state.json atomically, prune
+        generations older than the one just superseded."""
+        prev = self.state.get("snapshot_id")
+        d = self._data_dir(snapshot_id)
+        df.write.mode("overwrite").parquet(d)  # orphan-safe on retry
+        self.state["snapshot_id"] = snapshot_id
+        tmp = os.path.join(self.root, _STATE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, os.path.join(self.root, _STATE))  # the commit point
+        keep = {f"v{snapshot_id:08d}"}
+        if prev is not None:
+            keep.add(f"v{prev:08d}")  # one generation of reader grace
+        data = os.path.join(self.root, "data")
+        for name in os.listdir(data):
+            if name not in keep:
+                shutil.rmtree(os.path.join(data, name))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(
+            self._data_dir(self.state["snapshot_id"]))
+
+    def _have_comparable_base(self, frm: int, cur) -> bool:
+        """True when the base snapshot is still loadable AND no schema
+        evolution happened in the interval (a delta across an evolution
+        would mix column sets)."""
+        try:
+            base = self.table.load_snapshot(frm)
+        except Exception:
+            return False  # expired since the last refresh
+        return (base.props.get("schema_version", "1")
+                == cur.props.get("schema_version", "1"))
+
+
+class MaterializedAggregate(_PersistedView):
+    """A maintained `GROUP BY group_cols` rollup of SUM-decomposable
+    measures over a SnapshotTable. Measures are SQL expression strings
+    (`{"n": "1", "chars": "length(content)"}`), summed per group —
+    strings, not Columns, so the definition survives a process restart."""
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -91,51 +146,12 @@ class MaterializedAggregate:
         mv._commit(df, snap.snapshot_id)
         return mv
 
-    @classmethod
-    def open(cls, spark: SparkSession, root: str,
-             table: SnapshotTable) -> "MaterializedAggregate":
-        """Reopen from disk (fresh process); the definition and the
-        reflected snapshot come from state.json."""
-        with open(os.path.join(root, _STATE)) as f:
-            state = json.load(f)
-        if os.path.realpath(state["table_root"]) != os.path.realpath(table.root):
-            raise ValueError(
-                f"view at {root} was built over {state['table_root']}, "
-                f"not {table.root}")
-        return cls(spark, root, table, state)
-
     # -- internals ---------------------------------------------------------
     def _measure_cols(self):
         return {name: F.expr(sql)
                 for name, sql in self.state["measures"].items()}
 
-    def _data_dir(self, snapshot_id: int) -> str:
-        return os.path.join(self.root, "data", f"v{snapshot_id:08d}")
-
-    def _commit(self, df: DataFrame, snapshot_id: int) -> None:
-        """Write the new generation, flip state.json atomically, prune
-        generations older than the one just superseded."""
-        prev = self.state.get("snapshot_id")
-        d = self._data_dir(snapshot_id)
-        df.write.mode("overwrite").parquet(d)  # orphan-safe on retry
-        self.state["snapshot_id"] = snapshot_id
-        tmp = os.path.join(self.root, _STATE + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(self.state, f)
-        os.replace(tmp, os.path.join(self.root, _STATE))  # the commit point
-        keep = {f"v{snapshot_id:08d}"}
-        if prev is not None:
-            keep.add(f"v{prev:08d}")  # one generation of reader grace
-        data = os.path.join(self.root, "data")
-        for name in os.listdir(data):
-            if name not in keep:
-                shutil.rmtree(os.path.join(data, name))
-
     # -- surface -----------------------------------------------------------
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(
-            self._data_dir(self.state["snapshot_id"]))
-
     def refresh(self) -> dict[str, Any]:
         """Advance to the table's HEAD: bucket-pruned signed delta merged
         into the previous state (O(changed buckets) + O(groups)). A
@@ -151,12 +167,7 @@ class MaterializedAggregate:
         if head == frm:
             return {"refreshed": False, "snapshot_id": head}
         names = list(self.state["measures"])
-        try:
-            base = self.table.load_snapshot(frm)
-            have_base = (base.props.get("schema_version", "1")
-                         == cur.props.get("schema_version", "1"))
-        except Exception:
-            have_base = False  # expired since the last refresh
+        have_base = self._have_comparable_base(frm, cur)
         if have_base:
             delta = agg_delta(self.table, self.state["group_cols"],
                               self._measure_cols(), from_snapshot=frm,
@@ -170,3 +181,76 @@ class MaterializedAggregate:
         self._commit(merged, head)
         return {"refreshed": True, "from": frm, "snapshot_id": head,
                 "mode": "delta" if have_base else "rebuild"}
+
+
+class DistinctSketchView(_PersistedView):
+    """The distinct-count sibling of MaterializedAggregate: a persisted
+    per-bucket HLL sketch state (operators/sketches.py) with the same
+    create / refresh / reopen lifecycle and the same atomic-flip commit.
+    Together the two cover the maintained-aggregate space: SUM-decomposable
+    measures via the signed delta, COUNT(DISTINCT cols) via mergeable
+    sketches — both O(changed buckets) per refresh.
+
+    A rename of a sketched column fails refresh LOUDLY (the stored column
+    list no longer resolves) — recreate the view under the new name;
+    carried sketches are value-based, so the failure is about definition
+    resolution, never silent drift."""
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, table: SnapshotTable,
+               cols: Sequence[str], lg_k: int = 12) -> "DistinctSketchView":
+        from data_migration_service_spark.operators.sketches import (
+            distinct_sketch,
+        )
+
+        os.makedirs(root)
+        snap = table.current()
+        state = {
+            "table_root": table.root,
+            "snapshot_id": snap.snapshot_id,
+            "cols": list(cols),
+            "lg_k": int(lg_k),
+        }
+        view = cls(spark, root, table, state)
+        df = distinct_sketch(table, state["cols"],
+                             snapshot=snap.snapshot_id, lg_k=lg_k)
+        view._commit(df, snap.snapshot_id)
+        return view
+
+    def refresh(self) -> dict[str, Any]:
+        """Advance to HEAD: unchanged buckets carry their sketch rows from
+        the previous generation, changed buckets re-sketch from state
+        (deletes/LWW exact by construction); expired base or schema
+        evolution -> full re-sketch. No-op when current."""
+        from data_migration_service_spark.operators.sketches import (
+            distinct_sketch,
+            distinct_sketch_update,
+        )
+
+        frm = self.state["snapshot_id"]
+        cur = self.table.current()
+        head = cur.snapshot_id
+        if head == frm:
+            return {"refreshed": False, "snapshot_id": head}
+        if self._have_comparable_base(frm, cur):
+            df = distinct_sketch_update(
+                self.table, self.read(), self.state["cols"],
+                from_snapshot=frm, to_snapshot=head,
+                lg_k=self.state["lg_k"])
+            mode = "delta"
+        else:
+            df = distinct_sketch(self.table, self.state["cols"],
+                                 snapshot=head, lg_k=self.state["lg_k"])
+            mode = "rebuild"
+        self._commit(df, head)
+        return {"refreshed": True, "from": frm, "snapshot_id": head,
+                "mode": mode}
+
+    def estimate(self) -> int:
+        """Table-wide distinct estimate from the stored per-bucket
+        sketches — an n_buckets-row union, never a table scan."""
+        from data_migration_service_spark.operators.sketches import (
+            distinct_estimate,
+        )
+
+        return distinct_estimate(self.read())

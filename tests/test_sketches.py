@@ -99,3 +99,44 @@ def test_sketch_multi_column_tuple_and_null_semantics(spark, tmp_path):
     sk_same = distinct_sketch_update(tbl, sk, ["lang", "commit"],
                                      from_snapshot=s)
     assert sk_same is sk
+
+
+def test_distinct_sketch_view_lifecycle(spark, tmp_path):
+    """DistinctSketchView (tables/matview.py): persisted create / refresh /
+    reopen over the sketch state; estimate == from-scratch estimate after
+    a delta refresh, and the view plugs into ReplayEngine(views=) by the
+    same refresh() contract as MaterializedAggregate."""
+    from data_migration_service_spark.tables.matview import DistinctSketchView
+
+    tbl = make_table(spark, tmp_path, n_buckets=8)
+    cfg = EngineConfig(table_path=tbl.root, n_buckets=8)
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=15).cache()
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+    cdc_apply(tbl, ch.where(F.col("lsn") <= hi // 2), cfg, epoch=0)
+
+    view = DistinctSketchView.create(spark, str(tmp_path / "dv"), tbl,
+                                     ["commit"])
+    exact0 = tbl.read().select("commit").distinct().count()
+    assert _bound_ok(view.estimate(), exact0)
+
+    cdc_apply(tbl, ch.where(F.col("lsn") > hi // 2), cfg, epoch=1)
+    res = view.refresh()
+    assert res["refreshed"] and res["mode"] == "delta"
+    assert view.estimate() == distinct_estimate(
+        distinct_sketch(tbl, ["commit"]))
+    assert not view.refresh()["refreshed"]
+
+    # fresh process: reopen and keep estimating
+    again = DistinctSketchView.open(spark, str(tmp_path / "dv"), tbl)
+    assert again.estimate() == view.estimate()
+    exact1 = tbl.read().select("commit").distinct().count()
+    assert _bound_ok(again.estimate(), exact1)
+
+    # expired base -> rebuild fallback, still exact vs scratch
+    victims = tbl.read().select("repo", "path").limit(25)
+    delete_where(tbl, cfg, keys=victims)
+    tbl.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    res = again.refresh()
+    assert res["mode"] == "rebuild"
+    assert again.estimate() == distinct_estimate(
+        distinct_sketch(tbl, ["commit"]))
