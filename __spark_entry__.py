@@ -230,6 +230,73 @@ FROM last WHERE rn = 1 AND op <> 'delete' AND content IS NOT NULL
 """
 
 
+# DerivedTable flagship transform: fixed-width char chunking (the RAG chunk
+# index). Row-local 1->N, seq = chunk ordinal, source LSN passed through.
+_CHUNK_TRANSFORM_SQL = """
+SELECT repo, path, lsn, CAST(chunk_id AS BIGINT) AS seq,
+       substring(content, chunk_id * 8 + 1, 8) AS chunk_text
+FROM (SELECT * FROM __source__
+      WHERE content IS NOT NULL AND length(content) > 0)
+LATERAL VIEW explode(
+    sequence(0, CAST(floor((length(content) - 1) / 8) AS INT))
+) t AS chunk_id
+"""
+
+
+def _derived_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained derived table end-to-end
+    (tables/derived.py): build the source in two epochs, sync the chunk
+    table after EACH (first sync bootstraps; second exercises the
+    changefeed path — before-image-derived retractions of shrunk/deleted
+    docs' tail chunks included), then return the ENTIRE derived state.
+    Oracle: the chunk transform recomputed over the LWW final state —
+    full-state equality, the same strongest-form check as `index_state`."""
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_drv_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    d = DerivedTable.create(spark, os.path.join(root, "chunks"), t,
+                            _CHUNK_TRANSFORM_SQL, seq_col="seq",
+                            n_buckets=16)
+    mid = (ch.agg(F.max("lsn")).collect()[0][0] or 0) // 2
+    cdc_apply(t, ch.where(F.col("lsn") <= mid), cfg, epoch=0)
+    d.sync(t)
+    cdc_apply(t, ch.where(F.col("lsn") > mid), cfg, epoch=1)
+    d.sync(t)
+    return d.read().select("repo", "path", "seq", "lsn", "chunk_text")
+
+
+_DERIVED_CHUNKS_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, lsn, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path, CAST(chunk_id AS BIGINT) AS seq, lsn,
+       substring(content, CAST(chunk_id * 8 + 1 AS INT), 8) AS chunk_text
+FROM (
+  SELECT repo, path, content, lsn,
+         unnest(range(0, CAST(floor((length(content) - 1) / 8) AS INT) + 1))
+             AS chunk_id
+  FROM last
+  WHERE rn = 1 AND op <> 'delete' AND content IS NOT NULL
+        AND length(content) > 0
+)
+"""
+
+
 def _changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine changefeed: build the table in two epochs (lsn <= mid, rest),
     then emit the incremental change events from the mid-replay snapshot to
@@ -2783,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _replay_final_state,
         "repair_convergence": q_repair_convergence,
         "index_state": _index_state,
+        "derived_chunks": _derived_chunks,
         "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
         "patch_final_state": q_patch_final_state,
@@ -2875,6 +2943,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_final_state": _REPLAY_FINAL_STATE_SQL,
         "repair_convergence": _REPAIR_CONVERGENCE_SQL,
         "index_state": _INDEX_STATE_SQL,
+        "derived_chunks": _DERIVED_CHUNKS_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing
         "bootstrap_then_tail": _REPLAY_FINAL_STATE_SQL,
