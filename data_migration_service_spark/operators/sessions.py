@@ -36,6 +36,35 @@ def sessionize(df: DataFrame, key_col: str, ts_col: str,
     )
 
 
+def streaming_sessionize(stream: DataFrame, key_col: str, ts_col: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of `sessionize`: the built-in `session_window` keeps
+    per-(key, open-session) state in the state store, MERGING sessions
+    whose events arrive in different micro-batches (the stateful part a
+    batch window can't do incrementally). The watermark both bounds state
+    and finalizes a session once event time passes its end + gap +
+    watermark — append mode emits each session exactly once, closed.
+
+    State is O(open sessions), never stream-lifetime: a closed session's
+    state is dropped at emission. Late events inside the watermark still
+    merge into their session; events later than the watermark are dropped
+    (the same documented policy as `streaming_windowed_counts`).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col),
+                 F.session_window(F.col(ts_col), gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def sessionize_sql(key_col: str, ts_col: str, table: str,
                    gap_seconds: int) -> str:
     """First-principles oracle: session starts where the gap from the

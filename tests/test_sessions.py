@@ -131,3 +131,55 @@ def test_streaming_gap_detector_multichunk_group(spark, tmp_path):
         assert got == {("a", 40, 44)}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_sessionize_merges_across_batches(spark, tmp_path):
+    """Sessions whose events arrive in DIFFERENT micro-batches must merge
+    into one state-store session (the stateful property batch windows
+    lack); closed sessions emit exactly once in append mode, and the
+    streaming result equals the batch `sessionize` of the same events."""
+    from data_migration_service_spark.operators.sessions import (
+        streaming_sessionize,
+    )
+
+    def ts(minute):
+        return f"2026-01-01 10:{minute:02d}:00"
+
+    # u1: one session spanning the batch boundary (10:00, 10:04 | 10:07);
+    # u2: two sessions split by a > gap hole (10:00 | 10:30);
+    # u3: single event in batch 2 only
+    b1 = [("u1", ts(0)), ("u1", ts(4)), ("u2", ts(0))]
+    b2 = [("u1", ts(7)), ("u2", ts(30)), ("u3", ts(31))]
+    # flush row: pushes the global watermark far past every session's end
+    # so append mode finalizes them all; excluded from the comparison
+    flush = [("zz_flush", "2026-01-02 10:00:00")]
+    sch = "user string, ts_s string"
+    for name, rows in [("b1", b1), ("b2", b2 + flush)]:
+        (spark.createDataFrame(rows, sch)
+         .select("user", F.to_timestamp("ts_s").alias("ts"))
+         .coalesce(1).write.parquet(str(tmp_path / "src" / name)))
+
+    stream = (spark.readStream.schema("user string, ts timestamp")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "src" / "*")))
+    q = (
+        streaming_sessionize(stream, "user", "ts", gap="5 minutes",
+                             watermark="10 minutes")
+        .writeStream.format("memory").queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user"], r["session_start"], r["n_events"])
+           for r in spark.sql(
+               "SELECT * FROM sess_test WHERE user <> 'zz_flush'").collect()}
+
+    batch_in = (spark.createDataFrame(b1 + b2, sch)
+                .select("user", F.to_timestamp("ts_s").alias("ts")))
+    expected = {(r["user"], r["session_start"], r["n_events"])
+                for r in sessionize(batch_in, "user", "ts",
+                                    gap="5 minutes").collect()}
+    assert got == expected
+    # the boundary-spanning session really merged: u1 is ONE session of 3
+    assert ("u1", "2026-01-01 10:00:00", 3) in got
