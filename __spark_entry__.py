@@ -297,6 +297,48 @@ FROM (
 """
 
 
+def _update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE parity (Engine.update_where): replay the log, then
+    UPDATE content = upper(content) WHERE repo = 'repo_3' as a CDC batch
+    (LSNs move past the high-watermark so changefeed consumers stay
+    consistent), and return the final state. Oracle: LWW final state with
+    the same CASE WHEN applied."""
+    from data_migration_service_spark.api import Engine
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_upd_")
+    SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                         ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    eng = Engine(spark, cfg)
+    cdc_apply(eng.table, ch, cfg, epoch=0)
+    eng.update_where({"content": "upper(content)"},
+                     predicate=F.col("repo") == "repo_3")
+    return eng.table.read().select("repo", "path", "content")
+
+
+_UPDATE_WHERE_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path,
+       CASE WHEN repo = 'repo_3' THEN upper(content) ELSE content END
+           AS content
+FROM last WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def _changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine changefeed: build the table in two epochs (lsn <= mid, rest),
     then emit the incremental change events from the mid-replay snapshot to
@@ -2851,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_convergence": q_repair_convergence,
         "index_state": _index_state,
         "derived_chunks": _derived_chunks,
+        "update_where": _update_where,
         "bootstrap_then_tail": _bootstrap_then_tail,
         "changefeed": _changefeed,
         "patch_final_state": q_patch_final_state,
@@ -2944,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "repair_convergence": _REPAIR_CONVERGENCE_SQL,
         "index_state": _INDEX_STATE_SQL,
         "derived_chunks": _DERIVED_CHUNKS_SQL,
+        "update_where": _UPDATE_WHERE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing
         "bootstrap_then_tail": _REPLAY_FINAL_STATE_SQL,

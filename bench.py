@@ -255,6 +255,7 @@ def main() -> int:
                 "semantic_dedup", "cube_doc_stats", "pivot_lang_counts",
                 "merge_upsert", "embedding_sq_topk", "embedding_pq_topk",
                 "embedding_ivfpq_topk", "chunk_documents",
+                "derived_chunks",
             ]
             for name in bench_qs:
                 t0 = time.monotonic()

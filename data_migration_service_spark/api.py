@@ -47,7 +47,7 @@ from data_migration_service_spark.operators.merge import (
 from data_migration_service_spark.operators.patch import apply_changes
 from data_migration_service_spark.registry import SchemaRegistry
 from data_migration_service_spark.streaming.replay import ReplayEngine
-from data_migration_service_spark.tables.lake import SnapshotTable
+from data_migration_service_spark.tables.lake import DELETED_COL, SnapshotTable
 
 
 class JobLock:
@@ -465,6 +465,76 @@ class Engine:
                 .where(F.col("status") != V.OK).count())
             report["residual_bad_keys"] = residual
         return report
+
+    def update_where(self, set_exprs: dict[str, Any], predicate=None,
+                     keys: DataFrame | None = None,
+                     epoch: int | None = None,
+                     update_lsn: int | None = None) -> dict[str, Any]:
+        """SQL UPDATE (Delta/Iceberg `UPDATE t SET ... WHERE ...` parity),
+        expressed as an ordinary CDC batch rather than an in-place file
+        rewrite — deliberately: the changefeed contract classifies a row
+        change as `update` only when its winning LSN moved, so an
+        in-place rewrite that kept old LSNs would silently desynchronize
+        every changefeed consumer (secondary indexes, matviews, derived
+        tables, replicas). Routing through `apply_changes` buys LSN
+        movement, exactly-once epoch tagging, quarantine/audit gating,
+        and bucket-pruned rewrites for free.
+
+        `set_exprs`: {column: Column | SQL string} applied to matching
+        LIVE rows (tombstones are never updated). Key columns, the LSN
+        and op columns are protected. Exactly one of `predicate` (boolean
+        Column over the row — needs a scan, column-pruned by Catalyst) or
+        `keys` (merge-key DataFrame — bucket-pruned via `probe_keys`, NO
+        table scan) selects the rows.
+
+        All updated rows carry one LSN past the scoped high-watermark
+        (the `repair` rule), so the update wins LWW over every current
+        version while later real CDC events still supersede it."""
+        snap = self.table.current()
+        key_cols = list(self.cfg.key_cols)
+        if (keys is None) == (predicate is None):
+            raise ValueError(
+                "update_where takes exactly one of predicate / keys")
+        protected = set(key_cols) | {self.cfg.lsn_col, self.cfg.op_col,
+                                     DELETED_COL}
+        names = set(snap.schema().names)
+        bad = [c for c in set_exprs if c in protected or c not in names]
+        if bad:
+            raise ValueError(
+                f"cannot update columns {bad} (protected or unknown; "
+                f"schema: {sorted(names)})")
+        hit_buckets = None
+        if keys is not None:
+            kdf = keys.select(*key_cols).distinct()
+            hit_buckets, n_keys = probe_keys(kdf, key_cols, snap.n_buckets)
+            hit_buckets = [b for b in hit_buckets
+                           if b in snap.buckets or snap.deltas.get(b)]
+            if not hit_buckets:
+                return {"n_updated": 0, "applied": False}
+            rows = (self.table.read(snapshot=snap, buckets=hit_buckets)
+                    .join(maybe_broadcast_keys(kdf, n_keys),
+                          key_cols, "left_semi"))
+        else:
+            rows = self.table.read(snapshot=snap).where(predicate)
+        if update_lsn is None:
+            hi = (self.table.read(snapshot=snap, columns=[],
+                                  buckets=hit_buckets)
+                  .agg(F.max(self.cfg.lsn_col)).collect()[0][0]) or 0
+            update_lsn = int(hi) + 1
+        batch = rows
+        for c, e in set_exprs.items():
+            batch = batch.withColumn(
+                c, F.expr(e) if isinstance(e, str) else e)
+        batch = (batch
+                 .withColumn(self.cfg.lsn_col, F.lit(update_lsn))
+                 .withColumn(self.cfg.op_col, F.lit("update")))
+        ep = (epoch if epoch is not None
+              else current_epoch(self.table, self.cfg) + 1)
+        stats = apply_changes(self.table, batch, self.cfg, epoch=ep)
+        return {"n_updated": stats.rows_after_dedup,
+                "applied": not stats.skipped, "epoch": ep,
+                "update_lsn": update_lsn,
+                "snapshot_id": stats.snapshot_id}
 
     # ---- incremental verification ----
     def verify_incremental(self, expected: DataFrame, since_snapshot: int,

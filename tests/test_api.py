@@ -675,3 +675,61 @@ def test_repair_incremental_scopes_to_changed_buckets(spark, tmp_path):
     s1 = eng.table.current().snapshot_id
     rep2 = eng.repair(exp, since_snapshot=s1)
     assert not rep2["applied"] and rep2["n_upserts"] + rep2["n_deletes"] == 0
+
+
+def test_update_where_cdc_semantics(spark, tmp_path):
+    """UPDATE expressed as a CDC batch: values change, LSNs move past the
+    high-watermark (so the changefeed classifies `update` and downstream
+    consumers stay consistent), tombstones are untouched, and the keyed
+    path prunes to hit buckets."""
+    import pytest
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=15).cache()
+    ch.write.parquet(str(tmp_path / "events"))
+    eng.replay(str(tmp_path / "events"), streaming=False)
+    sid_before = eng.table.current().snapshot_id
+    hi = eng.table.read().agg(F.max("lsn")).collect()[0][0]
+
+    # predicate path: rewrite one repo's lang
+    n_match = eng.table.read().where(F.col("repo") == "repo_0003").count()
+    rep = eng.update_where({"lang": F.lit("zz")},
+                           predicate=F.col("repo") == "repo_0003")
+    assert rep["applied"] and rep["n_updated"] == n_match
+    assert rep["update_lsn"] == hi + 1
+    after = eng.table.read()
+    assert after.where((F.col("repo") == "repo_0003")
+                       & (F.col("lang") != "zz")).count() == 0
+    assert after.where((F.col("repo") != "repo_0003")
+                       & (F.col("lang") == "zz")).count() == 0
+    # the changefeed sees exactly the updated rows, classified `update`
+    from data_migration_service_spark.operators.changefeed import table_changes
+    chg = table_changes(eng.table, sid_before).collect()
+    assert len(chg) == n_match
+    assert all(r["op"] == "update" and r["repo"] == "repo_0003" for r in chg)
+
+    # keys path: SQL-string expression, only hit buckets rewritten
+    victim = after.limit(1).collect()[0]
+    keys = spark.createDataFrame([(victim["repo"], victim["path"])],
+                                 "repo string, path string")
+    rep2 = eng.update_where({"content": "upper(content)"}, keys=keys)
+    assert rep2["n_updated"] == 1
+    got = eng.table.read().where(
+        (F.col("repo") == victim["repo"])
+        & (F.col("path") == victim["path"])).collect()[0]
+    assert got["content"] == (victim["content"] or "").upper() or \
+        victim["content"] is None
+
+    # guards: protected / unknown columns, predicate XOR keys
+    with pytest.raises(ValueError, match="protected or unknown"):
+        eng.update_where({"lsn": F.lit(0)},
+                         predicate=F.lit(True))
+    with pytest.raises(ValueError, match="exactly one"):
+        eng.update_where({"lang": F.lit("x")})
+
+    # exactly-once: re-applying the same epoch is absorbed
+    rep3 = eng.update_where({"lang": F.lit("ww")},
+                            predicate=F.col("repo") == "repo_0004",
+                            epoch=rep2["epoch"])
+    assert not rep3["applied"]
+    assert eng.table.read().where(F.col("lang") == "ww").count() == 0
