@@ -536,6 +536,22 @@ class Engine:
                 "update_lsn": update_lsn,
                 "snapshot_id": stats.snapshot_id}
 
+    def sql(self, query: str, name: str = "t",
+            epoch: int | None = None,
+            timestamp: float | None = None) -> DataFrame:
+        """Run SQL over this table's resolved state (live rows, LWW
+        winners), registered as temp view `name`. `epoch`/`timestamp`
+        time-travel exactly like `read_as_of`. The view is transient —
+        dropped before returning (the result plan is already resolved)."""
+        df = (self.read_as_of(epoch=epoch, timestamp=timestamp)
+              if epoch is not None or timestamp is not None
+              else self.table.read())
+        df.createOrReplaceTempView(name)
+        try:
+            return self.spark.sql(query)
+        finally:
+            self.spark.catalog.dropTempView(name)
+
     # ---- incremental verification ----
     def verify_incremental(self, expected: DataFrame, since_snapshot: int,
                            content_col: str = "content") -> V.VerifyResult:
@@ -1014,6 +1030,38 @@ class EngineGroup:
     def status(self, detail: bool = False) -> dict[str, dict[str, Any]]:
         return {name: eng.status(detail=detail)
                 for name, eng in self.engines.items()}
+
+    def sql(self, query: str, catalog_root: str | None = None) -> DataFrame:
+        """Run SQL over the whole table group, each table visible as a temp
+        view under its configured name.
+
+        `catalog_root` pins every table to the last SEALED cross-table
+        transaction (`tables.txn.consistent_snapshots`) — a join between
+        two tables can never observe half of a group commit, even while
+        writers race; tables the transaction log has never pinned read at
+        HEAD. Without it, each table reads its own current snapshot
+        (single-table queries, or groups not using transactions).
+
+        The MOR resolve runs under each view, so SQL sees exactly what
+        `read()` returns: live rows, LWW winners. View registration is
+        transient — the returned DataFrame's plan is already resolved, and
+        the views are dropped before returning."""
+        pins: dict[str, int] = {}
+        if catalog_root is not None:
+            from data_migration_service_spark.tables.txn import (
+                consistent_snapshots,
+            )
+
+            pins = consistent_snapshots(catalog_root)
+        try:
+            for name, eng in self.engines.items():
+                snap = (eng.table.load_snapshot(pins[name])
+                        if name in pins else None)
+                eng.table.read(snapshot=snap).createOrReplaceTempView(name)
+            return self.spark.sql(query)
+        finally:
+            for name in self.engines:
+                self.spark.catalog.dropTempView(name)
 
     def apply_all_atomic(self, batches: dict[str, DataFrame], epoch: int,
                          catalog_root: str) -> dict[str, Any]:
