@@ -465,8 +465,23 @@ class SnapshotTable:
         cluster = ([c.strip() for c in ws[5:].split(",")
                     if c.strip() and c.strip() in df.columns]
                    if ws.startswith("cols:") else [])
-        if sort and ws != "none" and (sort_keys or cluster):
-            part = part.sortWithinPartitions(BUCKET_COL, *cluster,
+        # write_sort=zorder:a,b — Morton-interleaved clustering for scans
+        # that filter on EITHER column (tables/zorder.py): the z-value
+        # leads the in-task sort, the merge key still follows for point-
+        # lookup pruning. Stats pass + interleave only on sorted writes
+        # (cow/compaction) — MOR delta appends pass sort=False, so the
+        # LSM rule "cluster at compaction, not on the apply hot path"
+        # holds by construction.
+        zlead = []
+        if sort and ws.startswith("zorder:"):
+            from data_migration_service_spark.tables.zorder import zorder_key
+
+            zcols = [c.strip() for c in ws[7:].split(",")
+                     if c.strip() and c.strip() in df.columns]
+            if zcols:
+                zlead = [zorder_key(df, zcols)]
+        if sort and ws != "none" and (sort_keys or cluster or zlead):
+            part = part.sortWithinPartitions(BUCKET_COL, *zlead, *cluster,
                                              *sort_keys)
         w = part.write.mode("overwrite")
         # Target file size: a writer task owning a huge (bucket, salt)
