@@ -849,6 +849,19 @@ class Engine:
             ch.unpersist()
 
     # ---- maintenance ----
+    def optimize(self, buckets: list[int] | None = None,
+                 tombstone_watermark: int | None = None) -> int:
+        """Rewrite base files under the current layout rules (OPTIMIZE /
+        rewrite_data_files — see operators.merge.rewrite_buckets). Use
+        after `table.set_props(write_sort=...)` to re-cluster existing
+        data, or bucket-ranged as a rolling background pass."""
+        from data_migration_service_spark.operators.merge import (
+            rewrite_buckets,
+        )
+
+        return rewrite_buckets(self.table, self.cfg, buckets=buckets,
+                               tombstone_watermark=tombstone_watermark)
+
     def compact(self, tombstone_watermark: int | None = None) -> int:
         return compact(self.table, self.cfg,
                        tombstone_watermark=tombstone_watermark)

@@ -541,6 +541,50 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
     return new.snapshot_id
 
 
+def rewrite_buckets(table: SnapshotTable, cfg: EngineConfig,
+                    buckets: list[int] | None = None,
+                    tombstone_watermark: int | None = None) -> int:
+    """OPTIMIZE parity (Delta `OPTIMIZE [ZORDER BY]` / Iceberg
+    rewrite_data_files): rewrite the base files of `buckets` (default:
+    every populated bucket) under the table's CURRENT layout rules —
+    `write_sort` clustering (`cols:` / `zorder:`), `target_file_rows`,
+    key sort — folding any delta dirs along the way.
+
+    `compact` only touches buckets carrying deltas; this verb exists for
+    the other reason to rewrite: the layout RULES changed (a `set_props`
+    flipped write_sort to a Z-order, target_file_rows shrank) or L0-era
+    files were written unsorted and reads now need the clustering. Same
+    fused one-exchange plan, same optimistic-rebase commit as compaction,
+    so it runs concurrently with ingest. At 100 TB run it bucket-ranged
+    (the `buckets` arg) as a rolling background pass, not as one job."""
+    snap = table.current()
+    populated = sorted(set(snap.buckets)
+                       | {b for b, d in snap.deltas.items() if d})
+    todo = sorted(set(buckets) & set(populated)) if buckets is not None \
+        else populated
+    if not todo:
+        return snap.snapshot_id
+    raw = table.read(snapshot=snap, buckets=todo, include_deleted=True,
+                     reduce=False)
+    schema = snap.schema()
+    data_cols = [f.name for f in schema.fields
+                 if f.name not in (BUCKET_COL, DELETED_COL)]
+    merged = lww_fused(raw, list(snap.key_cols), F.col(cfg.lsn_col),
+                       max(cfg.salt_factor, 1),
+                       struct_cols=data_cols + [DELETED_COL])
+    if tombstone_watermark is not None:
+        merged = merged.where(
+            ~(F.col(DELETED_COL) & (F.col(cfg.lsn_col) <= tombstone_watermark))
+        )
+    dirname = table.write_buckets(merged, todo, write_schema=schema,
+                                  pre_partitioned=True)
+    new = table.commit("optimize", {b: dirname for b in todo},
+                       summary={"buckets": len(todo)},
+                       expected_parent=snap.snapshot_id,
+                       max_retries=cfg.commit_retries)
+    return new.snapshot_id
+
+
 # a targeted key set bigger than this joins without the broadcast hint
 # (~100-byte (repo, path) keys x 500k ≈ 50 MB, inside the 64 MB session
 # autoBroadcast budget with headroom; beyond it the semi-join shuffles and

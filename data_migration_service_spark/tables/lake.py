@@ -471,7 +471,11 @@ class SnapshotTable:
         # lookup pruning. Stats pass + interleave only on sorted writes
         # (cow/compaction) — MOR delta appends pass sort=False, so the
         # LSM rule "cluster at compaction, not on the apply hot path"
-        # holds by construction.
+        # holds by construction. NOTE the stats pass re-executes `df`'s
+        # plan once: cheap for compaction (a raw re-read), but a cow
+        # merge would run its LWW aggregate twice — prefer zorder on
+        # MOR + compaction tables, which is where long-lived files are
+        # made anyway.
         zlead = []
         if sort and ws.startswith("zorder:"):
             from data_migration_service_spark.tables.zorder import zorder_key
@@ -819,6 +823,14 @@ class SnapshotTable:
                         f"discard them first")
 
     # ---------- DDL (metadata-only, no rewrite) ----------
+
+    def set_props(self, **props: str) -> Snapshot:
+        """Metadata-only property commit (ALTER TABLE SET TBLPROPERTIES):
+        layout knobs (`write_sort`, `target_file_rows`, `constraints`, ...)
+        change for FUTURE writes; existing files keep their layout until
+        the next rewrite (`operators.merge.rewrite_buckets` re-clusters)."""
+        return self.commit("set-props", {},
+                           props_update={k: str(v) for k, v in props.items()})
 
     def add_column(self, name: str, dtype: T.DataType) -> Snapshot:
         cur = self.current()

@@ -145,3 +145,56 @@ def test_merge_semantics_unchanged_under_zorder(spark, tmp_path):
                                     "ts_val", "lsn"))
     assert outs[0].exceptAll(outs[1]).count() == 0
     assert outs[1].exceptAll(outs[0]).count() == 0
+
+
+def test_optimize_reclusters_after_set_props(spark, tmp_path):
+    """The OPTIMIZE loop: table written under default key sort ->
+    set_props flips write_sort to zorder -> Engine.optimize rewrites base
+    files under the new layout (state unchanged, per-file ranges shrink,
+    deltas folded)."""
+    from data_migration_service_spark.api import Engine
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("x", T.DoubleType(), True),
+        T.StructField("y", T.DoubleType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    root = str(tmp_path / "t")
+    SnapshotTable.create(spark, root, schema, ["k"], 1,
+                         props={"target_file_rows": "256"})
+    cfg = EngineConfig(table_path=root, key_cols=("k",), n_buckets=1,
+                       merge_mode="mor", salt_factor=1,
+                       compact_threshold=1000)
+    eng = Engine(spark, cfg)
+    ev = (spark.range(0, 4096)
+          .select(F.concat(F.lit("k"), "id").alias("k"),
+                  (F.pmod(F.col("id") * 2654435761, F.lit(4096))
+                   ).cast("double").alias("x"),
+                  (F.pmod(F.col("id") * 40503, F.lit(4096))
+                   ).cast("double").alias("y"),
+                  F.col("id").alias("lsn"),
+                  F.lit("insert").alias("op")))
+    cdc_apply(eng.table, ev, cfg, epoch=0)
+    before = eng.table.read().select("k", "x", "y", "lsn")
+    before_rows = {tuple(r) for r in before.collect()}
+
+    eng.table.set_props(write_sort="zorder:x,y")
+    sid = eng.optimize()
+    assert sid == eng.table.current().snapshot_id
+    assert not any(eng.table.current().deltas.values())  # deltas folded
+    after_rows = {tuple(r) for r in
+                  eng.table.read().select("k", "x", "y", "lsn").collect()}
+    assert after_rows == before_rows
+
+    ry, n = _per_file_ranges(spark, eng.table, "y")
+    rx, _ = _per_file_ranges(spark, eng.table, "x")
+    assert n >= 8
+    assert rx < 0.5 * 4096 and ry < 0.5 * 4096
+
+    # idempotent-ish: optimizing again just rewrites to the same state
+    again = eng.optimize(buckets=[0])
+    assert {tuple(r) for r in
+            eng.table.read().select("k", "x", "y", "lsn").collect()} \
+        == before_rows
+    assert again == eng.table.current().snapshot_id
