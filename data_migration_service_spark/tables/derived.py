@@ -270,6 +270,43 @@ class DerivedTable:
                         F.lit("delete").alias("op")))
         return ins.unionByName(dels)
 
+    def redefine(self, source: SnapshotTable, transform_sql: str) -> dict:
+        """Transform evolution: swap the stored SQL and rebuild the derived
+        state to match — e.g. a new chunk size. The output SCHEMA must stay
+        identical (a schema-changing redefinition is a different table;
+        create one).
+
+        The epoch guard would absorb a plain sync here (the source did not
+        move — the transform did), so the rebuild applies as one full
+        state-vs-state reconcile WITHOUT an epoch tag. Upserts whose
+        payload changed land at the source row's unchanged LSN and still
+        win: the merge's tie-break prefers the incoming batch at equal LSN
+        (operators/merge SIDE_COL). Re-running is idempotent by the same
+        null-safe payload diff (second pass finds nothing changed)."""
+        snap = self.table.current()
+        src_snap = source.current()
+        src_schema = T.StructType([
+            f for f in src_snap.schema().fields if f.name != DELETED_COL])
+        empty = self.spark.createDataFrame([], src_schema)
+        out = self._run_transform(self.spark, empty, transform_sql).schema
+        want = {f.name: f.dataType for f in snap.schema().fields
+                if f.name != DELETED_COL}
+        got = {f.name: f.dataType for f in out.fields}
+        if got != want:
+            raise ValueError(
+                f"redefine must preserve the output schema; "
+                f"got {sorted(got)} vs table {sorted(want)}")
+        self.table.set_props(derived_sql=transform_sql)
+        self.transform_sql = transform_sql
+        payload = [f.name for f in snap.schema().fields
+                   if f.name not in (*self.source_keys, self.seq_col,
+                                     self.lsn_col, DELETED_COL)]
+        events = self._reconcile_events(source, src_snap, payload)
+        stats = cdc_apply(self.table, events, self.cfg, epoch=None)
+        return {"rebuilt": True,
+                "rows_inserted": stats.rows_inserted,
+                "rows_deleted": stats.rows_deleted}
+
     def compact(self) -> None:
         """Fold delta dirs into key-sorted base files (same LSM rule as the
         secondary index: an L0-heavy derived table neither skips row groups

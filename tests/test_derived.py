@@ -169,3 +169,82 @@ def test_replay_engine_keeps_derived_in_sync(spark, rig, tmp_path):
          ("r", "b", "666666666", 11, "update")], EVENTS)
     eng.apply_batch(b2, epoch=1)
     assert_matches_recompute(spark, t, d)
+
+
+def test_redefine_rebuilds_under_new_transform(spark, rig):
+    """Transform evolution: chunk size 4 -> 2 rebuilds the derived state
+    to the new transform's output (same schema), bypassing the epoch
+    guard; schema-changing redefinitions are refused; re-running the
+    redefine is an idempotent no-op diff."""
+    t, cfg, d = rig
+    ap(spark, t, cfg, [("r", "a", "abcdefgh", 1, "insert"),
+                       ("r", "b", "xyz", 2, "insert")], 0)
+    d.sync(t)
+    assert d.read().count() == 3  # 2 + 1 chunks at size 4
+
+    new_sql = CHUNK_SQL.replace("/ 4", "/ 2").replace("* 4", "* 2") \
+                       .replace(", 4)", ", 2)")
+    d.redefine(t, new_sql)
+    rows = {(r["repo"], r["path"], r["seq"]): r["chunk_text"]
+            for r in d.read().collect()}
+    assert rows == {("r", "a", 0): "ab", ("r", "a", 1): "cd",
+                    ("r", "a", 2): "ef", ("r", "a", 3): "gh",
+                    ("r", "b", 0): "xy", ("r", "b", 1): "z"}
+    # reopened object sees the new SQL; next source epoch syncs under it
+    d2 = DerivedTable(spark, d.root)
+    assert "/ 2" in d2.transform_sql
+    ap(spark, t, cfg, [("r", "a", "QQQQ", 9, "update")], 1)
+    d2.sync(t)
+    assert_sql = DerivedTable._run_transform(spark, t.read(), new_sql)
+    got = d2.read().select("repo", "path", "seq", "lsn", "chunk_text")
+    exp = assert_sql.select("repo", "path", F.col("seq"), "lsn", "chunk_text")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+
+    # schema-changing redefinition refused
+    import pytest
+    with pytest.raises(ValueError, match="preserve the output schema"):
+        d2.redefine(t, new_sql.replace(
+            "AS chunk_text", "AS chunk_text, 1 AS extra"))
+
+
+def test_randomized_epoch_partitions_match_recompute(spark, tmp_path):
+    """Seeded randomized equivalence (the matview property-test pattern):
+    any epoch partition of a random insert/update/delete log, synced at
+    arbitrary points, leaves the derived state == transform(live state)."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"s{seed}")
+        t = SnapshotTable.create(spark, root + "/t", SCHEMA,
+                                 ["repo", "path"], 4)
+        cfg = EngineConfig(table_path=root + "/t", n_buckets=4,
+                           merge_mode="mor", salt_factor=1)
+        d = DerivedTable.create(spark, root + "/d", t, CHUNK_SQL,
+                                seq_col="seq", n_buckets=4)
+        paths = [f"p{i}" for i in range(6)]
+        alive = set()
+        rows = []
+        for lsn in range(1, 120):
+            p = rng.choice(paths)
+            if p in alive and rng.random() < 0.25:
+                rows.append(("r", p, None, lsn, "delete"))
+                alive.discard(p)
+            else:
+                n = rng.randint(0, 11)
+                rows.append(("r", p, "abcdefghijk"[:n] or None, lsn,
+                             "insert" if p not in alive else "update"))
+                alive.add(p)
+        cuts = sorted(rng.sample(range(10, 110), 3)) + [120]
+        lo = 0
+        for epoch, hi in enumerate(cuts):
+            batch = [r for r in rows if lo < r[3] <= hi]
+            lo = hi
+            if not batch:
+                continue
+            ap(spark, t, cfg, batch, epoch)
+            if rng.random() < 0.7 or hi == 120:  # skip some syncs: catch-up
+                d.sync(t)
+        d.sync(t)
+        assert_matches_recompute(spark, t, d)
