@@ -47,7 +47,11 @@ from data_migration_service_spark.operators.merge import (
 from data_migration_service_spark.operators.patch import apply_changes
 from data_migration_service_spark.registry import SchemaRegistry
 from data_migration_service_spark.streaming.replay import ReplayEngine
-from data_migration_service_spark.tables.lake import DELETED_COL, SnapshotTable
+from data_migration_service_spark.tables.lake import (
+    DELETED_COL,
+    SnapshotTable,
+    bucket_expr,
+)
 
 
 class JobLock:
@@ -517,8 +521,13 @@ class Engine:
         else:
             rows = self.table.read(snapshot=snap).where(predicate)
         if update_lsn is None:
+            # raw union (reduce=False): the watermark must clear TOMBSTONE
+            # LSNs too — a live-rows-only max could sit below a recent
+            # delete and break the "one past the high-watermark" contract
+            # (and LSN monotonicity for downstream consumers). Narrow scan,
+            # no aggregate-of-struct in the way.
             hi = (self.table.read(snapshot=snap, columns=[],
-                                  buckets=hit_buckets)
+                                  buckets=hit_buckets, reduce=False)
                   .agg(F.max(self.cfg.lsn_col)).collect()[0][0]) or 0
             update_lsn = int(hi) + 1
         batch = rows
@@ -627,6 +636,48 @@ class Engine:
             .join(maybe_broadcast_keys(kdf, n_keys),
                   list(snap.key_cols), "left_semi")
         )
+
+    def blame(self, keys: DataFrame) -> DataFrame:
+        """Row provenance: which replay epoch(s) wrote each key's CURRENT
+        version (the reference surfaces per-step counters; this answers
+        the per-ROW question those counters can't).
+
+        Plan: one bucket-pruned point lookup fetching only (keys, LSN) —
+        `columns=[]` keeps the MOR reduce narrow — joined against the
+        per-epoch per-bucket LSN intervals from the lineage store. The
+        lineage is driver-tiny (one dict per epoch), shipped as a literal
+        DataFrame and broadcast; the data side never shuffles beyond the
+        lookup itself.
+
+        Intervals identify the batch(es) that COULD have carried the
+        winning event: with an in-order stream each (bucket, lsn) hits
+        exactly one epoch, while late/out-of-order events make intervals
+        overlap, so the result carries the full candidate list (sorted
+        `epochs` array). Rows written outside the replay loop (repair,
+        update_where — no lineage record) return an empty list."""
+        lsn = self.cfg.lsn_col
+        rows = (self.lookup(keys, columns=[])
+                .withColumn("_b", bucket_expr(list(self.cfg.key_cols),
+                                              self.table.current().n_buckets)))
+        recs = []
+        for ep in (self._replayer.lineage()
+                   if self.cfg.checkpoint_path else []):
+            for b, part in (ep.get("partitions") or {}).items():
+                if part.get("lsn_min") is None:
+                    continue
+                recs.append((int(ep["epoch"]), int(b),
+                             int(part["lsn_min"]), int(part["lsn_max"])))
+        if not recs:
+            return rows.select(*self.cfg.key_cols, lsn,
+                               F.array().cast("array<int>").alias("epochs"))
+        lin = F.broadcast(self.spark.createDataFrame(
+            recs, "epoch int, _b int, lsn_min long, lsn_max long"))
+        j = rows.join(
+            lin, (rows["_b"] == lin["_b"])
+            & (F.col(lsn) >= F.col("lsn_min"))
+            & (F.col(lsn) <= F.col("lsn_max")), "left")
+        return (j.groupBy(*self.cfg.key_cols, lsn)
+                .agg(F.array_sort(F.collect_set("epoch")).alias("epochs")))
 
     def read_as_of(self, epoch: int | None = None,
                    snapshot: int | None = None,

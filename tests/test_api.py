@@ -823,3 +823,40 @@ def test_backfill_column_via_add_then_update(spark, tmp_path):
     assert eng.table.read().where(
         F.col("content").isNull() & F.col("content_len").isNotNull()
     ).count() == 0
+
+
+def test_blame_row_provenance(spark, tmp_path):
+    """Engine.blame: each key's current version maps to the epoch whose
+    batch wrote it; out-of-replay writes (update_where) show an empty
+    candidate list; the lookup stays bucket-pruned."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 900, n_repos=6, n_paths_per_repo=10).cache()
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+    mid = hi // 2
+    ch.where(F.col("lsn") <= mid).write.parquet(str(tmp_path / "e1"))
+    ch.where(F.col("lsn") > mid).write.parquet(str(tmp_path / "e2"))
+    eng.replay(str(tmp_path / "e1"), streaming=False)
+    eng.replay(str(tmp_path / "e2"), streaming=False)
+
+    state = eng.table.read().select("repo", "path", "lsn").collect()
+    keys = spark.createDataFrame(
+        [(r["repo"], r["path"]) for r in state], "repo string, path string")
+    got = {(r["repo"], r["path"]): (r["lsn"], list(r["epochs"]))
+           for r in eng.blame(keys).collect()}
+    assert len(got) == len(state)
+    for r in state:
+        lsn, eps = got[(r["repo"], r["path"])]
+        assert lsn == r["lsn"]
+        want = 0 if r["lsn"] <= mid else 1
+        assert want in eps, (r, eps)
+    # in-order stream: intervals should rarely overlap — spot-check that
+    # at least half the rows resolve to exactly one epoch
+    assert sum(1 for _, e in got.values() if len(e) == 1) >= len(got) // 2
+
+    # update_where writes outside the replay loop: empty provenance
+    victim = state[0]
+    k1 = spark.createDataFrame([(victim["repo"], victim["path"])],
+                               "repo string, path string")
+    eng.update_where({"lang": F.lit("qq")}, keys=k1)
+    b = eng.blame(k1).collect()[0]
+    assert list(b["epochs"]) == []
