@@ -248,6 +248,29 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_optimize(args) -> int:
+    """Rewrite base files under the current layout rules (OPTIMIZE /
+    rewrite_data_files — re-cluster after a write_sort change, fold
+    deltas, re-roll file sizes). `--set-prop k=v` commits layout props
+    first, so `optimize --set-prop write_sort=zorder:a,b` is the Delta
+    `OPTIMIZE ZORDER BY (a, b)` one-liner."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    out = {}
+    for name, eng in engines.items():
+        for kv in args.set_prop or []:
+            k, _, v = kv.partition("=")
+            if not _:
+                print(json.dumps({"error": f"bad --set-prop {kv!r}"}))
+                return 1
+            eng.table.set_props(**{k: v})
+        sid = eng.optimize(buckets=args.buckets or None)
+        out[name] = {"snapshot_id": sid}
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Metadata-vs-storage consistency audit per table (manifest chain,
     HEAD, refs, referenced dirs/buckets present) — directory listings only,
@@ -460,6 +483,17 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("cleanup")
     c.add_argument("--table", default=None)
     c.set_defaults(fn=cmd_cleanup)
+
+    op = sub.add_parser("optimize",
+                        help="rewrite base files under current layout "
+                             "rules (re-cluster / fold deltas)")
+    op.add_argument("--table", default=None)
+    op.add_argument("--buckets", type=int, nargs="*", default=None)
+    op.add_argument("--set-prop", action="append", default=None,
+                    metavar="K=V",
+                    help="commit layout props first (e.g. "
+                         "write_sort=zorder:a,b)")
+    op.set_defaults(fn=cmd_optimize)
 
     mt = sub.add_parser("maintain",
                         help="metadata-only health report; --apply acts")

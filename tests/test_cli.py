@@ -321,3 +321,31 @@ def test_cli_repair_verb(spark, tmp_path, capsys):
     assert res["repos_a"]["residual_bad_keys"] == 0
     rc, res = _run(capsys, ["--config", cfg, "repair", "--dry-run"])
     assert rc == 0 and res["repos_a"]["status"] == "CLEAN"
+
+
+def test_cli_optimize_verb(spark, tmp_path, capsys):
+    """optimize --set-prop write_sort=... : the Delta OPTIMIZE ZORDER
+    one-liner — props committed, base files rewritten, state unchanged."""
+    cfg_path, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    rc, _ = _run(capsys, ["--config", cfg_path, "jobs", "run",
+                          "--table", "repos_a", "--batch"])
+    assert rc == 0
+    t = SnapshotTable(spark, tables["repos_a"]["table_path"])
+    before = {tuple(r) for r in
+              t.read().select("repo", "path", "lsn").collect()}
+
+    rc, out = _run(capsys, ["--config", cfg_path, "optimize",
+                            "--table", "repos_a",
+                            "--set-prop", "write_sort=cols:lang"])
+    assert rc == 0
+    assert out["repos_a"]["snapshot_id"] >= 1
+    snap = t.current()
+    assert snap.props["write_sort"] == "cols:lang"
+    assert not any(snap.deltas.values())  # deltas folded by the rewrite
+    after = {tuple(r) for r in
+             t.read().select("repo", "path", "lsn").collect()}
+    assert after == before
+    # malformed prop is a loud exit-1
+    rc, out = _run(capsys, ["--config", cfg_path, "optimize",
+                            "--table", "repos_a", "--set-prop", "oops"])
+    assert rc == 1 and "error" in out
