@@ -248,3 +248,38 @@ def test_randomized_epoch_partitions_match_recompute(spark, tmp_path):
                 d.sync(t)
         d.sync(t)
         assert_matches_recompute(spark, t, d)
+
+
+def test_derived_of_derived_chain(spark, rig):
+    """Derived tables are full CDC tables, so they compose into DAGs:
+    source -> chunks -> per-chunk fingerprints, each stage synced from
+    the previous stage's changefeed. After any source change the chain
+    converges to the composed from-scratch transform."""
+    t, cfg, d = rig
+    fp_sql = """
+SELECT repo, path, seq, lsn, 0 AS fseq,
+       sha2(chunk_text, 256) AS fp
+FROM __source__
+"""
+    d2 = DerivedTable.create(spark, str(t.root) + "_fp", d.table, fp_sql,
+                             seq_col="fseq", n_buckets=4)
+    ap(spark, t, cfg, [("r", "a", "abcdefgh", 1, "insert"),
+                       ("r", "b", "xyz", 2, "insert")], 0)
+    d.sync(t)
+    d2.sync(d.table)
+    ap(spark, t, cfg, [("r", "a", "Q", 9, "update"),      # 2 -> 1 chunk
+                       ("r", "b", None, 10, "delete")], 1)
+    d.sync(t)
+    d2.sync(d.table)
+
+    composed = DerivedTable._run_transform(
+        spark,
+        DerivedTable._run_transform(spark, t.read(), CHUNK_SQL)
+        .select("repo", "path", F.col("seq"), "lsn", "chunk_text"),
+        fp_sql,
+    ).select("repo", "path", "seq", "fseq", "fp")
+    got = d2.read().select("repo", "path", "seq", "fseq", "fp")
+    assert got.exceptAll(composed).count() == 0
+    assert composed.exceptAll(got).count() == 0
+    # the dead doc's fingerprints really retracted through BOTH stages
+    assert d2.read().where(F.col("path") == "b").count() == 0
