@@ -283,3 +283,19 @@ FROM __source__
     assert composed.exceptAll(got).count() == 0
     # the dead doc's fingerprints really retracted through BOTH stages
     assert d2.read().where(F.col("path") == "b").count() == 0
+
+
+def test_sync_across_source_rebucket(spark, rig):
+    """A rebucket between syncs makes the manifest layouts incomparable —
+    the changefeed diffs everything (buckets=None) and the derived state
+    still converges exactly."""
+    t, cfg, d = rig
+    ap(spark, t, cfg, [("r", "a", "abcdefgh", 1, "insert"),
+                       ("r", "b", "xyz", 2, "insert")], 0)
+    d.sync(t)
+    t.rebucket(8)
+    ap(spark, t, cfg, [("r", "a", "WXYZ", 9, "update"),
+                       ("r", "c", "hello!", 10, "insert")], 1)
+    st = d.sync(t)
+    assert not st["skipped"]
+    assert_matches_recompute(spark, t, d)
