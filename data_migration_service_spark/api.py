@@ -637,7 +637,7 @@ class Engine:
                   list(snap.key_cols), "left_semi")
         )
 
-    def blame(self, keys: DataFrame) -> DataFrame:
+    def blame(self, keys: DataFrame, last_epochs: int = 10_000) -> DataFrame:
         """Row provenance: which replay epoch(s) wrote each key's CURRENT
         version (the reference surfaces per-step counters; this answers
         the per-ROW question those counters can't).
@@ -654,14 +654,21 @@ class Engine:
         exactly one epoch, while late/out-of-order events make intervals
         overlap, so the result carries the full candidate list (sorted
         `epochs` array). Rows written outside the replay loop (repair,
-        update_where — no lineage record) return an empty list."""
+        update_where — no lineage record) return an empty list.
+
+        `last_epochs` bounds the driver-side lineage load (most recent N
+        records; default 10k ≈ the provenance horizon ops questions live
+        in). A million-epoch table's FULL history is epochs × buckets
+        interval rows — convert the lineage dir to parquet and join
+        distributed for that, don't raise this cap."""
         lsn = self.cfg.lsn_col
         rows = (self.lookup(keys, columns=[])
                 .withColumn("_b", bucket_expr(list(self.cfg.key_cols),
                                               self.table.current().n_buckets)))
+        lineage = (self._replayer.lineage(last=last_epochs)
+                   if self.cfg.checkpoint_path else [])
         recs = []
-        for ep in (self._replayer.lineage()
-                   if self.cfg.checkpoint_path else []):
+        for ep in lineage:
             for b, part in (ep.get("partitions") or {}).items():
                 if part.get("lsn_min") is None:
                     continue

@@ -248,15 +248,20 @@ class ReplayEngine:
             json.dump(rec, f)
         os.replace(tmp, path)
 
-    def lineage(self) -> list[dict]:
+    def lineage(self, last: int | None = None) -> list[dict]:
+        """Per-epoch lineage records, oldest first. `last=N` opens only
+        the N most recent files (the listing is cheap; opening a
+        million-epoch history is not)."""
         if not self.checkpoint:
             return []  # no checkpoint configured -> nothing recorded
         d = os.path.join(self.checkpoint, "lineage")
+        names = sorted(p for p in os.listdir(d) if p.endswith(".json"))
+        if last is not None:
+            names = names[-last:]
         out = []
-        for p in sorted(os.listdir(d)):
-            if p.endswith(".json"):
-                with open(os.path.join(d, p)) as f:
-                    out.append(json.load(f))
+        for p in names:
+            with open(os.path.join(d, p)) as f:
+                out.append(json.load(f))
         return out
 
     # ---------- streaming replay ----------

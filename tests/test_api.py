@@ -860,3 +860,29 @@ def test_blame_row_provenance(spark, tmp_path):
     eng.update_where({"lang": F.lit("qq")}, keys=k1)
     b = eng.blame(k1).collect()[0]
     assert list(b["epochs"]) == []
+
+
+def test_blame_last_epochs_bound(spark, tmp_path):
+    """The provenance horizon: last_epochs=1 loads only the newest lineage
+    record — older rows lose attribution (empty list), recent rows keep it."""
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 400, n_repos=4, n_paths_per_repo=8).cache()
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+    mid = hi // 2
+    ch.where(F.col("lsn") <= mid).write.parquet(str(tmp_path / "e1"))
+    ch.where(F.col("lsn") > mid).write.parquet(str(tmp_path / "e2"))
+    eng.replay(str(tmp_path / "e1"), streaming=False)
+    eng.replay(str(tmp_path / "e2"), streaming=False)
+    assert len(eng._replayer.lineage(last=1)) == 1
+
+    state = eng.table.read().select("repo", "path", "lsn").collect()
+    keys = spark.createDataFrame([(r["repo"], r["path"]) for r in state],
+                                 "repo string, path string")
+    got = {(r["repo"], r["path"]): (r["lsn"], list(r["epochs"]))
+           for r in eng.blame(keys, last_epochs=1).collect()}
+    for r in state:
+        lsn, eps = got[(r["repo"], r["path"])]
+        if lsn > mid:
+            assert 1 in eps
+        else:
+            assert eps == []
