@@ -400,6 +400,40 @@ def cmd_index_find(args) -> int:
     return 0
 
 
+def cmd_derived_create(args) -> int:
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    (name, eng), = engines.items()
+    if bool(args.sql) == bool(args.sql_file):
+        print(json.dumps({"error": "give exactly one of --sql / --sql-file"}))
+        return 1
+    sql = (open(args.sql_file).read() if args.sql_file else args.sql)
+    d = DerivedTable.create(spark, args.path, eng.table, sql,
+                            seq_col=args.seq_col, n_buckets=args.n_buckets)
+    st = d.sync(eng.table)
+    print(json.dumps({"table": name, "path": args.path, **st}))
+    return 0
+
+
+def cmd_derived_sync(args) -> int:
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    (name, eng), = engines.items()
+    d = DerivedTable(spark, args.path)
+    st = d.sync(eng.table)
+    if args.compact:
+        d.compact()
+    print(json.dumps({"table": name, "path": args.path,
+                      "compacted": bool(args.compact), **st}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
     ap.add_argument("--config", required=True,
@@ -473,6 +507,25 @@ def main(argv: list[str] | None = None) -> int:
                      help="fold to value-sorted base after sync "
                           "(read fast path)")
     isy.set_defaults(fn=cmd_index_sync)
+    dv = sub.add_parser("derived",
+                        help="incrementally-maintained derived tables "
+                             "(row-local SQL transforms)")
+    dvsub = dv.add_subparsers(dest="derived_cmd", required=True)
+    dc = dvsub.add_parser("create")
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--path", required=True)
+    dc.add_argument("--sql", default=None,
+                    help="transform SQL over __source__")
+    dc.add_argument("--sql-file", default=None)
+    dc.add_argument("--seq-col", default="seq")
+    dc.add_argument("--n-buckets", type=int, default=16)
+    dc.set_defaults(fn=cmd_derived_create)
+    ds = dvsub.add_parser("sync")
+    ds.add_argument("--table", required=True)
+    ds.add_argument("--path", required=True)
+    ds.add_argument("--compact", action="store_true")
+    ds.set_defaults(fn=cmd_derived_sync)
+
     ifd = ixsub.add_parser("find")
     ifd.add_argument("--table", required=True)
     ifd.add_argument("--path", required=True)

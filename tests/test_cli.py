@@ -349,3 +349,54 @@ def test_cli_optimize_verb(spark, tmp_path, capsys):
     rc, out = _run(capsys, ["--config", cfg_path, "optimize",
                             "--table", "repos_a", "--set-prop", "oops"])
     assert rc == 1 and "error" in out
+
+
+def test_cli_derived_verbs(spark, tmp_path, capsys):
+    """derived create / sync: the chunk-index lifecycle from the command
+    line — create bootstraps, a later sync converges incrementally."""
+    cfg_path, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    rc, _ = _run(capsys, ["--config", cfg_path, "jobs", "run",
+                          "--table", "repos_a", "--batch"])
+    assert rc == 0
+    sql_file = str(tmp_path / "chunks.sql")
+    with open(sql_file, "w") as f:
+        f.write("""
+SELECT repo, path, lsn, CAST(chunk_id AS BIGINT) AS seq,
+       substring(content, chunk_id * 8 + 1, 8) AS chunk_text
+FROM (SELECT * FROM __source__
+      WHERE content IS NOT NULL AND length(content) > 0)
+LATERAL VIEW explode(
+    sequence(0, CAST(floor((length(content) - 1) / 8) AS INT))
+) t AS chunk_id
+""")
+    dpath = str(tmp_path / "chunks")
+    rc, out = _run(capsys, ["--config", cfg_path, "derived", "create",
+                            "--table", "repos_a", "--path", dpath,
+                            "--sql-file", sql_file])
+    assert rc == 0 and out["mode"] == "bootstrap"
+
+    # mutate the source out-of-band, then CLI sync catches up
+    from data_migration_service_spark.api import Engine
+    from data_migration_service_spark.config import EngineConfig
+    eng = Engine(spark, EngineConfig(
+        table_path=tables["repos_a"]["table_path"], merge_mode="mor"))
+    eng.update_where({"content": "upper(content)"},
+                     predicate=F.col("repo") == "repo_0001")
+    rc, out = _run(capsys, ["--config", cfg_path, "derived", "sync",
+                            "--table", "repos_a", "--path", dpath,
+                            "--compact"])
+    assert rc == 0 and out["mode"] == "changefeed" and out["compacted"]
+
+    from data_migration_service_spark.tables.derived import DerivedTable
+    d = DerivedTable(spark, dpath)
+    exp = DerivedTable._run_transform(
+        spark, eng.table.read(), open(sql_file).read()
+    ).select("repo", "path", "seq", "lsn", "chunk_text")
+    got = d.read().select("repo", "path", "seq", "lsn", "chunk_text")
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    # guard: both/neither sql inputs
+    rc, out = _run(capsys, ["--config", cfg_path, "derived", "create",
+                            "--table", "repos_a",
+                            "--path", str(tmp_path / "d2")])
+    assert rc == 1 and "error" in out
