@@ -400,17 +400,34 @@ def cmd_index_find(args) -> int:
     return 0
 
 
+def _one_engine(engines: dict) -> tuple | None:
+    """Derived verbs operate on exactly one source table; anything else is
+    a usage error reported through the JSON {"error": ...} + exit-1
+    contract every other verb follows (not a bare unpack traceback)."""
+    if len(engines) != 1:
+        print(json.dumps({
+            "error": f"derived verbs need exactly one source table; "
+                     f"--table matched {len(engines)} "
+                     f"({sorted(engines) or 'none'}) — pass --table <name>"}))
+        return None
+    return next(iter(engines.items()))
+
+
 def cmd_derived_create(args) -> int:
     from data_migration_service_spark.tables.derived import DerivedTable
 
-    tables = load_config(args.config)
-    spark = get_spark(app_name="dms-cli")
-    engines = _engines(spark, tables, args.table)
-    (name, eng), = engines.items()
+    # argument validation BEFORE starting Spark: a usage error should not
+    # cost a JVM spin-up
     if bool(args.sql) == bool(args.sql_file):
         print(json.dumps({"error": "give exactly one of --sql / --sql-file"}))
         return 1
     sql = (open(args.sql_file).read() if args.sql_file else args.sql)
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    picked = _one_engine(_engines(spark, tables, args.table))
+    if picked is None:
+        return 1
+    name, eng = picked
     d = DerivedTable.create(spark, args.path, eng.table, sql,
                             seq_col=args.seq_col, n_buckets=args.n_buckets)
     st = d.sync(eng.table)
@@ -423,8 +440,10 @@ def cmd_derived_sync(args) -> int:
 
     tables = load_config(args.config)
     spark = get_spark(app_name="dms-cli")
-    engines = _engines(spark, tables, args.table)
-    (name, eng), = engines.items()
+    picked = _one_engine(_engines(spark, tables, args.table))
+    if picked is None:
+        return 1
+    name, eng = picked
     d = DerivedTable(spark, args.path)
     st = d.sync(eng.table)
     if args.compact:
@@ -512,7 +531,9 @@ def main(argv: list[str] | None = None) -> int:
                              "(row-local SQL transforms)")
     dvsub = dv.add_subparsers(dest="derived_cmd", required=True)
     dc = dvsub.add_parser("create")
-    dc.add_argument("--table", required=True)
+    dc.add_argument("--table", default=None,
+                    help="source table (optional when exactly one is "
+                         "configured)")
     dc.add_argument("--path", required=True)
     dc.add_argument("--sql", default=None,
                     help="transform SQL over __source__")
@@ -521,7 +542,9 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--n-buckets", type=int, default=16)
     dc.set_defaults(fn=cmd_derived_create)
     ds = dvsub.add_parser("sync")
-    ds.add_argument("--table", required=True)
+    ds.add_argument("--table", default=None,
+                    help="source table (optional when exactly one is "
+                         "configured)")
     ds.add_argument("--path", required=True)
     ds.add_argument("--compact", action="store_true")
     ds.set_defaults(fn=cmd_derived_sync)

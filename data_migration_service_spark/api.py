@@ -662,18 +662,38 @@ class Engine:
         interval rows — convert the lineage dir to parquet and join
         distributed for that, don't raise this cap."""
         lsn = self.cfg.lsn_col
+        cur_buckets = self.table.current().n_buckets
         rows = (self.lookup(keys, columns=[])
                 .withColumn("_b", bucket_expr(list(self.cfg.key_cols),
-                                              self.table.current().n_buckets)))
+                                              cur_buckets)))
         lineage = (self._replayer.lineage(last=last_epochs)
                    if self.cfg.checkpoint_path else [])
         recs = []
+        stale = 0
         for ep in lineage:
+            # bucket ids in a lineage record are relative to the layout at
+            # APPLY time; after a rebucket() they no longer line up with
+            # `_b` computed under the current layout — joining them would
+            # silently misattribute provenance. Skip and warn instead.
+            # (Legacy records predating the field carry no layout stamp;
+            # treat them as current-layout, the pre-fix behavior.)
+            rec_nb = ep.get("n_buckets")
+            if rec_nb is not None and int(rec_nb) != cur_buckets:
+                stale += 1
+                continue
             for b, part in (ep.get("partitions") or {}).items():
                 if part.get("lsn_min") is None:
                     continue
                 recs.append((int(ep["epoch"]), int(b),
                              int(part["lsn_min"]), int(part["lsn_max"])))
+        if stale:
+            import warnings
+
+            warnings.warn(
+                f"blame: skipped {stale} lineage record(s) written under a "
+                f"different bucket layout than the current {cur_buckets} "
+                f"buckets (table was rebucketed); their epochs cannot be "
+                f"attributed", stacklevel=2)
         if not recs:
             return rows.select(*self.cfg.key_cols, lsn,
                                F.array().cast("array<int>").alias("epochs"))

@@ -54,6 +54,7 @@ from data_migration_service_spark.config import EngineConfig
 from data_migration_service_spark.tables.lake import (
     BUCKET_COL,
     DELETED_COL,
+    GEN_COL,
     SnapshotTable,
     bucket_expr,
 )
@@ -326,8 +327,17 @@ def _apply_mor(table, src, snap, cfg, epoch, data_fields,
     out_schema = T.StructType(
         data_fields + [T.StructField(DELETED_COL, T.BooleanType(), False)]
     )
+    # Dir name carries the write generation (= parent snapshot id): the
+    # MOR read reduce and compaction break equal-LSN ties by (lsn, gen),
+    # so a later-applied delta deterministically beats the base or an
+    # earlier delta — the MOR analogue of the cow SIDE_COL tie-break
+    # (tables/lake.dir_gen). Two TRULY concurrent writers can share a
+    # parent id; their equal-LSN equal-gen collision is the same
+    # undefined-input case as two events with one (key, lsn).
     dirname = table.write_buckets(
-        deduped, [], new_buckets_dir=f"delta-{_uuid.uuid4().hex[:12]}",
+        deduped, [],
+        new_buckets_dir=(
+            f"delta-{snap.snapshot_id:010d}-{_uuid.uuid4().hex[:12]}"),
         write_schema=out_schema, pre_partitioned=True,
         sort=False,  # L0 deltas: write-hot, folded at compact_threshold
     )
@@ -516,12 +526,15 @@ def compact(table: SnapshotTable, cfg: EngineConfig,
         return snap.snapshot_id
     # raw (unreduced) read + fused LWW: one exchange does both the
     # base-vs-delta reduce and the writer's (bucket, salt) layout.
+    # with_gen: the fold must resolve equal-LSN ties exactly as the MOR
+    # read reduce does — (lsn, delta generation), later delta wins.
     raw = table.read(snapshot=snap, buckets=todo, include_deleted=True,
-                     reduce=False)
+                     reduce=False, with_gen=True)
     schema = snap.schema()
     data_cols = [f.name for f in schema.fields
                  if f.name not in (BUCKET_COL, DELETED_COL)]
-    merged = lww_fused(raw, list(snap.key_cols), F.col(cfg.lsn_col),
+    merged = lww_fused(raw, list(snap.key_cols),
+                       F.struct(F.col(cfg.lsn_col), F.col(GEN_COL)),
                        max(cfg.salt_factor, 1),
                        struct_cols=data_cols + [DELETED_COL])
     if tombstone_watermark is not None:
@@ -565,11 +578,12 @@ def rewrite_buckets(table: SnapshotTable, cfg: EngineConfig,
     if not todo:
         return snap.snapshot_id
     raw = table.read(snapshot=snap, buckets=todo, include_deleted=True,
-                     reduce=False)
+                     reduce=False, with_gen=True)
     schema = snap.schema()
     data_cols = [f.name for f in schema.fields
                  if f.name not in (BUCKET_COL, DELETED_COL)]
-    merged = lww_fused(raw, list(snap.key_cols), F.col(cfg.lsn_col),
+    merged = lww_fused(raw, list(snap.key_cols),
+                       F.struct(F.col(cfg.lsn_col), F.col(GEN_COL)),
                        max(cfg.salt_factor, 1),
                        struct_cols=data_cols + [DELETED_COL])
     if tombstone_watermark is not None:

@@ -50,7 +50,8 @@ def fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | N
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(df: DataFrame, dim: int = 8,
+                     decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     mapInPandas (not a scalar UDF) so one Python call handles a whole Arrow
@@ -58,7 +59,18 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     dispatch. At scale, pair with
     spark.sql.files.maxPartitionBytes≈128MB so a partition holds tens of
     media blobs, not millions.
+
+    `decoder`: the pluggable decode seam — any picklable callable
+    ``bytes -> list[float] | None`` (it ships to executors inside the
+    mapInPandas closure). Default is the deterministic
+    `fake_decode_features` stub (no imaging libs in this environment); a
+    real deployment passes e.g. a PIL/torchvision/ffmpeg decode and every
+    other part of the plan — schema, Arrow batching, partitioning — is
+    unchanged. tests/test_multimodal.py proves the seam with a pure-Python
+    PNG-header parser.
     """
+    dec = decoder if decoder is not None \
+        else (lambda b: fake_decode_features(b, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -70,28 +82,13 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                         lambda b: len(b) if b is not None else None
                     ),
                     "feature": pdf["payload"].map(
-                        lambda b: fake_decode_features(b, dim)
+                        lambda b: dec(b) if b is not None else None
                     ),
                 }
             )
             yield out
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
-
-
-def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: rows (media_id, frame_ts_ms) for the
-    decode stage — JVM-side sequence explode; no decoding here."""
-    return (
-        df.where(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)),
-                           F.lit(every_ms))
-            ).alias("frame_ts_ms"),
-        )
-    )
 
 
 def gen_media_fixture(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -239,6 +239,10 @@ class ReplayEngine:
             "rows_deleted": stats.rows_deleted,
             "affected_buckets": stats.affected_buckets,
             "partitions": stats.extra.get("bucket_lineage", {}),
+            # bucket ids above are only meaningful under the layout they
+            # were computed in; consumers joining on recomputed bucket ids
+            # (Engine.blame) must skip records from a different layout
+            "n_buckets": self.table.current().n_buckets,
             "wall_sec": stats.extra.get("wall_sec"),
             "rows_quarantined": stats.extra.get("rows_quarantined", 0),
         }

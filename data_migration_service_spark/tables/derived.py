@@ -249,7 +249,11 @@ class DerivedTable:
         """Full state-vs-state repair: upsert derived rows that are missing
         or whose payload drifted (null-safe compare), retract derived keys
         the transform no longer produces (+1 LSN so the retraction beats
-        the stored row)."""
+        the stored row). The +1 can collide with a FUTURE legitimate
+        source event's LSN (e.g. the doc re-grows at the next LSN); that
+        later insert arrives in a later delta and wins the equal-LSN tie
+        by delta generation (tables/lake.dir_gen), so no derived row can
+        be permanently shadowed by a reconcile tombstone."""
         lsn, dkeys = self.lsn_col, [*self.source_keys, self.seq_col]
         full = self._transform_state(source, to_snap)
         cur = self.table.read().select(*dkeys, F.col(lsn), *payload)
@@ -280,9 +284,11 @@ class DerivedTable:
         move — the transform did), so the rebuild applies as one full
         state-vs-state reconcile WITHOUT an epoch tag. Upserts whose
         payload changed land at the source row's unchanged LSN and still
-        win: the merge's tie-break prefers the incoming batch at equal LSN
-        (operators/merge SIDE_COL). Re-running is idempotent by the same
-        null-safe payload diff (second pass finds nothing changed)."""
+        win: the derived table is MOR, where equal-LSN ties are resolved
+        by delta-dir generation — the later-applied delta beats the stored
+        row (tables/lake.dir_gen; the MOR analogue of the cow SIDE_COL
+        tie-break). Re-running is idempotent by the same null-safe payload
+        diff (second pass finds nothing changed)."""
         snap = self.table.current()
         src_snap = source.current()
         src_schema = T.StructType([

@@ -57,7 +57,32 @@ from data_migration_service_spark.tables.metastore import (
 
 BUCKET_COL = "_bucket"
 DELETED_COL = "_deleted"
+GEN_COL = "_gen"  # transient read-side column: delta-dir generation
 META_COLS = (BUCKET_COL, DELETED_COL)
+
+
+def dir_gen(dirname: str) -> int:
+    """Write generation of a data dir, parsed from its name.
+
+    MOR delta dirs are named ``delta-{parent_snapshot_id:010d}-{uuid}``
+    (operators/merge._apply_mor), so the generation is the table's commit
+    counter at append time — strictly monotone across sequential applies,
+    and stable under delta-list pruning, branching and cloning because it
+    lives in the immutable dir NAME, not in list position. Base dirs
+    (``snap-*``) and legacy unnumbered delta dirs read as generation 0.
+
+    Equal-LSN rows of one key are resolved by ``max_by(..., (lsn, gen))``:
+    the later-applied delta wins, the MOR analogue of the copy-on-write
+    tie-break that prefers the incoming batch (SIDE_COL). Without it, a
+    rebuild that rewrites a key at its unchanged LSN (DerivedTable
+    .redefine) or a reconcile tombstone colliding with a later legitimate
+    event at the same LSN would be resolved by scan encounter order —
+    nondeterministic across runs."""
+    if dirname.startswith("delta-"):
+        head = dirname[6:].split("-", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return 0
 
 
 def bucket_expr(key_cols: Iterable[str], n_buckets: int) -> F.Column:
@@ -292,6 +317,7 @@ class SnapshotTable:
         include_deleted: bool = False,
         reduce: bool = True,
         columns: Iterable[str] | None = None,
+        with_gen: bool = False,
     ) -> DataFrame:
         """Read the table (optionally one snapshot / a bucket subset).
 
@@ -322,6 +348,13 @@ class SnapshotTable:
         at the parquet scan. At a 100-column table read for a 2-column
         verification, that is the difference between scanning 2% and 100%
         of the bytes.
+
+        Equal-LSN determinism: the reduce orders by ``(lsn, dir_gen)`` —
+        a row appended in a later delta dir beats a row at the same LSN
+        from the base or an earlier delta (see `dir_gen`). Raw reads
+        (`reduce=False`) whose caller performs its own LWW (compaction,
+        OPTIMIZE) pass ``with_gen=True`` to receive the `_gen` column and
+        must order by the same pair.
         """
         snap = snapshot or self.current()
         want = set(buckets) if buckets is not None else None
@@ -350,6 +383,7 @@ class SnapshotTable:
             out_schema = T.StructType(
                 [f for f in out_schema.fields if f.name in need])
         out_cols = [f.name for f in out_schema.fields]
+        need_gen = has_delta or with_gen
         parts: list[DataFrame] = []
         for d, bs in sorted(dir_buckets.items()):
             phys = self._dir_schema(d)
@@ -367,9 +401,16 @@ class SnapshotTable:
                     sel.append(F.col(phys_current[f.name]).cast(f.dataType).alias(f.name))
                 else:
                     sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            if need_gen:
+                sel.append(F.lit(dir_gen(d)).alias(GEN_COL))
             parts.append(df.select(*sel))
         if not parts:
-            df = self.spark.createDataFrame([], out_schema)
+            read_schema = out_schema
+            if need_gen:
+                read_schema = T.StructType(
+                    list(out_schema.fields)
+                    + [T.StructField(GEN_COL, T.IntegerType(), False)])
+            df = self.spark.createDataFrame([], read_schema)
         else:
             df = parts[0]
             for p in parts[1:]:
@@ -377,9 +418,12 @@ class SnapshotTable:
         if has_delta and reduce:
             lsn_col = snap.props.get("lsn_col", "lsn")
             winner = F.max_by(
-                F.struct(*[F.col(c) for c in out_cols]), F.col(lsn_col)
+                F.struct(*[F.col(c) for c in out_cols]),
+                F.struct(F.col(lsn_col), F.col(GEN_COL)),
             ).alias("_w")
             df = df.groupBy(*snap.key_cols).agg(winner).select("_w.*")
+        elif need_gen and not with_gen:
+            df = df.drop(GEN_COL)
         if not reduce:
             return df.withColumn(
                 BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)

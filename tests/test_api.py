@@ -886,3 +886,42 @@ def test_blame_last_epochs_bound(spark, tmp_path):
             assert 1 in eps
         else:
             assert eps == []
+
+
+def test_blame_skips_lineage_from_old_bucket_layout(spark, tmp_path):
+    """Regression (round-3 ADVICE, low): lineage bucket ids are relative to
+    the layout at apply time; after rebucket() blame must SKIP (and warn
+    about) those records instead of joining them against freshly-computed
+    bucket ids and misattributing provenance."""
+    import warnings as _w
+
+    eng = make_engine(spark, tmp_path)
+    ch = gen_changes(spark, 400, n_repos=4, n_paths_per_repo=8).cache()
+    hi = ch.agg(F.max("lsn")).collect()[0][0]
+    mid = hi // 2
+    ch.where(F.col("lsn") <= mid).write.parquet(str(tmp_path / "e1"))
+    eng.replay(str(tmp_path / "e1"), streaming=False)
+    assert eng._replayer.lineage(last=1)[0]["n_buckets"] == 16
+
+    eng.table.rebucket(32, salt_factor=1)
+    state = eng.table.read().select("repo", "path").limit(5).collect()
+    keys = spark.createDataFrame([(r["repo"], r["path"]) for r in state],
+                                 "repo string, path string")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        got = eng.blame(keys).collect()
+    # pre-rebucket records are unattributable under the new layout
+    assert all(list(r["epochs"]) == [] for r in got)
+    assert any("rebucketed" in str(c.message) for c in caught)
+
+    # post-rebucket epochs attribute normally again (new layout stamp)
+    ch.where(F.col("lsn") > mid).write.parquet(str(tmp_path / "e2"))
+    eng2 = Engine(spark, EngineConfig(
+        table_path=str(tmp_path / "repos"), n_buckets=32,
+        checkpoint_path=str(tmp_path / "ckpt"), merge_mode="mor"))
+    eng2.replay(str(tmp_path / "e2"), streaming=False)
+    fresh = eng2.table.read().where(F.col("lsn") > mid) \
+        .select("repo", "path").limit(5).collect()
+    k2 = spark.createDataFrame([(r["repo"], r["path"]) for r in fresh],
+                               "repo string, path string")
+    assert all(1 in list(r["epochs"]) for r in eng2.blame(k2).collect())

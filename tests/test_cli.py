@@ -400,3 +400,18 @@ LATERAL VIEW explode(
                             "--table", "repos_a",
                             "--path", str(tmp_path / "d2")])
     assert rc == 1 and "error" in out
+
+
+def test_cli_derived_table_selection_errors(spark, tmp_path, capsys):
+    """Regression (round-3 ADVICE, low): derived verbs with an ambiguous
+    --table selection must honor the JSON error + exit-1 contract, not
+    raise a bare unpack ValueError."""
+    cfg_path, tables, _ = _setup(spark, tmp_path)  # two configured tables
+    # no --table with a two-table config -> ambiguous
+    rc, out = _run(capsys, ["--config", cfg_path, "derived", "sync",
+                            "--path", str(tmp_path / "nope")])
+    assert rc == 1 and "error" in out and "matched 2" in out["error"]
+    rc, out = _run(capsys, ["--config", cfg_path, "derived", "create",
+                            "--path", str(tmp_path / "nope"),
+                            "--sql", "SELECT 1"])
+    assert rc == 1 and "error" in out

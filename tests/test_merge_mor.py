@@ -182,3 +182,47 @@ def test_truncate_drops_delta_only_buckets(spark, tmp_path):
     t.truncate()
     assert t.read().count() == 0
     assert t.current().deltas == {}
+
+
+def _one_row(spark, lsn, op, content):
+    return spark.createDataFrame(
+        [(lsn, op, "r1", "a.py", content, None, None, 100)],
+        "lsn long, op string, repo string, path string, content string, "
+        "commit string, lang string, size_bytes long",
+    )
+
+
+def test_equal_lsn_later_delta_wins_deterministically(spark, tmp_path):
+    """Regression (round-3 ADVICE, high): equal-LSN rows of one key across
+    delta dirs / the base were resolved by scan encounter order of the
+    randomly-named dirs. The dir-generation tie-break (tables/lake.dir_gen)
+    must make the LATER-applied delta win — the MOR analogue of the cow
+    SIDE_COL tie-break — both through the read reduce and through
+    compaction, on every run."""
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = mor_cfg(tmp_path, n_buckets=4, compact_threshold=100)
+    cdc_apply(t, _one_row(spark, 5, "insert", "v-old"), cfg, epoch=0)
+    # same key, SAME lsn, new payload in a later delta (the redefine shape)
+    cdc_apply(t, _one_row(spark, 5, "update", "v-new"), cfg, epoch=1)
+    for _ in range(3):  # deterministic across repeated plans
+        assert t.read().collect()[0]["content"] == "v-new"
+    compact(t, cfg)
+    assert t.current().deltas == {}
+    assert t.read().collect()[0]["content"] == "v-new"
+
+
+def test_equal_lsn_insert_beats_earlier_tombstone(spark, tmp_path):
+    """Regression (round-3 ADVICE, medium): a reconcile tombstone written
+    at stored-lsn+1 can collide with a later legitimate insert at the same
+    LSN; the later delta's insert must win (no permanently lost row), and
+    the tombstone must still win over anything EARLIER at that LSN."""
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = mor_cfg(tmp_path, n_buckets=4, compact_threshold=100)
+    cdc_apply(t, _one_row(spark, 3, "insert", "alive"), cfg, epoch=0)
+    cdc_apply(t, _one_row(spark, 4, "delete", None), cfg, epoch=1)
+    assert t.read().count() == 0
+    # legitimate re-insert arrives later at the tombstone's own LSN
+    cdc_apply(t, _one_row(spark, 4, "insert", "reborn"), cfg, epoch=2)
+    assert [r["content"] for r in t.read().collect()] == ["reborn"]
+    compact(t, cfg)
+    assert [r["content"] for r in t.read().collect()] == ["reborn"]
