@@ -12,7 +12,14 @@ class of drift mechanical to catch:
   Spark session needed);
 - every `module.function` citation of the package (e.g.
   `similarity.sq_topk`, `text.chunk_documents`) must resolve to a real
-  attribute.
+  attribute;
+- every `__spark_entry__.queries()` entry must have an `oracle_sql()`
+  counterpart OR an explicit "rows-only" annotation in a comment beside the
+  entry (the driver's correctness gate is the oracle; an unannotated
+  oracle-less query would silently get only the weak rows-only check).
+
+Runs as a pytest guard too (tests/test_doc_claims.py), failing on planted
+drift.
 
 Pure static analysis (ast + regex) — runs in milliseconds, no Spark.
 Exit 1 with a list of dangling claims, 0 when clean.
@@ -41,12 +48,11 @@ def _defs(path: str) -> set[str]:
     return out
 
 
-def _query_keys() -> set[str]:
-    """Keys of __spark_entry__.queries() read from the source dict literal."""
-    with open(os.path.join(REPO, "__spark_entry__.py")) as f:
-        tree = ast.parse(f.read())
+def _dict_keys(entry_src: str, fn_name: str) -> set[str]:
+    """String keys of the dict literal returned by `fn_name` in the source."""
+    tree = ast.parse(entry_src)
     for node in ast.walk(tree):
-        if isinstance(node, ast.FunctionDef) and node.name == "queries":
+        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
             keys: set[str] = set()
             for sub in ast.walk(node):
                 if isinstance(sub, ast.Dict):
@@ -54,12 +60,42 @@ def _query_keys() -> set[str]:
                         if isinstance(k, ast.Constant) and isinstance(k.value, str):
                             keys.add(k.value)
             return keys
-    raise AssertionError("queries() not found")
+    raise AssertionError(f"{fn_name}() not found")
+
+
+def _rows_only_annotated(entry_src: str, key: str) -> bool:
+    """True if the queries() entry for `key` carries a "rows-only" comment
+    on its own line or within the 6 lines above it."""
+    lines = entry_src.splitlines()
+    for i, ln in enumerate(lines):
+        if f'"{key}":' in ln:
+            window = lines[max(0, i - 6):i + 1]
+            return any("rows-only" in w for w in window)
+    return False
+
+
+def oracle_coverage_problems(entry_src: str) -> list[str]:
+    """Every queries() key needs an oracle_sql() entry or an explicit
+    rows-only annotation; every oracle_sql() key must exist in queries()."""
+    q = _dict_keys(entry_src, "queries")
+    o = _dict_keys(entry_src, "oracle_sql")
+    problems = []
+    for k in sorted(q - o):
+        if not _rows_only_annotated(entry_src, k):
+            problems.append(
+                f"__spark_entry__: queries() entry `{k}` has no oracle_sql() "
+                f"and no rows-only annotation")
+    for k in sorted(o - q):
+        problems.append(
+            f"__spark_entry__: oracle_sql() entry `{k}` not in queries()")
+    return problems
 
 
 def main() -> int:
-    problems: list[str] = []
-    qkeys = _query_keys()
+    with open(os.path.join(REPO, "__spark_entry__.py")) as f:
+        entry_src = f.read()
+    problems: list[str] = list(oracle_coverage_problems(entry_src))
+    qkeys = _dict_keys(entry_src, "queries")
 
     # module.function citations like `similarity.sq_topk` / `tables/txn.py`
     mod_defs: dict[str, set[str]] = {}
