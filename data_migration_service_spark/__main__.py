@@ -539,7 +539,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="transform SQL over __source__")
     dc.add_argument("--sql-file", default=None)
     dc.add_argument("--seq-col", default="seq")
-    dc.add_argument("--n-buckets", type=int, default=16)
+    dc.add_argument("--n-buckets", type=int, default=None,
+                    help="default: inherit the source's bucket count "
+                         "(keeps the derived table co-located)")
     dc.set_defaults(fn=cmd_derived_create)
     ds = dvsub.add_parser("sync")
     ds.add_argument("--table", default=None,

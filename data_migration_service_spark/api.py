@@ -255,8 +255,10 @@ class Engine:
         skip, DataMigrationService.java:312-342). Semi-join, never a
         string-built predicate (SURVEY §2 P6)."""
         kdf = keys.select(*self.cfg.key_cols).distinct()
+        snap = self.table.current()
         _, n_keys = probe_keys(kdf, list(self.cfg.key_cols),
-                               self.table.current().n_buckets)
+                               snap.n_buckets,
+                               bucket_cols=snap.layout_cols())
         subset = events.join(
             maybe_broadcast_keys(kdf, n_keys),
             list(self.cfg.key_cols), "left_semi",
@@ -399,7 +401,7 @@ class Engine:
             if changed is not None:  # comparable layouts: prune both sides
                 scoped_buckets = changed
                 expected = expected.where(
-                    bucket_expr(snap.key_cols, snap.n_buckets)
+                    bucket_expr(snap.layout_cols(), snap.n_buckets)
                     .isin(changed) if changed else F.lit(False))
         tgt = self.table.read(columns=cmp_cols, buckets=scoped_buckets)
         diff = V.hash_diff(
@@ -510,7 +512,8 @@ class Engine:
         hit_buckets = None
         if keys is not None:
             kdf = keys.select(*key_cols).distinct()
-            hit_buckets, n_keys = probe_keys(kdf, key_cols, snap.n_buckets)
+            hit_buckets, n_keys = probe_keys(kdf, key_cols, snap.n_buckets,
+                                             bucket_cols=snap.layout_cols())
             hit_buckets = [b for b in hit_buckets
                            if b in snap.buckets or snap.deltas.get(b)]
             if not hit_buckets:
@@ -592,7 +595,7 @@ class Engine:
         tgt = self.table.read(snapshot=snap, buckets=changed,
                               columns=[content_col])
         exp = expected.where(
-            bucket_expr(snap.key_cols, snap.n_buckets).isin(changed)
+            bucket_expr(snap.layout_cols(), snap.n_buckets).isin(changed)
             if changed else F.lit(False)
         )
         res = V.verify_state(
@@ -623,7 +626,8 @@ class Engine:
                 else self.table.current())
         kdf = keys.select(*snap.key_cols).distinct()
         hit, n_keys, hashes = probe_key_hashes(
-            kdf, list(snap.key_cols), snap.n_buckets)
+            kdf, list(snap.key_cols), snap.n_buckets,
+            bucket_cols=snap.layout_cols())
         hit = [b for b in hit if b in snap.buckets or snap.deltas.get(b)]
         if not hit:
             return self.table.read(snapshot=snap, buckets=[], columns=columns)
@@ -664,8 +668,8 @@ class Engine:
         lsn = self.cfg.lsn_col
         cur_buckets = self.table.current().n_buckets
         rows = (self.lookup(keys, columns=[])
-                .withColumn("_b", bucket_expr(list(self.cfg.key_cols),
-                                              cur_buckets)))
+                .withColumn("_b", bucket_expr(
+                    self.table.current().layout_cols(), cur_buckets)))
         lineage = (self._replayer.lineage(last=last_epochs)
                    if self.cfg.checkpoint_path else [])
         recs = []
@@ -1038,7 +1042,8 @@ class Engine:
                 scanned = []
                 for s_id in self.table.snapshots():
                     s = self.table.load_snapshot(s_id)
-                    hits, n_keys = probe_keys(kdf, key_cols, s.n_buckets)
+                    hits, n_keys = probe_keys(kdf, key_cols, s.n_buckets,
+                                              bucket_cols=s.layout_cols())
                     present = [b for b in hits
                                if b in s.buckets or s.deltas.get(b)]
                     if not present:

@@ -197,7 +197,8 @@ def cdc_apply(
         F.col(cfg.lsn_col).cast("long").alias(cfg.lsn_col),
         (F.col(cfg.op_col) == "delete").alias(DELETED_COL),
     )
-    src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
+    src = src.withColumn(
+        BUCKET_COL, bucket_expr(snap.layout_cols(), snap.n_buckets))
     src = src.withColumn(SIDE_COL, F.lit(1))
 
     if cfg.merge_mode == "mor":
@@ -437,6 +438,10 @@ def _write_delta_stats(table: SnapshotTable, dirname: str,
         return
     lanes = m // 64
     keys = list(cfg.key_cols)
+    # Bloom probes hash the FULL merge key (matching the reader's
+    # probe_key_hashes); the per-bucket grouping follows the table's
+    # LAYOUT columns, which may be a key prefix (Snapshot.bucket_cols)
+    layout = table.current().layout_cols()
     key_schema = T.StructType([f for f in out_schema.fields if f.name in keys])
     kdf = table.spark.read.schema(key_schema).parquet(
         *table.bucket_paths(dirname, sorted(lineage)))
@@ -451,7 +456,7 @@ def _write_delta_stats(table: SnapshotTable, dirname: str,
     probes = F.array(F.pmod(h1, F.lit(m)), F.pmod(h2, F.lit(m)))
     df = (
         kdf.select(
-            bucket_expr(keys, n_buckets).alias(BUCKET_COL),
+            bucket_expr(layout, n_buckets).alias(BUCKET_COL),
             F.explode(probes).alias("_pos"),
         )
         .select(
@@ -481,13 +486,15 @@ def _write_delta_stats(table: SnapshotTable, dirname: str,
 def probe_key_hashes(
     kdf: DataFrame, key_cols: list[str], n_buckets: int,
     cap: int = 100_000,
+    bucket_cols: list[str] | None = None,
 ) -> tuple[list[int], int, list[tuple[int, int]] | None]:
     """probe_keys plus the raw Bloom-probe hash pairs of each key, for
     driver-side delta-dir skipping (tables/lake.py `prune_deltas`). Past
     `cap` distinct keys the hash collect is skipped (None) — dir pruning
     is an optimization for SMALL targeted lookups; a giant key set reads
     every delta anyway and must not balloon the driver."""
-    hits, n_keys = probe_keys(kdf, key_cols, n_buckets)
+    hits, n_keys = probe_keys(kdf, key_cols, n_buckets,
+                              bucket_cols=bucket_cols)
     if n_keys > cap:
         return hits, n_keys, None
     cols = [F.col(c) for c in key_cols]
@@ -607,15 +614,21 @@ BROADCAST_KEY_LIMIT = 500_000
 
 
 def probe_keys(kdf: DataFrame, key_cols: list[str], n_buckets: int,
-               bucket_col: str = BUCKET_COL) -> tuple[list[int], int]:
+               bucket_col: str = BUCKET_COL,
+               bucket_cols: list[str] | None = None) -> tuple[list[int], int]:
     """One keys-sized job → (hit bucket ids, distinct key count). Every
     targeted path (lookup / replay_keys / keyed delete) needs the bucket
     set anyway; counting keys in the same aggregate is free and decides
     whether the subsequent semi-join may safely carry a broadcast hint —
     a forced broadcast of an unexpectedly huge key set is a driver OOM at
-    exactly the scale the targeted path exists to avoid."""
+    exactly the scale the targeted path exists to avoid.
+
+    `bucket_cols`: the table's layout columns when they differ from the
+    merge key (Snapshot.bucket_cols); the key COUNT still reflects the
+    full (already-distinct) key rows."""
     per_bucket = (
-        kdf.withColumn(bucket_col, bucket_expr(key_cols, n_buckets))
+        kdf.withColumn(bucket_col,
+                       bucket_expr(bucket_cols or key_cols, n_buckets))
         .groupBy(bucket_col).agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
@@ -648,7 +661,8 @@ def delete_where(table: SnapshotTable, cfg: EngineConfig, predicate=None,
     if keys is not None:
         kdf = keys.select(*snap.key_cols).distinct()
         hit_buckets, n_keys = probe_keys(kdf, list(snap.key_cols),
-                                         snap.n_buckets)
+                                         snap.n_buckets,
+                                         bucket_cols=snap.layout_cols())
         hit_buckets = [b for b in hit_buckets
                        if b in snap.buckets or snap.deltas.get(b)]
         if not hit_buckets:
@@ -716,7 +730,8 @@ def bootstrap_load(table: SnapshotTable, snapshot_df: DataFrame,
         *[F.col(f.name) for f in data_fields if f.name != cfg.lsn_col],
         F.col(cfg.lsn_col).cast("long").alias(cfg.lsn_col),
         F.lit(False).alias(DELETED_COL),
-    ).withColumn(BUCKET_COL, bucket_expr(list(cfg.key_cols), snap.n_buckets))
+    ).withColumn(BUCKET_COL,
+                 bucket_expr(snap.layout_cols(), snap.n_buckets))
 
     # salt_factor=0 means per-batch auto-probe (a MOR feature); the initial
     # load is the largest write the table will ever see, so fan out wide

@@ -240,7 +240,8 @@ def merge_into(
     # target-only rows anywhere: every existing bucket is in play.
     affected = sorted(
         int(r[0]) for r in
-        source.select(bucket_expr(keys, snap.n_buckets).alias(BUCKET_COL))
+        source.select(bucket_expr(snap.layout_cols(), snap.n_buckets)
+                      .alias(BUCKET_COL))
         .distinct().collect()
     )
     if not_matched_by_source:
@@ -296,7 +297,8 @@ def merge_into(
             stats.extra["by_source_deleted"] = _n("delete", True)
 
     out = out.unionByName(tombs.select(*data_cols, DELETED_COL)) \
-             .withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
+             .withColumn(BUCKET_COL,
+                         bucket_expr(snap.layout_cols(), snap.n_buckets))
     dirname = table.write_buckets(out, affected,
                                   salt_factor=max(cfg.salt_factor, 1),
                                   write_schema=schema)

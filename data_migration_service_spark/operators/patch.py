@@ -299,7 +299,8 @@ def patch_apply(
             src = src.withColumn(
                 c, F.lit(None).cast(schema[c].dataType))
     src = src.select(*keys, cfg.lsn_col, cfg.op_col, fields_col, *data_cols)
-    src = src.withColumn(BUCKET_COL, bucket_expr(keys, snap.n_buckets))
+    src = src.withColumn(
+        BUCKET_COL, bucket_expr(snap.layout_cols(), snap.n_buckets))
 
     # affected buckets + per-bucket lineage in one keys-sized pass
     bucket_rows = (

@@ -78,7 +78,8 @@ def distinct_sketch(
         columns=[c for c in cols if c not in snap.key_cols],
     )
     return (
-        live.withColumn("bucket", bucket_expr(snap.key_cols, snap.n_buckets))
+        live.withColumn("bucket",
+                        bucket_expr(snap.layout_cols(), snap.n_buckets))
         .groupBy("bucket")
         .agg(F.hll_sketch_agg(_sketch_value(live, list(cols)), lg_k)
              .alias("sketch"))

@@ -1,0 +1,128 @@
+"""Bucket-aligned (storage-partitioned) joins between co-located tables.
+
+Two SnapshotTables are CO-LOCATED when they hash the same layout columns
+into the same number of buckets (`Snapshot.layout_cols()`, `n_buckets`):
+bucket b of each holds exactly the same key space, so an equi-join on
+those columns never needs to move a row between buckets. A naive
+`left.read().join(right.read())` still shuffles BOTH sides — Catalyst
+cannot see the parquet layout through the engine's manifest — which at
+100 TB is the single largest avoidable exchange class (e.g. a CDC table
+joined with its derived chunk table on every downstream read).
+
+`colocated_join` plans the join the way Iceberg's storage-partitioned
+join does: one join per common bucket over the two single-bucket reads,
+unioned. The per-bucket right side is broadcast (it is one bucket —
+1/n_buckets of a table; at the design layout ~6 GB/bucket tables this is
+the pruned-lookup/maintenance shape, not a full-table cross product), so
+the plan contains NO shuffle exchange at all on compacted tables: scan ⋈
+broadcast-scan per bucket. Delta-carrying buckets add only their own MOR
+reduce, still bucket-local.
+
+Scale envelope — explicit, not silent:
+
+- The plan holds one join node per bucket, so the driver caps it at
+  `max_plan_buckets` and raises past that, telling the caller to batch by
+  bucket ranges — exactly how `rewrite_buckets` runs table-wide
+  maintenance (a rolling background pass), and what a pruned lookup does
+  naturally (its bucket set is already small).
+- On a real Iceberg deployment this function disappears into
+  `spark.sql.sources.v2.bucketing.enabled` (SPJ); the engine-level
+  contract (which joins are alignable) is identical.
+
+Reference parity: none (engine-added scale feature; the reference joins
+nothing — it migrates table-by-table).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.tables.lake import Snapshot, SnapshotTable
+
+
+def alignment(left: Snapshot, right: Snapshot,
+              on: list[str]) -> str | None:
+    """None when a join of the two snapshots on `on` is bucket-aligned;
+    otherwise a human-readable reason it is not."""
+    lc, rc = left.layout_cols(), right.layout_cols()
+    if lc != rc:
+        return (f"layout columns differ: left {lc} vs right {rc} "
+                f"(co-location requires identical bucket_cols)")
+    if left.n_buckets != right.n_buckets:
+        return (f"bucket counts differ: left {left.n_buckets} vs right "
+                f"{right.n_buckets} (rebucket one side to match)")
+    if not set(lc) <= set(on):
+        return (f"join keys {on} do not cover the layout columns {lc} — "
+                f"rows joining across buckets cannot be aligned")
+    return None
+
+
+def _populated(snap: Snapshot) -> set[int]:
+    return set(snap.buckets) | {b for b, d in snap.deltas.items() if d}
+
+
+def colocated_join(
+    left: SnapshotTable,
+    right: SnapshotTable,
+    on: list[str] | None = None,
+    how: str = "inner",
+    buckets: list[int] | None = None,
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_suffix: str = "_r",
+    max_plan_buckets: int = 256,
+) -> DataFrame:
+    """Equi-join two co-located tables bucket-by-bucket, shuffle-free.
+
+    `on` defaults to the shared layout columns. `how`: "inner" (common
+    populated buckets) or "left" (all left populated buckets; right reads
+    of unpopulated buckets are empty). Non-join columns present on BOTH
+    sides are renamed with `right_suffix` on the right (both tables carry
+    an LSN column, so collisions are the norm, not the exception).
+
+    `buckets` restricts the join to a bucket subset — the pruned-lookup
+    composition (probe the keys, join only the hit buckets) and the
+    batching lever once a full-table join exceeds `max_plan_buckets`.
+
+    Pinned by tests/test_colocated.py: zero "Exchange hashpartitioning"
+    nodes on compacted sides, and result equality with the naive
+    shuffled join.
+    """
+    lsnap, rsnap = left.current(), right.current()
+    on = list(on) if on is not None else lsnap.layout_cols()
+    reason = alignment(lsnap, rsnap, on)
+    if reason is not None:
+        raise ValueError(f"not bucket-aligned: {reason}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+
+    lpop, rpop = _populated(lsnap), _populated(rsnap)
+    todo = sorted(lpop & rpop) if how == "inner" else sorted(lpop)
+    if buckets is not None:
+        todo = sorted(set(todo) & set(buckets))
+    if len(todo) > max_plan_buckets:
+        raise ValueError(
+            f"{len(todo)} bucket joins exceed max_plan_buckets="
+            f"{max_plan_buckets}; run in bucket ranges (pass buckets=) as "
+            f"a rolling pass, or raise the cap if the driver can hold the "
+            f"plan")
+
+    def bucket_pair(b: int) -> DataFrame:
+        l = left.read(snapshot=lsnap, buckets=[b], columns=left_columns)
+        r = right.read(snapshot=rsnap, buckets=[b], columns=right_columns)
+        for c in r.columns:
+            if c in l.columns and c not in on:
+                r = r.withColumnRenamed(c, c + right_suffix)
+        # broadcast the right bucket: one bucket's rows, the small unit by
+        # construction — keeps the per-bucket join exchange-free on the
+        # (big) left scan
+        return l.join(F.broadcast(r), on, how)
+
+    parts = [bucket_pair(b) for b in todo]
+    if not parts:
+        # schema-correct empty result (e.g. empty tables)
+        return bucket_pair(0).limit(0)
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -93,7 +93,7 @@ class DerivedTable:
     @classmethod
     def create(cls, spark: SparkSession, root: str, source: SnapshotTable,
                transform_sql: str, seq_col: str = "seq",
-               n_buckets: int = 16) -> "DerivedTable":
+               n_buckets: int | None = None) -> "DerivedTable":
         """Validate the transform against the source schema (on an empty
         frame — cheap, catches missing/renamed columns and bad SQL before
         anything is written) and create the derived table with the
@@ -121,9 +121,19 @@ class DerivedTable:
             + [T.StructField(lsn_col, T.LongType(), False)]
             + [by_name[c] for c in payload]
         )
+        # Bucket by the SOURCE key prefix, not the full (key, seq) merge
+        # key: a source row's N derived outputs land in ONE bucket, and —
+        # when n_buckets matches the source's — the derived table is
+        # CO-LOCATED with it: bucket b of each holds the same source keys,
+        # so table ⋈ derived joins run bucket-aligned with no shuffle
+        # (tables/colocated.py). Matching the source's n_buckets maximizes
+        # that alignment; an explicit n_buckets still wins (a 1->50 chunk
+        # fan-out may genuinely need more buckets than its source).
+        if n_buckets is None:
+            n_buckets = src_snap.n_buckets
         SnapshotTable.create(
             spark, root, schema, key_cols=keys, n_buckets=n_buckets,
-            lsn_col=lsn_col,
+            lsn_col=lsn_col, bucket_cols=list(src_snap.key_cols),
             props={"derived_of": source.root, "derived_sql": transform_sql,
                    "derived_seq": seq_col},
         )
@@ -325,3 +335,21 @@ class DerivedTable:
 
     def read(self, **kw) -> DataFrame:
         return self.table.read(**kw)
+
+    def join_source(self, source: SnapshotTable, how: str = "inner",
+                    **kw) -> DataFrame:
+        """Derived rows joined back to their source rows, bucket-aligned.
+
+        The derived table is bucketed by the SOURCE key prefix (create()),
+        so when its n_buckets matches the source's the join runs
+        shuffle-free per bucket (tables/colocated.colocated_join): the
+        chunk⋈document read that every RAG/export pipeline ends with costs
+        zero exchanges instead of two full-table shuffles. Source columns
+        keep their names; colliding derived columns get the "_r" suffix
+        (notably the LSN)."""
+        from data_migration_service_spark.tables.colocated import (
+            colocated_join,
+        )
+
+        return colocated_join(source, self.table, on=self.source_keys,
+                              how=how, **kw)

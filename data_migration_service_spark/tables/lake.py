@@ -105,6 +105,15 @@ class Snapshot:
     # bucket merges base + deltas by max LSN per key; compaction folds deltas
     # back into a new base dir and clears the list.
     deltas: dict[int, list[str]] = None  # type: ignore[assignment]
+    # Layout transform (Iceberg bucket-partitioning analogue): the subset of
+    # key_cols the bucket id hashes. None = the full merge key (legacy and
+    # default). A table bucketed by a key PREFIX co-locates with any table
+    # bucketed by the same prefix — e.g. a derived table (key = source key +
+    # seq) bucketed by the SOURCE key shares bucket boundaries with its
+    # source, enabling shuffle-free bucket-aligned joins
+    # (tables/colocated.py). Immutable for a table's lifetime (rebucket
+    # changes n_buckets, never the layout columns).
+    bucket_cols: list[str] | None = None
 
     def __post_init__(self):
         if self.deltas is None:
@@ -112,6 +121,10 @@ class Snapshot:
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
+
+    def layout_cols(self) -> list[str]:
+        """Columns the physical bucket id is hashed from."""
+        return list(self.bucket_cols) if self.bucket_cols else list(self.key_cols)
 
 
 class SnapshotTable:
@@ -140,8 +153,15 @@ class SnapshotTable:
         props: dict[str, str] | None = None,
         lsn_col: str = "lsn",
         meta_store: MetaStore | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "SnapshotTable":
         t = cls(spark, root, meta_store=meta_store)
+        if bucket_cols is not None:
+            bad = [c for c in bucket_cols if c not in key_cols]
+            if bad or not bucket_cols:
+                raise ValueError(
+                    f"bucket_cols must be a non-empty subset of key_cols "
+                    f"{list(key_cols)}; got {bucket_cols}")
         props = dict(props or {})
         props.setdefault("lsn_col", lsn_col)
         t.meta.ensure_layout()
@@ -160,6 +180,7 @@ class SnapshotTable:
             renames={},
             props=props,
             summary={"operation": "create"},
+            bucket_cols=list(bucket_cols) if bucket_cols else None,
         )
         t._write_snapshot(snap)
         return t
@@ -426,13 +447,13 @@ class SnapshotTable:
             df = df.drop(GEN_COL)
         if not reduce:
             return df.withColumn(
-                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+                BUCKET_COL, bucket_expr(snap.layout_cols(), snap.n_buckets)
             )
         if include_deleted:
             # bucket id is derived, not stored: recomputing the key hash is
             # cheaper and safer than parquet partition-dir discovery
             return df.withColumn(
-                BUCKET_COL, bucket_expr(snap.key_cols, snap.n_buckets)
+                BUCKET_COL, bucket_expr(snap.layout_cols(), snap.n_buckets)
             )
         return df.where(~F.col(DELETED_COL)).drop(DELETED_COL)
 
@@ -845,6 +866,7 @@ class SnapshotTable:
                 props={**cur.props, **(props_update or {})},
                 summary={"operation": operation, **(summary or {})},
                 deltas=deltas,
+                bucket_cols=cur.bucket_cols,
             )
             try:
                 self._write_snapshot(snap, publish=publish)
@@ -992,7 +1014,8 @@ class SnapshotTable:
         if new_n_buckets == cur.n_buckets:
             return cur
         df = self.read(snapshot=cur, include_deleted=True).drop(BUCKET_COL)
-        df = df.withColumn(BUCKET_COL, bucket_expr(cur.key_cols, new_n_buckets))
+        df = df.withColumn(BUCKET_COL,
+                           bucket_expr(cur.layout_cols(), new_n_buckets))
         dirname = self.write_buckets(df, list(range(new_n_buckets)),
                                      salt_factor=salt_factor,
                                      write_schema=cur.schema())
@@ -1009,6 +1032,7 @@ class SnapshotTable:
             summary={"operation": "rebucket", "from": cur.n_buckets,
                      "to": new_n_buckets},
             deltas={},
+            bucket_cols=cur.bucket_cols,
         )
         self._write_snapshot(snap)
         return snap
@@ -1049,6 +1073,7 @@ class SnapshotTable:
             props=dict(old.props),
             summary={"operation": "rollback", "to_snapshot": sid},
             deltas={b: list(d) for b, d in old.deltas.items()},
+            bucket_cols=old.bucket_cols,
         )
         self._write_snapshot(snap)
         return snap
@@ -1264,6 +1289,7 @@ class SnapshotTable:
             summary={"operation": "clone", "source": self.root,
                      "source_snapshot": snap.snapshot_id, "mode": mode},
             deltas={b: list(v) for b, v in snap.deltas.items()},
+            bucket_cols=snap.bucket_cols,
         )
         dest._write_snapshot(clone)
         return dest

