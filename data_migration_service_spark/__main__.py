@@ -42,6 +42,12 @@ Verb mapping (reference -> CLI):
     (engine-added)                -> tag create|list|drop (pin corpus states)
     (engine-added)                -> index create|sync|find (secondary
                                      value->key indexes, changefeed-synced)
+    POST /jobs/migrateSpecificRecords -> replay-keys --keys <parquet>
+    (engine-added)                -> changes --from-snapshot N [--out p]
+                                     (changefeed export, the CDC-out side)
+    (engine-added)                -> sql -q "..." [--catalog-root r]
+    (engine-added)                -> blame --keys <parquet> (per-row epoch
+                                     provenance from the lineage store)
 
 Every command prints ONE JSON document to stdout (the REST body analogue)
 and exits 0/1. Table creation is on demand (`jobs run` creates missing
@@ -453,6 +459,117 @@ def cmd_derived_sync(args) -> int:
     return 0
 
 
+def cmd_replay_keys(args) -> int:
+    """Targeted re-replay (reference POST /jobs/migrateSpecificRecords,
+    DataMigrationService.java:312-342): re-apply only the events whose
+    merge key appears in --keys, from --source (or the table's configured
+    source). Semi-join, bucket-pruned — never a table scan."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    picked = _one_engine(_engines(spark, tables, args.table))
+    if picked is None:
+        return 1
+    name, eng = picked
+    src = args.source or tables[name].get("source")
+    if not src:
+        print(json.dumps({"error": f"table '{name}' has no source; "
+                                   f"pass --source <parquet>"}))
+        return 1
+    events = spark.read.parquet(src)
+    keys = spark.read.parquet(args.keys)
+    stats = eng.replay_keys(events, keys, epoch=args.epoch)
+    print(json.dumps({
+        "table": name, "epoch": stats.epoch, "skipped": stats.skipped,
+        "rows_in_batch": stats.rows_in_batch,
+        "rows_matched": stats.rows_matched,
+        "rows_inserted": stats.rows_inserted,
+        "rows_deleted": stats.rows_deleted,
+        "snapshot_id": stats.snapshot_id,
+    }, default=str))
+    return 0
+
+
+def _emit_rows(df, args, base: dict) -> int:
+    """Shared result shaping for row-returning verbs: --out writes the
+    full result as parquet (the scale path — rows never land on the
+    driver); otherwise up to --limit rows are inlined in the JSON doc."""
+    if getattr(args, "out", None):
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({**base, "out": args.out,
+                          "rows_written": spark_count(df)}, default=str))
+        return 0
+    rows = df.limit(args.limit).collect()
+    print(json.dumps({**base, "n_rows": len(rows), "limit": args.limit,
+                      "rows": [r.asDict(recursive=True) for r in rows]},
+                     default=str))
+    return 0
+
+
+def spark_count(df) -> int:
+    return df.count()
+
+
+def cmd_changes(args) -> int:
+    """Changefeed export: ordered change rows between two snapshots
+    (operators/changefeed.table_changes) — the engine's CDC-out surface.
+    --out writes parquet (downstream consumers tail it); without --out a
+    --limit sample is inlined."""
+    from data_migration_service_spark.operators.changefeed import (
+        table_changes,
+    )
+
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    picked = _one_engine(_engines(spark, tables, args.table))
+    if picked is None:
+        return 1
+    name, eng = picked
+    to_sid = (args.to_snapshot if args.to_snapshot is not None
+              else eng.table.current().snapshot_id)
+    ch = table_changes(eng.table, args.from_snapshot, to_sid,
+                       include_old=args.include_old)
+    return _emit_rows(ch, args, {
+        "table": name, "from_snapshot": args.from_snapshot,
+        "to_snapshot": to_sid})
+
+
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the table group (EngineGroup.sql): every configured
+    table is a view under its name; --catalog-root pins reads to the last
+    sealed cross-table transaction."""
+    if bool(args.query) == bool(args.sql_file):
+        print(json.dumps({"error": "give exactly one of --query / "
+                                   "--sql-file"}))
+        return 1
+    q = (open(args.sql_file).read() if args.sql_file else args.query)
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    engines = _engines(spark, tables, args.table)
+    group = EngineGroup.from_engines(spark, engines)
+    df = group.sql(q, catalog_root=args.catalog_root)
+    return _emit_rows(df, args, {"tables": sorted(engines)})
+
+
+def cmd_blame(args) -> int:
+    """Row provenance (Engine.blame): which replay epoch(s) wrote each
+    key's current version, from the lineage store's per-epoch per-bucket
+    LSN intervals. Requires checkpoint_path in the table config."""
+    tables = load_config(args.config)
+    spark = get_spark(app_name="dms-cli")
+    picked = _one_engine(_engines(spark, tables, args.table))
+    if picked is None:
+        return 1
+    name, eng = picked
+    if not eng.cfg.checkpoint_path:
+        print(json.dumps({"error": f"table '{name}' has no "
+                                   f"checkpoint_path; blame needs the "
+                                   f"lineage store"}))
+        return 1
+    keys = spark.read.parquet(args.keys)
+    df = eng.blame(keys, last_epochs=args.last_epochs)
+    return _emit_rows(df, args, {"table": name})
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m data_migration_service_spark")
     ap.add_argument("--config", required=True,
@@ -557,6 +674,51 @@ def main(argv: list[str] | None = None) -> int:
     ifd.add_argument("--value", action="append", required=True)
     ifd.add_argument("--limit", type=int, default=100)
     ifd.set_defaults(fn=cmd_index_find)
+
+    rk = sub.add_parser("replay-keys",
+                        help="re-apply events for specific merge keys "
+                             "(migrateSpecificRecords)")
+    rk.add_argument("--table", default=None)
+    rk.add_argument("--keys", required=True,
+                    help="parquet of merge-key rows")
+    rk.add_argument("--source", default=None,
+                    help="events parquet (default: table's configured "
+                         "source)")
+    rk.add_argument("--epoch", type=int, default=None)
+    rk.set_defaults(fn=cmd_replay_keys)
+
+    cf = sub.add_parser("changes",
+                        help="export the changefeed between two snapshots")
+    cf.add_argument("--table", default=None)
+    cf.add_argument("--from-snapshot", type=int, required=True)
+    cf.add_argument("--to-snapshot", type=int, default=None,
+                    help="default: HEAD")
+    cf.add_argument("--include-old", action="store_true",
+                    help="carry before-image old_<col> columns")
+    cf.add_argument("--out", default=None,
+                    help="write full result parquet here (scale path)")
+    cf.add_argument("--limit", type=int, default=100)
+    cf.set_defaults(fn=cmd_changes)
+
+    sq = sub.add_parser("sql", help="SQL over the table group")
+    sq.add_argument("--table", default=None,
+                    help="restrict the registered views to one table")
+    sq.add_argument("--query", "-q", default=None)
+    sq.add_argument("--sql-file", default=None)
+    sq.add_argument("--catalog-root", default=None,
+                    help="pin reads to the last sealed cross-table txn")
+    sq.add_argument("--out", default=None)
+    sq.add_argument("--limit", type=int, default=100)
+    sq.set_defaults(fn=cmd_sql)
+
+    bl = sub.add_parser("blame", help="per-row epoch provenance")
+    bl.add_argument("--table", default=None)
+    bl.add_argument("--keys", required=True,
+                    help="parquet of merge-key rows")
+    bl.add_argument("--last-epochs", type=int, default=10_000)
+    bl.add_argument("--out", default=None)
+    bl.add_argument("--limit", type=int, default=100)
+    bl.set_defaults(fn=cmd_blame)
 
     c = sub.add_parser("cleanup")
     c.add_argument("--table", default=None)

@@ -415,3 +415,61 @@ def test_cli_derived_table_selection_errors(spark, tmp_path, capsys):
                             "--path", str(tmp_path / "nope"),
                             "--sql", "SELECT 1"])
     assert rc == 1 and "error" in out
+
+
+def test_cli_replay_keys_changes_sql_blame(spark, tmp_path, capsys):
+    """The four round-3 verbs: replay-keys (migrateSpecificRecords
+    analogue), changes (changefeed export), sql, and blame — each honoring
+    the one-JSON-doc contract."""
+    cfg_path, tables, changes = _setup(spark, tmp_path, names=("repos_a",))
+    # give the table a checkpoint so blame has a lineage store
+    cfg = json.load(open(cfg_path))
+    cfg["tables"]["repos_a"]["checkpoint_path"] = str(tmp_path / "ckpt_a")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    rc, _ = _run(capsys, ["--config", cfg_path, "jobs", "run", "--batch"])
+    assert rc == 0
+
+    ch = changes["repos_a"]
+    some = (ch.select("repo", "path").distinct().limit(5))
+    keys_path = str(tmp_path / "keys")
+    some.write.parquet(keys_path)
+
+    # replay-keys: idempotent re-apply of those keys' events
+    rc, out = _run(capsys, ["--config", cfg_path, "replay-keys",
+                            "--keys", keys_path])
+    assert rc == 0 and out["table"] == "repos_a"
+    assert out["rows_in_batch"] >= 0 and "snapshot_id" in out
+
+    # changes: snapshot 1 (empty table) -> HEAD must replay to final state
+    out_dir = str(tmp_path / "cf_out")
+    rc, out = _run(capsys, ["--config", cfg_path, "changes",
+                            "--from-snapshot", "1", "--out", out_dir])
+    assert rc == 0 and out["rows_written"] > 0
+    cf = spark.read.parquet(out_dir)
+    live = cf.where(F.col("op") != "delete")
+    from data_migration_service_spark.api import Engine
+    from data_migration_service_spark.config import EngineConfig
+    eng = Engine(spark, EngineConfig(
+        table_path=tables["repos_a"]["table_path"], merge_mode="mor"))
+    state = eng.table.read().select("repo", "path", "lsn")
+    assert live.select("repo", "path", "lsn").exceptAll(state).count() == 0
+    assert state.exceptAll(live.select("repo", "path", "lsn")).count() == 0
+
+    # changes without --out: inline sample honoring --limit
+    rc, out = _run(capsys, ["--config", cfg_path, "changes",
+                            "--from-snapshot", "1", "--limit", "7"])
+    assert rc == 0 and out["n_rows"] == 7 and len(out["rows"]) == 7
+
+    # sql: aggregate over the registered view
+    rc, out = _run(capsys, ["--config", cfg_path, "sql", "-q",
+                            "SELECT count(*) AS n FROM repos_a"])
+    assert rc == 0 and out["rows"][0]["n"] == state.count()
+    rc, out = _run(capsys, ["--config", cfg_path, "sql"])
+    assert rc == 1 and "error" in out
+
+    # blame: every looked-up key resolves to epoch candidates
+    rc, out = _run(capsys, ["--config", cfg_path, "blame",
+                            "--keys", keys_path])
+    assert rc == 0 and out["n_rows"] == 5
+    assert all("epochs" in r for r in out["rows"])
