@@ -251,22 +251,96 @@ class ReplayEngine:
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, path)
+        # self-compacting store: once the JSON tail outgrows a full
+        # segment beyond the keep-recent window, fold the excess (one
+        # listdir per epoch — microseconds against a merge's seconds)
+        d = os.path.join(self.checkpoint, "lineage")
+        n_json = sum(1 for p in os.listdir(d) if p.endswith(".json"))
+        if n_json >= self.LINEAGE_KEEP_RECENT + self.LINEAGE_SEGMENT_ROWS:
+            self.compact_lineage()
+
+    # Lineage-store compaction: per-epoch JSON files are perfect for the
+    # hot path (one atomic create per epoch, no read-modify-write) but a
+    # million-epoch replay would mean a million files. Old epochs roll
+    # into parquet SEGMENT files (driver-side pyarrow, no Spark job) so
+    # the file count stays O(epochs / segment_size) + O(recent).
+    LINEAGE_KEEP_RECENT = 1024    # newest epochs stay as JSON (hot reads)
+    LINEAGE_SEGMENT_ROWS = 4096   # epochs folded per parquet segment
+
+    def _lineage_dirs(self) -> tuple[str, str]:
+        d = os.path.join(self.checkpoint, "lineage")
+        return d, os.path.join(d, "segments")
+
+    def compact_lineage(self, keep_recent: int | None = None,
+                        segment_rows: int | None = None) -> dict:
+        """Fold all but the most recent `keep_recent` per-epoch JSON files
+        into parquet segments named ``segment-<first>-<last>.parquet``
+        (epoch, record-JSON columns; pyarrow, driver-side — lineage
+        records are KB-scale driver metadata, not table data). Atomic per
+        segment: the segment is fully written and renamed into place
+        BEFORE its source JSONs are deleted, so a crash mid-compaction
+        only leaves duplicates, which `lineage()` de-duplicates by epoch
+        (segment first, JSON wins — the JSON is the original)."""
+        keep = self.LINEAGE_KEEP_RECENT if keep_recent is None else keep_recent
+        seg_rows = (self.LINEAGE_SEGMENT_ROWS if segment_rows is None
+                    else segment_rows)
+        d, segdir = self._lineage_dirs()
+        if not os.path.isdir(d):
+            return {"segments_written": 0, "files_folded": 0}
+        names = sorted(p for p in os.listdir(d) if p.endswith(".json"))
+        fold = names[:-keep] if keep > 0 else names
+        if not fold:
+            return {"segments_written": 0, "files_folded": 0}
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(segdir, exist_ok=True)
+        written = 0
+        for i in range(0, len(fold), seg_rows):
+            chunk = fold[i:i + seg_rows]
+            epochs, recs = [], []
+            for p in chunk:
+                with open(os.path.join(d, p)) as f:
+                    raw = f.read()
+                recs.append(raw)
+                epochs.append(int(json.loads(raw)["epoch"]))
+            table = pa.table({"epoch": pa.array(epochs, pa.int64()),
+                              "record": pa.array(recs, pa.string())})
+            name = f"segment-{min(epochs):08d}-{max(epochs):08d}.parquet"
+            tmp = os.path.join(segdir, f".{name}.tmp")
+            pq.write_table(table, tmp)
+            os.replace(tmp, os.path.join(segdir, name))
+            for p in chunk:  # segment durable -> originals can go
+                os.remove(os.path.join(d, p))
+            written += 1
+        return {"segments_written": written, "files_folded": len(fold)}
 
     def lineage(self, last: int | None = None) -> list[dict]:
         """Per-epoch lineage records, oldest first. `last=N` opens only
         the N most recent files (the listing is cheap; opening a
-        million-epoch history is not)."""
+        million-epoch history is not) — and skips the compacted segments
+        entirely when the recent JSON files already cover N (the common
+        ops query)."""
         if not self.checkpoint:
             return []  # no checkpoint configured -> nothing recorded
-        d = os.path.join(self.checkpoint, "lineage")
+        d, segdir = self._lineage_dirs()
         names = sorted(p for p in os.listdir(d) if p.endswith(".json"))
-        if last is not None:
-            names = names[-last:]
-        out = []
+        by_epoch: dict[int, dict] = {}
+        if (last is None or len(names) < last) and os.path.isdir(segdir):
+            import pyarrow.parquet as pq
+
+            for seg in sorted(p for p in os.listdir(segdir)
+                              if p.endswith(".parquet")):
+                t = pq.read_table(os.path.join(segdir, seg))
+                for raw in t.column("record").to_pylist():
+                    rec = json.loads(raw)
+                    by_epoch[int(rec["epoch"])] = rec
         for p in names:
             with open(os.path.join(d, p)) as f:
-                out.append(json.load(f))
-        return out
+                rec = json.load(f)
+            by_epoch[int(rec["epoch"])] = rec  # JSON wins over a dup
+        out = [by_epoch[e] for e in sorted(by_epoch)]
+        return out[-last:] if last is not None else out
 
     # ---------- streaming replay ----------
 
