@@ -36,7 +36,9 @@ def _sf_of(sf_dir: str) -> float:
 
 def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
                n_buckets: int, content_blocks: int = 8,
-               verify: bool = False, events_path: str | None = None) -> dict:
+               verify: bool = False, events_path: str | None = None,
+               zipf_s: float | None = None, hot_frac: float = 0.0,
+               task_stats: bool = False) -> dict:
     """Generate a seed-stable event log, then replay it through the engine in
     `n_epochs` epoch-tagged merges. Returns timings + row counts. Generation
     is materialized to parquet first so the measured window is pure apply.
@@ -73,10 +75,30 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
                 os.path.join(ev_path, "_SUCCESS"))):
             n_parts = max(16, spark.sparkContext.defaultParallelism,
                           n_events // 250_000)
-            gen_changes(spark, n_events, n_repos=max(50, n_events // 5_000),
-                        n_paths_per_repo=200, partitions=n_parts,
-                        content_blocks=content_blocks).write.mode(
-                            "overwrite").parquet(ev_path)
+            ev = gen_changes(spark, n_events,
+                             n_repos=max(50, n_events // 5_000),
+                             n_paths_per_repo=200, partitions=n_parts,
+                             content_blocks=content_blocks,
+                             zipf_s=zipf_s if zipf_s is not None else 1.2)
+            if hot_frac > 0:
+                # Extreme-skew variant (north_rule: explicit skew
+                # handling): a deterministic `hot_frac` share of ALL
+                # events collapses onto ONE merge key — the
+                # single-hot-partition shape that breaks unsalted
+                # writers. Op semantics stay valid (LWW upserts).
+                hot = (F.pmod(F.xxhash64("lsn", F.lit("hotpick")),
+                              F.lit(10_000))
+                       < int(hot_frac * 10_000))
+                ev = (ev.withColumn(
+                          "repo", F.when(hot, F.lit("repo_hot"))
+                                   .otherwise(F.col("repo")))
+                        .withColumn(
+                          "path", F.when(hot, F.lit("hot/file.py"))
+                                   .otherwise(F.col("path")))
+                        .withColumn(
+                          "op", F.when(hot, F.lit("update"))
+                                 .otherwise(F.col("op"))))
+            ev.write.mode("overwrite").parquet(ev_path)
         # Size input splits to the cluster: a few-hundred-MB log under the
         # stock 128MB maxPartitionBytes (+ small-file packing) collapses to
         # 2-3 map splits, starving every level above 2 cores — the scan
@@ -123,19 +145,24 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
                            merge_mode="mor", compact_threshold=n_epochs)
 
         step = max(n_events // n_epochs, 1)
+        salts = []
         t0 = time.monotonic()
         for e in range(n_epochs):
             lo = e * step + 1
             hi = (e + 1) * step if e < n_epochs - 1 else n_events
-            cdc_apply(table, events.where(F.col("lsn").between(lo, hi)),
-                      cfg, epoch=e, collect_stats=False)
+            st = cdc_apply(table, events.where(F.col("lsn").between(lo, hi)),
+                           cfg, epoch=e, collect_stats=False)
+            salts.append(st.extra.get("salt_factor"))
         apply_sec = time.monotonic() - t0
         out = {
             "n_events": n_events,
             "n_epochs": n_epochs,
             "apply_sec": round(apply_sec, 3),
             "events_per_sec": round(n_events / apply_sec, 1),
+            "salt_factors": salts,
         }
+        if task_stats:
+            out["task_stats"] = _task_duration_stats(spark)
         if verify:
             # timed sha256 final-state verification (hash-early plan):
             # 1. fingerprint every event map-side (sha256 over content);
@@ -179,6 +206,48 @@ def run_replay(spark, n_events: int, n_epochs: int, salt_factor: int,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _task_duration_stats(spark, top_n: int = 3) -> list[dict] | None:
+    """Per-task duration quantiles of the heaviest completed stages, via
+    the UI REST API (requires DMS_SPARK_UI=true). The skew evidence the
+    bench rows cite: a balanced salted apply shows max/median near 1 on
+    its big stages; an unsalted hot key shows one straggler task holding
+    the stage's whole runtime."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        with urllib.request.urlopen(f"{base}/api/v1/applications",
+                                    timeout=10) as r:
+            app_id = json.load(r)[0]["id"]
+        url = (f"{base}/api/v1/applications/{app_id}/stages"
+               f"?status=complete&withSummaries=true"
+               f"&quantiles=0.0,0.5,1.0")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            stages = json.load(r)
+        stages.sort(key=lambda st: st.get("executorRunTime", 0),
+                    reverse=True)
+        out = []
+        for st in stages[:top_n]:
+            dist = (st.get("taskMetricsDistributions") or {})
+            dur = dist.get("duration") or dist.get("executorRunTime")
+            if not dur:
+                continue
+            mn, med, mx = dur[0], dur[1], dur[2]
+            out.append({
+                "stage": st["stageId"],
+                "num_tasks": st.get("numCompleteTasks"),
+                "task_ms_min": round(mn, 1),
+                "task_ms_median": round(med, 1),
+                "task_ms_max": round(mx, 1),
+                "max_over_median": (round(mx / med, 2) if med else None),
+            })
+        return out or None
+    except Exception as e:  # stats are evidence, never a bench failure
+        return [{"error": str(e)}]
+
+
 def _force(df) -> int:
     """Fully execute a DataFrame without driver materialization cost."""
     df.write.format("noop").mode("overwrite").save()
@@ -201,7 +270,21 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="time apply + sha256 final-state verification "
                          "(the full north-rule metric window)")
+    ap.add_argument("--zipf-s", type=float, default=None,
+                    help="key-skew exponent of the generated log "
+                         "(default 1.2; 1.5+ = heavy repo skew)")
+    ap.add_argument("--hot-frac", type=float, default=0.0,
+                    help="fraction of ALL events remapped to ONE merge "
+                         "key (extreme-skew variant)")
+    ap.add_argument("--salt-factor", type=int, default=2,
+                    help="writer fan-out per bucket; 0 = per-batch auto "
+                         "probe from the key histogram")
+    ap.add_argument("--task-stats", action="store_true",
+                    help="report per-task duration quantiles of the "
+                         "heaviest stages (needs DMS_SPARK_UI=true)")
     args = ap.parse_args()
+    if args.task_stats:
+        os.environ["DMS_SPARK_UI"] = "true"
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -219,9 +302,11 @@ def main() -> int:
     try:
         t_key = "apply_verify_sec" if args.verify else "apply_sec"
         reps = [run_replay(spark, n_events, args.epochs,
-                           salt_factor=2, n_buckets=64,
+                           salt_factor=args.salt_factor, n_buckets=64,
                            content_blocks=args.content_blocks,
-                           verify=args.verify, events_path=args.events_path)
+                           verify=args.verify, events_path=args.events_path,
+                           zipf_s=args.zipf_s, hot_frac=args.hot_frac,
+                           task_stats=args.task_stats)
                 for _ in range(max(args.reps, 1))]
         replay = min(reps, key=lambda r: r[t_key])
         if len(reps) > 1:

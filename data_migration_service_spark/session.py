@@ -102,7 +102,10 @@ def get_spark(
         .config("spark.driver.memory", heap)
         .config("spark.driver.extraJavaOptions",
                 f"-XX:+AlwaysPreTouch -Xms{heap}")
-        .config("spark.ui.enabled", "false")
+        # DMS_SPARK_UI=true exposes the UI/REST API (bench --task-stats
+        # reads per-task duration quantiles from it); off by default
+        .config("spark.ui.enabled",
+                os.environ.get("DMS_SPARK_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ObjectHashAggregate (max_by/min_by — the LWW dedup path) falls
         # back to SORT-based aggregation after only 128 distinct keys per

@@ -48,7 +48,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_one(master: str, events: int, epochs: int, sf_dir: str,
             content_blocks: int, steady: bool = False,
             heap_per_core_gb: int | None = None,
-            verify: bool = False) -> dict:
+            verify: bool = False, zipf_s: float | None = None,
+            hot_frac: float = 0.0, salt_factor: int = 2,
+            task_stats: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     if heap_per_core_gb and not master.startswith("local-cluster["):
         # cluster-faithful memory model: N->4N executors brings 4x total
@@ -64,14 +66,31 @@ def run_one(master: str, events: int, epochs: int, sf_dir: str,
     # JVM at every level replays the byte-identical input (generation is
     # untimed; reuse also cuts protocol wall time ~3x at 16M events)
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    ev_path = os.path.join(shm, f"dms_scaling_ev_{events}_{content_blocks}")
+    tag = ""
+    if zipf_s is not None:
+        tag += f"_z{zipf_s}"
+    if hot_frac:
+        tag += f"_hot{hot_frac}"
+    ev_path = os.path.join(
+        shm, f"dms_scaling_ev_{events}_{content_blocks}{tag}")
+    extra = []
+    if verify:
+        extra.append("--verify")
+    if zipf_s is not None:
+        extra += ["--zipf-s", str(zipf_s)]
+    if hot_frac:
+        extra += ["--hot-frac", str(hot_frac)]
+    if salt_factor != 2:
+        extra += ["--salt-factor", str(salt_factor)]
+    if task_stats:
+        extra.append("--task-stats")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only",
          "--master", master, "--events", str(events), "--epochs", str(epochs),
          "--content-blocks", str(content_blocks),
          "--events-path", ev_path,
          "--reps", "2" if steady else "1"]
-        + (["--verify"] if verify else []),
+        + extra,
         capture_output=True, text=True, env=env, cwd=REPO, check=True,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -118,6 +137,14 @@ def main() -> int:
                          "analogue of the criterion's N vs 4N executors")
     ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--exec-mem-mb", type=int, default=8192)
+    ap.add_argument("--zipf-s", type=float, default=None,
+                    help="key-skew exponent for the generated log")
+    ap.add_argument("--hot-frac", type=float, default=0.0,
+                    help="fraction of events remapped to ONE merge key")
+    ap.add_argument("--salt-factor", type=int, default=2,
+                    help="writer fan-out (0 = per-batch auto probe)")
+    ap.add_argument("--task-stats", action="store_true",
+                    help="record per-task duration quantiles per level")
     args = ap.parse_args()
 
     samples: dict[int, list[dict]] = {args.low: [], args.high: []}
@@ -129,7 +156,10 @@ def main() -> int:
             r = run_one(m, args.events, args.epochs,
                         args.sf_dir, args.content_blocks, steady=args.steady,
                         heap_per_core_gb=args.heap_per_core,
-                        verify=args.verify)
+                        verify=args.verify, zipf_s=args.zipf_s,
+                        hot_frac=args.hot_frac,
+                        salt_factor=args.salt_factor,
+                        task_stats=args.task_stats)
             samples[level].append(r["cdc"])
             final_rows[level].add(r["cdc"]["final_rows"])
             print(json.dumps({"rep": i, "cores": level,
@@ -165,6 +195,9 @@ def main() -> int:
         "final_rows_match": rows_match,
         "low_all_apply_sec": [s["apply_sec"] for s in samples[args.low]],
         "high_all_apply_sec": [s["apply_sec"] for s in samples[args.high]],
+        "salt_factors": samples[args.high][-1].get("salt_factors"),
+        "task_stats": {lvl: samples[lvl][-1].get("task_stats")
+                       for lvl in samples} if args.task_stats else None,
     }
     print(json.dumps(result))
 
@@ -176,6 +209,12 @@ def main() -> int:
                  f"{args.exec_mem_mb}m ")
     if args.heap_per_core:
         mode += f"heap {args.heap_per_core}g/core "
+    if args.zipf_s is not None:
+        mode += f"zipf-s={args.zipf_s} "
+    if args.hot_frac:
+        mode += f"hot-key {args.hot_frac:.0%} of events "
+    if args.salt_factor != 2:
+        mode += f"salt={'auto' if args.salt_factor == 0 else args.salt_factor} "
     row = (f"| {args.events:,} | {args.epochs} | {mode}{args.jvm_reps}x2 interleaved "
            f"| {lvl_name(args.low)} {r_lo:,.0f} ev/s (mob3 {stat[args.low]:.2f}s; "
            f"all {result['low_all_apply_sec']}) "
