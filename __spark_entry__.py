@@ -297,6 +297,61 @@ FROM (
 """
 
 
+def _colocated_chunk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join (tables/colocated.py): the derived
+    chunk table buckets by the SOURCE key and inherits its bucket count
+    (round 3), so the chunk⋈document join plans per-bucket with zero
+    shuffle exchanges after both sides compact. Returns every chunk with
+    its source document's content and LSN. Oracle: the chunk transform
+    over the LWW final state, carrying the source columns."""
+    from data_migration_service_spark.operators.merge import compact
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_colo_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    d = DerivedTable.create(spark, os.path.join(root, "chunks"), t,
+                            _CHUNK_TRANSFORM_SQL, seq_col="seq")
+    cdc_apply(t, ch, cfg, epoch=0)
+    d.sync(t)
+    compact(t, cfg)
+    d.compact()
+    j = d.join_source(t)  # bucket-aligned, no Exchange hashpartitioning
+    return j.select("repo", "path", "seq", "chunk_text", "content",
+                    F.col("lsn").alias("src_lsn"))
+
+
+_COLOCATED_CHUNK_JOIN_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, lsn, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, path, CAST(chunk_id AS BIGINT) AS seq,
+       substring(content, CAST(chunk_id * 8 + 1 AS INT), 8) AS chunk_text,
+       content, lsn AS src_lsn
+FROM (
+  SELECT repo, path, content, lsn,
+         unnest(range(0, CAST(floor((length(content) - 1) / 8) AS INT) + 1))
+             AS chunk_id
+  FROM last
+  WHERE rn = 1 AND op <> 'delete' AND content IS NOT NULL
+        AND length(content) > 0
+)
+"""
+
+
 def _update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL UPDATE parity (Engine.update_where): replay the log, then
     UPDATE content = upper(content) WHERE repo = 'repo_3' as a CDC batch
@@ -2941,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matview_counts": q_matview_counts,
         "event_quarantine": q_event_quarantine,
         "table_profile": q_table_profile,
+        "colocated_chunk_join": _colocated_chunk_join,
         # --- headline CDC surface (driver-green in rounds 1-2) ---
         "cdc_replay_final_state": _replay_final_state,
         "repair_convergence": q_repair_convergence,
@@ -3003,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "repair_convergence": _REPAIR_CONVERGENCE_SQL,
         "index_state": _INDEX_STATE_SQL,
         "derived_chunks": _DERIVED_CHUNKS_SQL,
+        "colocated_chunk_join": _COLOCATED_CHUNK_JOIN_SQL,
         "update_where": _UPDATE_WHERE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing

@@ -95,10 +95,18 @@ class SecondaryIndex:
             + [fields[k] for k in src_snap.key_cols]
             + [T.StructField(lsn_col, T.LongType(), False)]
         )
+        # Bucket by the VALUE column alone (round 3, Snapshot.bucket_cols):
+        # a value-equality lookup then prunes to the value's bucket at the
+        # MANIFEST level — before row-group stats even load — turning
+        # find_keys into a one-bucket read at any index size. A hot value
+        # concentrates its rows in one bucket, but a value lookup must
+        # read those rows wherever they live; the salted writer still
+        # fans the bucket's files out across tasks.
         SnapshotTable.create(
             spark, root, schema,
             key_cols=[value_col, *src_snap.key_cols],
             n_buckets=n_buckets, lsn_col=lsn_col,
+            bucket_cols=[value_col],
             props={"index_of": source.root, "index_col": value_col},
         )
         return cls(spark, root, value_col, list(src_snap.key_cols), lsn_col)
@@ -207,14 +215,33 @@ class SecondaryIndex:
         everything else) or a single-column DataFrame (a LARGE probe set,
         e.g. another table's column: resolved with one size-gated
         semi-join instead of a driver-side literal list)."""
-        df = self.table.read(columns=[self.value_col, *self.source_keys])
-        if isinstance(values, DataFrame):
-            from data_migration_service_spark.operators.merge import (
-                maybe_broadcast_keys,
-            )
+        from data_migration_service_spark.operators.merge import (
+            maybe_broadcast_keys,
+            probe_keys,
+        )
 
-            probe = values.toDF(self.value_col).distinct()
-            n = probe.count()
+        snap = self.table.current()
+        probe = (values.toDF(self.value_col).distinct()
+                 if isinstance(values, DataFrame)
+                 else self.spark.createDataFrame(
+                     [(v,) for v in values],
+                     T.StructType([T.StructField(
+                         self.value_col,
+                         snap.schema()[self.value_col].dataType)])))
+        buckets = None
+        n = None
+        if snap.layout_cols() == [self.value_col]:
+            # value-bucketed layout (round 3): the probed values' bucket
+            # set IS the read scope — one keys-sized job, then a read of
+            # only those buckets (legacy full-key-bucketed indexes skip
+            # this and rely on row-group stats alone)
+            hits, n = probe_keys(probe, [self.value_col], snap.n_buckets)
+            buckets = hits
+        df = self.table.read(columns=[self.value_col, *self.source_keys],
+                             buckets=buckets)
+        if isinstance(values, DataFrame):
+            if n is None:
+                n = probe.count()
             matched = df.join(maybe_broadcast_keys(probe, n),
                               self.value_col, "left_semi")
         else:

@@ -189,3 +189,44 @@ def test_sync_survives_expired_source_snapshots(spark, rig):
     assert idx.find_keys(["c1"]).count() == 0
     # next sync is incremental again (and a no-op)
     assert idx.sync(t)["skipped"]
+
+
+def test_value_bucketed_index_prunes_to_value_bucket(spark, tmp_path):
+    """Round 3: the index buckets by its VALUE column, so a value lookup
+    prunes at the manifest level — the find_keys read touches a strict
+    subset of the index's buckets — while returning exactly the full-scan
+    answer, for both the literal-list and DataFrame probe paths."""
+    from data_migration_service_spark.fixtures.cdc import gen_changes
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, SCHEMA, ["repo", "path"], 4)
+    cfg = EngineConfig(table_path=root, n_buckets=4, merge_mode="mor",
+                       salt_factor=1)
+    ch = gen_changes(spark, 800, n_repos=6, n_paths_per_repo=10) \
+        .select("repo", "path", "commit", "lsn", "op").cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+    ix = SecondaryIndex.create(spark, str(tmp_path / "ix2"), t, "commit",
+                               n_buckets=16)
+    assert ix.table.current().bucket_cols == ["commit"]
+    ix.sync(t)
+    ix.compact()
+
+    state = t.read().where(F.col("commit").isNotNull())
+    some = [r["commit"] for r in
+            state.select("commit").distinct().limit(3).collect()]
+    got = ix.find_keys(some)
+    want = (state.where(F.col("commit").isin(some))
+            .select("repo", "path").distinct())
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # manifest-level pruning: strictly fewer files than the whole index
+    all_files = ix.table.read(
+        columns=["commit", "repo", "path"]).inputFiles()
+    hit_files = got.inputFiles()
+    assert 0 < len(hit_files) < len(all_files)
+
+    # DataFrame probe path prunes identically
+    probe = state.select("commit").distinct().limit(3)
+    got2 = ix.find_keys(probe)
+    assert got2.exceptAll(want).count() == 0
+    assert want.exceptAll(got2).count() == 0

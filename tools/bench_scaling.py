@@ -236,6 +236,23 @@ def main() -> int:
                 "| efficiency | final rows match |\n"
                 "|---|---|---|---|---|---|---|\n"
             )
+    if args.task_stats:
+        notes = []
+        for lvl in (args.low, args.high):
+            ts = samples[lvl][-1].get("task_stats") or []
+            ts = [t for t in ts if "task_ms_median" in t]
+            if ts:
+                big = ts[0]  # heaviest stage
+                notes.append(
+                    f"{lvl_name(lvl)} heaviest stage {big['num_tasks']} "
+                    f"tasks p50 {big['task_ms_median']/1000:.1f}s max "
+                    f"{big['task_ms_max']/1000:.1f}s "
+                    f"(max/median {big['max_over_median']})")
+        salts = samples[args.high][-1].get("salt_factors")
+        if salts:
+            notes.append(f"per-epoch salt fan-out {salts}")
+        if notes:
+            row += f" _({'; '.join(notes)})_"
     with open(bench_md, "a") as f:
         f.write(row + "\n")
     return 0
