@@ -114,3 +114,26 @@ def test_join_source_facade(rig):
     bad = rebuilt.where(
         F.coalesce(F.col("content"), F.lit("")) != F.col("glued"))
     assert bad.count() == 0
+
+
+def test_bucket_cols_survive_lifecycle(rig, tmp_path):
+    """The layout transform is part of the table's identity: rebucket,
+    commit, rollback, and clone all carry bucket_cols; rebucketing the
+    derived table to the source's count restores alignment."""
+    t, d, _ = rig
+    dt = d.table
+    assert dt.current().bucket_cols == ["repo", "path"]
+    dt.rebucket(16, salt_factor=1)
+    snap = dt.current()
+    assert snap.bucket_cols == ["repo", "path"] and snap.n_buckets == 16
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        colocated_join(t, dt, on=["repo", "path"])
+    dt.rebucket(8, salt_factor=1)  # back to the source's count
+    j = colocated_join(t, dt, on=["repo", "path"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    # rollback and clone carry the layout too
+    dt.rollback(dt.current().snapshot_id - 1)
+    assert dt.current().bucket_cols == ["repo", "path"]
+    clone = dt.clone_to(str(tmp_path / "clone"))
+    assert clone.current().bucket_cols == ["repo", "path"]
