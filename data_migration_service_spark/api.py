@@ -1159,6 +1159,23 @@ class EngineGroup:
             for name in self.engines:
                 self.spark.catalog.dropTempView(name)
 
+    def colocated_join(self, left: str, right: str, **kw) -> DataFrame:
+        """Bucket-aligned join of two co-located tables of the group
+        (tables/colocated.colocated_join) — the shuffle-free alternative
+        to joining the `sql()` views when both sides share layout columns
+        and bucket count. Raises with the misalignment reason otherwise,
+        so a caller can fall back to `sql()` knowingly."""
+        from data_migration_service_spark.tables.colocated import (
+            colocated_join,
+        )
+
+        for n in (left, right):
+            if n not in self.engines:
+                raise KeyError(f"unknown table '{n}' "
+                               f"(configured: {sorted(self.engines)})")
+        return colocated_join(self.engines[left].table,
+                              self.engines[right].table, **kw)
+
     def apply_all_atomic(self, batches: dict[str, DataFrame], epoch: int,
                          catalog_root: str) -> dict[str, Any]:
         """Apply ONE source transaction that fans out to several tables,

@@ -137,3 +137,23 @@ def test_bucket_cols_survive_lifecycle(rig, tmp_path):
     assert dt.current().bucket_cols == ["repo", "path"]
     clone = dt.clone_to(str(tmp_path / "clone"))
     assert clone.current().bucket_cols == ["repo", "path"]
+
+
+def test_engine_group_colocated_join(spark, rig, tmp_path):
+    """EngineGroup facade: two group tables sharing layout join aligned;
+    unknown names and misaligned pairs fail loudly."""
+    from data_migration_service_spark.api import EngineGroup
+
+    t, d, cfg = rig
+    group = EngineGroup(spark, {
+        "repos": cfg,
+        "chunks": EngineConfig(table_path=str(tmp_path / "chunks"),
+                               merge_mode="mor"),
+    })
+    j = group.colocated_join("repos", "chunks", on=["repo", "path"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert j.count() == t.read().join(
+        d.read().withColumnRenamed("lsn", "x"), ["repo", "path"]).count()
+    with pytest.raises(KeyError, match="unknown table"):
+        group.colocated_join("repos", "nope")
