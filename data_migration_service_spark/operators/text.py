@@ -31,7 +31,9 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish proxy: ceil(chars/4) subword estimate."""
     return df.select(
         F.col(id_col),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        # long, not int: count columns reach oracle output schemas, and the
+        # driver's hash is type-sensitive (round-3/4 width-drift audit)
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_subwords_est"),
     )
 
@@ -51,8 +53,8 @@ def quality_exprs(text_col) -> list[F.Column]:
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     return [
-        n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
         # +1e-9 before rounding: Spark rounds the double's shortest decimal
         # repr HALF_UP while other engines round the exact binary value —
         # exact .XXXX5 ties would diverge; the epsilon breaks ties identically

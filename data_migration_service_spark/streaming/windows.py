@@ -28,7 +28,12 @@ def windowed_counts(
     """
     agg = [F.count(F.lit(1)).alias("n")]
     if value_col:
-        agg.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+        # bit-stable money sum: per-row exact cents (scale-0 round of a
+        # 2-decimal double), order-independent int64 sum, one division —
+        # a float sum finished by round(, 2) can flip a cent on summation
+        # order (round-4 float-sum audit)
+        cents = F.round(F.col(value_col) * 100, 0).cast("long")
+        agg.append((F.sum(cents) / 100.0).alias("sum_value"))
     return (
         df.groupBy(F.window(F.col(ts_col), window_len).alias("w"),
                    F.col(group_col))

@@ -11,12 +11,14 @@ joined with its derived chunk table on every downstream read).
 
 `colocated_join` plans the join the way Iceberg's storage-partitioned
 join does: one join per common bucket over the two single-bucket reads,
-unioned. The per-bucket right side is broadcast (it is one bucket —
-1/n_buckets of a table; at the design layout ~6 GB/bucket tables this is
-the pruned-lookup/maintenance shape, not a full-table cross product), so
-the plan contains NO shuffle exchange at all on compacted tables: scan ⋈
-broadcast-scan per bucket. Delta-carrying buckets add only their own MOR
-reduce, still bucket-local.
+unioned. The per-bucket right side is broadcast when it fits a size gate
+(on-disk bytes from the manifest's file listing ≤ `broadcast_bytes_limit`
+— one bucket is 1/n_buckets of a table, so in the pruned-lookup/
+maintenance shape it always fits), making the plan shuffle-free on
+compacted tables: scan ⋈ broadcast-scan per bucket. An over-limit bucket
+falls back to a plain shuffled join for that pair alone — correct, and
+still bounded to one bucket's key space. Delta-carrying buckets add only
+their own MOR reduce, still bucket-local.
 
 Scale envelope — explicit, not silent:
 
@@ -74,6 +76,7 @@ def colocated_join(
     right_columns: list[str] | None = None,
     right_suffix: str = "_r",
     max_plan_buckets: int = 256,
+    broadcast_bytes_limit: int = 64 << 20,
 ) -> DataFrame:
     """Equi-join two co-located tables bucket-by-bucket, shuffle-free.
 
@@ -87,9 +90,18 @@ def colocated_join(
     composition (probe the keys, join only the hit buckets) and the
     batching lever once a full-table join exceeds `max_plan_buckets`.
 
+    Broadcast size gate: each right bucket is broadcast ONLY when its
+    on-disk footprint (base + delta parquet bytes, from the manifest's
+    file listing — no Spark job) is at most `broadcast_bytes_limit`;
+    past the limit that bucket-pair falls back to a plain shuffled join,
+    which stays correct and bucket-bounded — the same size-gate
+    discipline as operators/merge.maybe_broadcast_keys. Round-3 verdict:
+    the previous unconditional broadcast was an OOM at the module's own
+    ~6 GB/bucket design point.
+
     Pinned by tests/test_colocated.py: zero "Exchange hashpartitioning"
-    nodes on compacted sides, and result equality with the naive
-    shuffled join.
+    nodes on compacted sides, result equality with the naive shuffled
+    join, and the oversized-bucket fallback (result-equal, un-hinted).
     """
     lsnap, rsnap = left.current(), right.current()
     on = list(on) if on is not None else lsnap.layout_cols()
@@ -116,10 +128,12 @@ def colocated_join(
         for c in r.columns:
             if c in l.columns and c not in on:
                 r = r.withColumnRenamed(c, c + right_suffix)
-        # broadcast the right bucket: one bucket's rows, the small unit by
-        # construction — keeps the per-bucket join exchange-free on the
-        # (big) left scan
-        return l.join(F.broadcast(r), on, how)
+        # broadcast the right bucket only under the size gate: one bucket
+        # is the small unit by construction in the pruned-lookup shape,
+        # but an unconditional broadcast is an OOM on fat buckets
+        if right.bucket_bytes_estimate(rsnap, b) <= broadcast_bytes_limit:
+            r = F.broadcast(r)
+        return l.join(r, on, how)
 
     parts = [bucket_pair(b) for b in todo]
     if not parts:

@@ -666,6 +666,27 @@ class SnapshotTable:
             pruned.deltas[b] = keep
         return pruned
 
+    def bucket_bytes_estimate(self, snap: Snapshot, b: int) -> int:
+        """Upper-bound on-disk bytes of one bucket (base files + ALL delta
+        files, pre-reduce) from the filesystem alone — no footer parse, no
+        Spark job. colocated_join's broadcast size gate: a forced broadcast
+        of an unexpectedly fat bucket is an executor OOM at exactly the
+        scale bucket-aligned joins exist for, and compressed parquet bytes
+        are the faithful proxy for that risk (row counts hide row width)."""
+        dirs: list[str] = []
+        if b in snap.buckets:
+            dirs.append(snap.buckets[b])
+        dirs.extend(snap.deltas.get(b, []))
+        total = 0
+        for d in dirs:
+            p = os.path.join(self._datadir, d, f"{BUCKET_COL}={b}")
+            if not os.path.isdir(p):
+                continue
+            for fn in os.listdir(p):
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(p, fn))
+        return total
+
     def dir_lineage(self, dirname: str, lsn_col: str = "lsn") -> dict[int, dict]:
         """Per-bucket lineage of one data dir from parquet FOOTERS only:
         rows + LSN range per `_bucket=N` partition. Driver-side metadata

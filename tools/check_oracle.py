@@ -4,7 +4,17 @@ Runs every `queries()[name]` on Spark and its `oracle_sql()[name]` on DuckDB
 over the same sf dir, compares row count, column names, and an
 order-insensitive multiset of normalized rows. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+
+Default mode normalizes floats to 6 significant figures (round-3 lesson:
+that hid 4 driver hash mismatches). `--strict` reproduces the driver's
+type-sensitive hash discipline: full-precision float comparison (repr
+level, no tolerance) plus per-column pandas dtype comparison between the
+Spark (Arrow) and DuckDB result frames — this catches both drift classes
+the round-3 verdict identified: (a) un-cast integer aggregates reaching
+the oracle output schema (DuckDB HUGEINT vs Spark int64 → dtype
+mismatch), and (b) float-sum ULP drift landing on a rounding boundary
+(full-precision value mismatch).
 """
 
 from __future__ import annotations
@@ -42,9 +52,78 @@ def row_multiset(rows, cols):
     return Counter("\x1f".join(norm(r[i]) for i in order) for r in rows)
 
 
+def strict_norm(v):
+    """Full-precision, type-tagged scalar normalization (driver-faithful:
+    a one-ULP float difference or an int-vs-float cell must NOT collide)."""
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    if v is None:
+        return "<N>"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "f:nan" if math.isnan(f) else f"f:{f!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{int(v)}"
+    if isinstance(v, (np.integer, int)):
+        return f"i:{int(v)}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, (bytes, bytearray)):
+        return f"x:{bytes(v).hex()}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(strict_norm(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def _dtype_name(dt):
+    s = str(dt)
+    if s.startswith("datetime64"):
+        return "datetime64"  # ns-vs-us unit is a pandas artifact, not a type
+    # pandas nullable/object string flavors all read back as 'object'
+    return {"string": "object", "str": "object"}.get(s, s)
+
+
+def strict_compare(s_pdf, o_pdf):
+    """Compare two pandas frames the way the driver's typed hash would:
+    column-name-sorted, per-column dtype equality, exact cell values.
+    Returns a list of human-readable issue strings (empty == match)."""
+    import pandas as pd  # noqa: F401
+
+    issues = []
+    scols = sorted(c.lower() for c in s_pdf.columns)
+    ocols = sorted(c.lower() for c in o_pdf.columns)
+    if scols != ocols:
+        return [f"columns spark={scols} oracle={ocols}"]
+    s_pdf = s_pdf.rename(columns=str.lower)[scols]
+    o_pdf = o_pdf.rename(columns=str.lower)[scols]
+    for c in scols:
+        sd, od = _dtype_name(s_pdf[c].dtype), _dtype_name(o_pdf[c].dtype)
+        if sd != od:
+            issues.append(f"dtype[{c}] spark={sd} oracle={od}")
+    if len(s_pdf) != len(o_pdf):
+        issues.append(f"rows spark={len(s_pdf)} oracle={len(o_pdf)}")
+        return issues
+    ms = Counter("\x1f".join(strict_norm(v) for v in row)
+                 for row in s_pdf.itertuples(index=False, name=None))
+    mo = Counter("\x1f".join(strict_norm(v) for v in row)
+                 for row in o_pdf.itertuples(index=False, name=None))
+    if ms != mo:
+        only_s = list((ms - mo).items())[:3]
+        only_o = list((mo - ms).items())[:3]
+        issues.append(f"values spark-only={only_s} oracle-only={only_o}")
+    return issues
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(app_name="oracle-check", master="local[16]",
                       shuffle_partitions=16)
     con = duckdb.connect()
@@ -61,7 +140,9 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas() if strict else None
+            srows = ([tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
+                     if strict else [tuple(r) for r in sdf.collect()])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -72,10 +153,20 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [c.lower() for c in res.columns]
-            orows = res.fetchall()
+            o_pdf = res.df() if strict else None
+            orows = (None if strict else res.fetchall())
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        if strict:
+            issues = strict_compare(s_pdf, o_pdf)
+            if issues:
+                failures.append(name)
+                for msg in issues:
+                    print(f"FAIL  {name}: strict: {msg}")
+            else:
+                print(f"OK    {name}: {len(s_pdf)} rows (strict)")
             continue
         ok = True
         if sorted(c.lower() for c in scols) != sorted(ocols):
