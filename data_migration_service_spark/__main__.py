@@ -495,18 +495,18 @@ def _emit_rows(df, args, base: dict) -> int:
     driver); otherwise up to --limit rows are inlined in the JSON doc."""
     if getattr(args, "out", None):
         df.write.mode("overwrite").parquet(args.out)
+        # count the WRITTEN files, not the plan: re-executing df would run
+        # the full query a second time and could disagree with the output
+        # under a nondeterministic plan
+        n = df.sparkSession.read.parquet(args.out).count()
         print(json.dumps({**base, "out": args.out,
-                          "rows_written": spark_count(df)}, default=str))
+                          "rows_written": n}, default=str))
         return 0
     rows = df.limit(args.limit).collect()
     print(json.dumps({**base, "n_rows": len(rows), "limit": args.limit,
                       "rows": [r.asDict(recursive=True) for r in rows]},
                      default=str))
     return 0
-
-
-def spark_count(df) -> int:
-    return df.count()
 
 
 def cmd_changes(args) -> int:

@@ -335,6 +335,10 @@ class ReplayEngine:
                 for raw in t.column("record").to_pylist():
                     rec = json.loads(raw)
                     by_epoch[int(rec["epoch"])] = rec
+        if last is not None and len(names) >= last and not by_epoch:
+            # segments skipped: open only the N most recent JSON files —
+            # zero-padded epoch filenames keep lexical order == epoch order
+            names = names[-last:]
         for p in names:
             with open(os.path.join(d, p)) as f:
                 rec = json.load(f)

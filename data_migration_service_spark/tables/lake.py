@@ -79,8 +79,12 @@ def dir_gen(dirname: str) -> int:
     event at the same LSN would be resolved by scan encounter order —
     nondeterministic across runs."""
     if dirname.startswith("delta-"):
-        head = dirname[6:].split("-", 1)[0]
-        if head.isdigit():
+        # require the new-format '-' separator after the counter: a legacy
+        # single-segment dir named delta-<12-hex-uuid> whose hex happens to
+        # be all digits must read as legacy generation 0, not as a huge
+        # generation that beats every real delta at equal LSN
+        head, sep, _ = dirname[6:].partition("-")
+        if sep and head.isdigit():
             return int(head)
     return 0
 
@@ -438,8 +442,12 @@ class SnapshotTable:
                 df = df.unionByName(p)
         if has_delta and reduce:
             lsn_col = snap.props.get("lsn_col", "lsn")
+            # carry GEN_COL through the winner struct when the caller asked
+            # for it — previously a delta-carrying read silently dropped an
+            # explicit with_gen=True request on the reduce path
+            win_cols = out_cols + ([GEN_COL] if with_gen else [])
             winner = F.max_by(
-                F.struct(*[F.col(c) for c in out_cols]),
+                F.struct(*[F.col(c) for c in win_cols]),
                 F.struct(F.col(lsn_col), F.col(GEN_COL)),
             ).alias("_w")
             df = df.groupBy(*snap.key_cols).agg(winner).select("_w.*")

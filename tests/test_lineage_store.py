@@ -84,3 +84,24 @@ def test_status_and_blame_survive_compaction(spark, tmp_path):
         (r["repo"], r["path"]): list(r["epochs"])
         for r in eng.blame(ch.select("repo", "path").distinct()).collect()}
     assert blame_after == blame_before
+
+
+def test_lineage_last_opens_only_n_recent_files(spark, tmp_path, monkeypatch):
+    """Round-3 advisor item: lineage(last=N) with N covered by the JSON
+    tail must open only the N most recent files, not every JSON present
+    (zero-padded epoch filenames keep lexical order == epoch order)."""
+    eng = make_engine(spark, tmp_path)
+    rep = eng._replayer
+    for e in range(40):
+        rep._record_lineage(_fake_stats(e))
+    calls = {"n": 0}
+    real_load = json.load
+
+    def counting_load(f):
+        calls["n"] += 1
+        return real_load(f)
+
+    monkeypatch.setattr(json, "load", counting_load)
+    got = rep.lineage(last=5)
+    assert [r["epoch"] for r in got] == list(range(35, 40))
+    assert calls["n"] == 5

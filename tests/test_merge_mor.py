@@ -226,3 +226,32 @@ def test_equal_lsn_insert_beats_earlier_tombstone(spark, tmp_path):
     assert [r["content"] for r in t.read().collect()] == ["reborn"]
     compact(t, cfg)
     assert [r["content"] for r in t.read().collect()] == ["reborn"]
+
+
+def test_dir_gen_legacy_all_digit_uuid_reads_as_zero():
+    """Round-3 advisor item: a legacy single-segment delta dir whose
+    12-hex uuid happens to be all digits must parse as generation 0, not
+    as a 10^12-scale generation that would beat every new-format delta."""
+    from data_migration_service_spark.tables.lake import dir_gen
+
+    assert dir_gen("delta-123456789012") == 0          # legacy, all digits
+    assert dir_gen("delta-a1b2c3d4e5f6") == 0          # legacy, hex
+    assert dir_gen("delta-0000000007-a1b2c3d4e5f6") == 7  # new format
+    assert dir_gen("snap-0000000003-x") == 0
+
+
+def test_read_with_gen_and_reduce_keeps_gen_column(spark, tmp_path):
+    """Round-3 advisor item: read(with_gen=True, reduce=True) on a
+    delta-carrying table must return the winner's _gen, not silently
+    drop the requested column."""
+    from data_migration_service_spark.tables.lake import GEN_COL
+
+    t = make_table(spark, tmp_path, n_buckets=4)
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=4,
+                       merge_mode="mor", compact_threshold=10_000)
+    ch = gen_changes(spark, 300, n_repos=4, n_paths_per_repo=8).cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+    df = t.read(with_gen=True, reduce=True)
+    assert GEN_COL in df.columns
+    gens = {r[0] for r in df.select(GEN_COL).distinct().collect()}
+    assert gens and all(g >= 0 for g in gens)
