@@ -1141,7 +1141,20 @@ class EngineGroup:
         The MOR resolve runs under each view, so SQL sees exactly what
         `read()` returns: live rows, LWW winners. View registration is
         transient — the returned DataFrame's plan is already resolved, and
-        the views are dropped before returning."""
+        the views are dropped before returning.
+
+        Plan caveat — aligned joins: Catalyst cannot see the engine's
+        bucket layout through these views, so a plain-SQL equi-join
+        between co-located group tables pays one shuffle exchange per
+        side even though none is needed (true auto-routing needs a DSv2
+        source reporting its partitioning, i.e. Iceberg SPJ — out of
+        scope for parquet-dir views). The escape hatch is explicit:
+        `group.colocated_join(a, b, on=...)` for two tables and
+        `group.colocated_join_many([a, b, c], on=...)` for a chain —
+        both raise with the misalignment reason when the layouts do not
+        line up, so a caller can fall back to `sql()` knowingly.
+        Pinned by tests/test_colocated.py (3-table chain: zero Exchange,
+        equality with this method's naive plan)."""
         pins: dict[str, int] = {}
         if catalog_root is not None:
             from data_migration_service_spark.tables.txn import (
@@ -1175,6 +1188,22 @@ class EngineGroup:
                                f"(configured: {sorted(self.engines)})")
         return colocated_join(self.engines[left].table,
                               self.engines[right].table, **kw)
+
+    def colocated_join_many(self, names: list[str], **kw) -> DataFrame:
+        """Bucket-aligned join across N co-located group tables in one
+        pass (tables/colocated.colocated_join_many) — the shuffle-free
+        alternative to an N-way join over the `sql()` views. Raises with
+        the first misalignment reason otherwise."""
+        from data_migration_service_spark.tables.colocated import (
+            colocated_join_many,
+        )
+
+        for n in names:
+            if n not in self.engines:
+                raise KeyError(f"unknown table '{n}' "
+                               f"(configured: {sorted(self.engines)})")
+        return colocated_join_many(
+            [self.engines[n].table for n in names], **kw)
 
     def apply_all_atomic(self, batches: dict[str, DataFrame], epoch: int,
                          catalog_root: str) -> dict[str, Any]:

@@ -27,6 +27,15 @@ Scale envelope — explicit, not silent:
   bucket ranges — exactly how `rewrite_buckets` runs table-wide
   maintenance (a rolling background pass), and what a pruned lookup does
   naturally (its bucket set is already small).
+- Hot-bucket skew: an aligned join has NO shuffle to salt, so a bucket
+  holding half the table gets its parallelism from FILE-level splits —
+  the writer's `target_file_rows` prop and hot-bucket salt fan-out
+  (`write_buckets(salt_factor=)`) decide how many scan tasks the hot
+  bucket-pair fans across. Keep hot buckets multi-file (both knobs are
+  already exercised by the skew bench) and the pair never serializes
+  into one straggler task; on the shuffled (over-broadcast-limit)
+  fallback, AQE's skew-join split applies as usual. Pinned by
+  tests/test_colocated.py::test_hot_bucket_pair_parallelizes_by_file_splits.
 - On a real Iceberg deployment this function disappears into
   `spark.sql.sources.v2.bucketing.enabled` (SPJ); the engine-level
   contract (which joins are alignable) is identical.
@@ -139,4 +148,79 @@ def colocated_join(
     if not parts:
         # schema-correct empty result (e.g. empty tables)
         return bucket_pair(0).limit(0)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def colocated_join_many(
+    tables: list[SnapshotTable],
+    on: list[str] | None = None,
+    how: str = "inner",
+    buckets: list[int] | None = None,
+    columns: list[list[str] | None] | None = None,
+    max_plan_buckets: int = 256,
+    broadcast_bytes_limit: int = 64 << 20,
+) -> DataFrame:
+    """Bucket-aligned equi-join across N co-located tables in ONE pass.
+
+    The pairwise `colocated_join` composed naively (join(join(a, b), c))
+    re-plans bucket unions between steps; this folds all N single-bucket
+    reads per bucket instead — still zero shuffle exchanges on compacted
+    tables, one join tree per bucket, unioned. Every table must be
+    pairwise bucket-aligned on `on` (defaults to the first table's layout
+    columns); raises with the first misalignment reason otherwise — the
+    same contract `EngineGroup.sql` documents as its escape hatch for
+    plain-SQL joins over group views (which Catalyst cannot see the
+    manifest layout through, so they pay N-1 exchanges).
+
+    Non-join columns colliding with an earlier table's are renamed with
+    a positional `_rK` suffix (table k >= 1). `columns` optionally gives a
+    per-table scan projection (None = all). The per-bucket right sides
+    are broadcast under the same size gate as `colocated_join`.
+
+    Reference parity: none (engine-added scale feature).
+    """
+    if len(tables) < 2:
+        raise ValueError("colocated_join_many needs at least 2 tables")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    snaps = [t.current() for t in tables]
+    on = list(on) if on is not None else snaps[0].layout_cols()
+    for i, s in enumerate(snaps[1:], start=1):
+        reason = alignment(snaps[0], s, on)
+        if reason is not None:
+            raise ValueError(f"table {i} not bucket-aligned: {reason}")
+    if columns is None:
+        columns = [None] * len(tables)
+
+    pops = [_populated(s) for s in snaps]
+    todo = set(pops[0])
+    if how == "inner":
+        for p in pops[1:]:
+            todo &= p
+    todo = sorted(todo)
+    if buckets is not None:
+        todo = sorted(set(todo) & set(buckets))
+    if len(todo) > max_plan_buckets:
+        raise ValueError(
+            f"{len(todo)} bucket joins exceed max_plan_buckets="
+            f"{max_plan_buckets}; run in bucket ranges (pass buckets=)")
+
+    def bucket_tree(b: int) -> DataFrame:
+        acc = tables[0].read(snapshot=snaps[0], buckets=[b],
+                             columns=columns[0])
+        for k in range(1, len(tables)):
+            r = tables[k].read(snapshot=snaps[k], buckets=[b],
+                               columns=columns[k])
+            for c in r.columns:
+                if c in acc.columns and c not in on:
+                    r = r.withColumnRenamed(c, f"{c}_r{k}")
+            if tables[k].bucket_bytes_estimate(snaps[k], b) \
+                    <= broadcast_bytes_limit:
+                r = F.broadcast(r)
+            acc = acc.join(r, on, how)
+        return acc
+
+    parts = [bucket_tree(b) for b in todo]
+    if not parts:
+        return bucket_tree(0).limit(0)
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -189,3 +189,103 @@ def test_engine_group_colocated_join(spark, rig, tmp_path):
         d.read().withColumnRenamed("lsn", "x"), ["repo", "path"]).count()
     with pytest.raises(KeyError, match="unknown table"):
         group.colocated_join("repos", "nope")
+
+
+STATS_SQL = """
+SELECT repo, path, lsn, CAST(0 AS BIGINT) AS seq,
+       length(coalesce(content, '')) AS doc_chars
+FROM __source__
+"""
+
+
+def test_colocated_join_many_three_tables(spark, rig, tmp_path):
+    """Round-4 verdict item 7: a 3-table chain (source + two derived
+    tables sharing the source layout) joins bucket-aligned in one pass —
+    zero shuffle exchanges — and equals the naive shuffled 3-way join
+    that the same query over EngineGroup.sql views would produce."""
+    from data_migration_service_spark.api import EngineGroup
+    from data_migration_service_spark.tables.colocated import (
+        colocated_join_many,
+    )
+
+    t, d, cfg = rig
+    s = DerivedTable.create(spark, str(tmp_path / "stats"), t, STATS_SQL)
+    s.sync(t)
+    s.compact()
+
+    j = colocated_join_many([t, d.table, s.table], on=["repo", "path"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:4000]
+
+    naive = (
+        t.read()
+        .join(d.read().withColumnRenamed("lsn", "lsn_r1"), ["repo", "path"])
+        .join(s.read().withColumnRenamed("lsn", "lsn_r2")
+              .withColumnRenamed("seq", "seq_r2"), ["repo", "path"])
+    )
+    cols = sorted(naive.columns)
+    a, b = j.select(*cols), naive.select(*cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # group facade routes by name, and misalignment still fails loudly
+    group = EngineGroup(spark, {
+        "repos": cfg,
+        "chunks": EngineConfig(table_path=str(tmp_path / "chunks"),
+                               merge_mode="mor"),
+        "stats": EngineConfig(table_path=str(tmp_path / "stats"),
+                              merge_mode="mor"),
+    })
+    g = group.colocated_join_many(["repos", "chunks", "stats"],
+                                  on=["repo", "path"])
+    assert g.count() == a.count()
+    with pytest.raises(ValueError, match="not bucket-aligned"):
+        other = make_table(spark, tmp_path / "other16", n_buckets=16)
+        colocated_join_many([t, other], on=["repo", "path"])
+
+
+def test_hot_bucket_pair_parallelizes_by_file_splits(spark, tmp_path):
+    """Round-4 verdict item 8 (skew x colocated): an aligned join has no
+    shuffle to salt, so a bucket holding half the table must get its
+    parallelism from FILE-level splits instead. With target_file_rows
+    rolling the writer, the hot bucket's side of the join reads many
+    files (= many scan tasks), the plan stays exchange-free, and the
+    result equals the naive shuffled join on the same bucket."""
+    import pathlib
+
+    t = make_table(spark, tmp_path, n_buckets=4)
+    t.set_props(target_file_rows="100")
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=4,
+                       merge_mode="mor", compact_threshold=1)
+    ch = gen_changes(spark, 2000, n_repos=6, n_paths_per_repo=120).cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+    compact(t, cfg)
+    d = DerivedTable.create(spark, str(tmp_path / "chunks"), t, CHUNK_SQL)
+    d.table.set_props(target_file_rows="100")
+    d.sync(t)
+    d.compact()
+
+    # hottest bucket by on-disk bytes — the skew shape's stand-in
+    snap = t.current()
+    hot = max(range(4), key=lambda b: t.bucket_bytes_estimate(snap, b))
+
+    j = colocated_join(t, d.table, on=["repo", "path"], buckets=[hot])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:4000]
+    # parallelism inside the single hot bucket-pair: several file splits
+    # on each side, not one straggler task per side
+    left_files = [f for f in j.inputFiles() if "/repos/" in f]
+    right_files = [f for f in j.inputFiles() if "/chunks/" in f]
+    assert len(left_files) > 2, left_files
+    assert len(right_files) > 2, right_files
+
+    from data_migration_service_spark.tables.lake import bucket_expr
+    naive = (t.read().join(
+        d.read().withColumnRenamed("lsn", "lsn_r"), ["repo", "path"])
+        .where(bucket_expr(["repo", "path"], 4) == hot))
+    cols = sorted(naive.columns)
+    a, b = j.select(*cols), naive.select(*cols)
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
