@@ -159,6 +159,7 @@ def colocated_join_many(
     columns: list[list[str] | None] | None = None,
     max_plan_buckets: int = 256,
     broadcast_bytes_limit: int = 64 << 20,
+    snapshots: list[Snapshot] | None = None,
 ) -> DataFrame:
     """Bucket-aligned equi-join across N co-located tables in ONE pass.
 
@@ -176,6 +177,10 @@ def colocated_join_many(
     a positional `_rK` suffix (table k >= 1). `columns` optionally gives a
     per-table scan projection (None = all). The per-bucket right sides
     are broadcast under the same size gate as `colocated_join`.
+    `snapshots` pins each table to a specific snapshot (positional,
+    len == len(tables)) — `EngineGroup.sql(catalog_root=...)` routes
+    through here with the group-transaction pins so an aligned read is
+    exactly as consistent as the naive view read it replaces.
 
     Reference parity: none (engine-added scale feature).
     """
@@ -183,7 +188,10 @@ def colocated_join_many(
         raise ValueError("colocated_join_many needs at least 2 tables")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner or left, got {how!r}")
-    snaps = [t.current() for t in tables]
+    snaps = (list(snapshots) if snapshots is not None
+             else [t.current() for t in tables])
+    if len(snaps) != len(tables):
+        raise ValueError("snapshots must align 1:1 with tables")
     on = list(on) if on is not None else snaps[0].layout_cols()
     for i, s in enumerate(snaps[1:], start=1):
         reason = alignment(snaps[0], s, on)
