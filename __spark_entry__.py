@@ -352,6 +352,73 @@ FROM (
 """
 
 
+def _group_sql_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain SQL over EngineGroup views, routed bucket-aligned (round-5:
+    tables/sql_route.py): the user writes an ordinary equi-join between
+    the source table and its co-located chunk table and gets the
+    shuffle-free per-bucket plan automatically — `aligned="require"`
+    proves the routing engaged rather than silently falling back to the
+    shuffled view join. Oracle: the same per-repo aggregate over the
+    chunk transform of the LWW final state."""
+    from data_migration_service_spark.api import EngineGroup
+    from data_migration_service_spark.operators.merge import compact
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_gsql_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    d = DerivedTable.create(spark, os.path.join(root, "chunks"), t,
+                            _CHUNK_TRANSFORM_SQL, seq_col="seq")
+    cdc_apply(t, ch, cfg, epoch=0)
+    d.sync(t)
+    compact(t, cfg)
+    d.compact()
+    group = EngineGroup(spark, {
+        "repos": cfg,
+        "chunks": EngineConfig(table_path=os.path.join(root, "chunks"),
+                               n_buckets=16, merge_mode="mor"),
+    })
+    return group.sql(
+        "SELECT a.repo, count(1) AS n_chunks, "
+        "sum(length(b.chunk_text)) AS n_chars "
+        "FROM repos a JOIN chunks b ON a.repo = b.repo AND a.path = b.path "
+        "GROUP BY a.repo",
+        aligned="require",
+    )
+
+
+_GROUP_SQL_ALIGNED_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, lsn, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+)
+SELECT repo, CAST(count(1) AS BIGINT) AS n_chunks,
+       CAST(sum(length(substring(content, CAST(chunk_id * 8 + 1 AS INT), 8)))
+            AS BIGINT) AS n_chars
+FROM (
+  SELECT repo, path, content,
+         unnest(range(0, CAST(floor((length(content) - 1) / 8) AS INT) + 1))
+             AS chunk_id
+  FROM last
+  WHERE rn = 1 AND op <> 'delete' AND content IS NOT NULL
+        AND length(content) > 0
+)
+GROUP BY repo
+"""
+
+
 def _update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL UPDATE parity (Engine.update_where): replay the log, then
     UPDATE content = upper(content) WHERE repo = 'repo_3' as a CDC batch
@@ -2981,76 +3048,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator/query (SURVEY.md section 2 + the
     LLM-pipeline families). ORDER MATTERS: the driver hard-checks only the
-    FIRST 50 entries per round. Round-4 window policy (verdict item 5):
-    (a) the four round-3 hash failures, now fixed, stay windowed until the
-    driver proves them green; (b) every query whose values or output types
-    changed in round 4 (the bit-stable integer-cents rewrites and the
-    int64 count-column widening) is windowed so the driver re-proves it on
-    current code; (c) the rest of the window re-confirms the oldest
-    driver-green entries (last checked round 1/2) so no query's hard
-    signal is older than two rounds; (d) minhash_lsh_pairs_fast — rows-only
-    by design, the driver can never hash-check it — is rotated OUT of the
-    window so its slot buys real signal (its pair-identity with the
-    sha256 path stays pytest-pinned). Round-3-green entries whose code
-    paths did not change this round sit just past the window."""
+    FIRST 50 entries per round. Round-5 window policy (round-4 verdict
+    item 2 — evidence freshness): (a) all 39 queries that sat OUTSIDE the
+    round-4 window rotate in, led by `recheck_values` (last hash-green in
+    round 2) and the similarity/dedup tail (last checked round 3) — after
+    this round no query's latest driver check is older than two rounds;
+    (b) the four round-3 hash failures fixed in round 4 (merge_upsert,
+    pack_offsets, cube_doc_stats, debezium_roundtrip) stay in for one
+    confirming round; (c) the remaining slots hold the new round-5 query
+    (group_sql_aligned — plain SQL routed through the bucket-aligned
+    planner) plus the headline paths adjacent to this round's code
+    changes (colocated/lake, streaming windows value contract, CDC
+    apply). Round-4-green entries whose code paths did not change sit
+    just past the window."""
     return {
-        # --- round-3 hash failures, fixed in round 4: prove green ---
-        "merge_upsert": q_merge_upsert,
-        "pack_offsets": q_pack_offsets,
-        "cube_doc_stats": q_cube_doc_stats,
-        "debezium_roundtrip": q_debezium_roundtrip,
-        # --- values/types changed in round 4 (cents rewrite / int64) ---
-        "count_per_group": q_count_per_group,
-        "pricing_summary": q_pricing_summary,
-        "region_revenue": q_region_revenue,
-        "salted_hot_agg": q_salted_hot_agg,
-        "rollup_revenue": q_rollup_revenue,
-        "windowed_agg": q_windowed_agg,
-        "topk_per_group": q_topk_per_group,
-        "top_events_per_type": q_top_events_per_type,
-        "token_count": q_token_count,
-        "quality_score": q_quality_score,
-        "corpus_build": q_corpus_build,
-        # --- operators touched in round 4 (broadcast gate / lake) ---
-        "colocated_chunk_join": _colocated_chunk_join,
-        "cdc_replay_final_state": _replay_final_state,
-        "derived_chunks": _derived_chunks,
-        # --- oldest driver signal (round 1/2): re-confirm on new code ---
-        "distinct_keys": q_distinct_keys,
-        "verify_sample": q_verify_sample,
-        "bucket_verify_dirty": q_bucket_verify_dirty,
-        "bucket_verify_drilldown": q_bucket_verify_drilldown,
-        "numeric_quantiles": q_numeric_quantiles,
-        "mismatch_report": q_mismatch_report,
-        "anti_join_missing": q_anti_join_missing,
-        "semi_join_replay": q_semi_join_replay,
-        "canonical_projection": q_canonical_projection,
-        "epoch_lineage": q_epoch_lineage,
-        "sessionize": q_sessionize,
-        "lsn_gaps": q_lsn_gaps,
-        "range_count_windows": q_range_count_windows,
-        "stream_enrich": q_stream_enrich,
-        "hll_distinct_bound": q_hll_distinct_bound,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "dedup_exact": q_dedup_exact,
-        "chunk_documents": q_chunk_documents,
-        "embedding_sq_topk": q_embedding_sq_topk,
-        "embedding_pq_topk": q_embedding_pq_topk,
-        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "tf_idf_top_terms": q_tf_idf_top_terms,
-        "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
-        "budget_select": q_budget_select,
-        "corpus_shuffle": q_corpus_shuffle,
-        # --- headline CDC ops sharing code with the round-4 merge work ---
-        "merge_sync": q_merge_sync,
-        "lww_dedup": q_lww_dedup,
-        "hash_diff_status_counts": q_hash_diff_status_counts,
-        # ---------------- 50-entry window ends here ----------------
-        # --- round-3 driver-green, code paths unchanged this round ---
+        # --- stalest driver signal first: last hash-checked round 2 ---
+        "recheck_values": q_recheck_values,
+        # --- the similarity/dedup/text tail, last checked round 3 ---
         "repair_convergence": q_repair_convergence,
         "index_state": _index_state,
         "update_where": _update_where,
@@ -3058,7 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changefeed": _changefeed,
         "patch_final_state": q_patch_final_state,
         "row_hash_canonical": q_row_hash_canonical,
-        "recheck_values": q_recheck_values,
         "corpus_audit": q_corpus_audit,
         "redact_pii": q_redact_pii,
         "contamination": q_contamination,
@@ -3095,6 +3108,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tests/test_similarity.py::
         #  test_minhash_xxhash_fast_path_recovers_planted_dups)
         "minhash_lsh_pairs_fast": q_minhash_lsh_pairs_fast,
+        # --- round-4 fixes: one confirming round in the window ---
+        "merge_upsert": q_merge_upsert,
+        "pack_offsets": q_pack_offsets,
+        "cube_doc_stats": q_cube_doc_stats,
+        "debezium_roundtrip": q_debezium_roundtrip,
+        # --- new in round 5: SQL routed through the aligned planner ---
+        "group_sql_aligned": _group_sql_aligned,
+        # --- headline paths adjacent to this round's code changes ---
+        "cdc_replay_final_state": _replay_final_state,
+        "derived_chunks": _derived_chunks,
+        "colocated_chunk_join": _colocated_chunk_join,
+        "windowed_agg": q_windowed_agg,
+        "lww_dedup": q_lww_dedup,
+        "hash_diff_status_counts": q_hash_diff_status_counts,
+        # ---------------- 50-entry window ends here ----------------
+        # --- round-4 driver-green, code paths unchanged this round ---
+        "count_per_group": q_count_per_group,
+        "pricing_summary": q_pricing_summary,
+        "region_revenue": q_region_revenue,
+        "salted_hot_agg": q_salted_hot_agg,
+        "rollup_revenue": q_rollup_revenue,
+        "topk_per_group": q_topk_per_group,
+        "top_events_per_type": q_top_events_per_type,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "corpus_build": q_corpus_build,
+        "distinct_keys": q_distinct_keys,
+        "verify_sample": q_verify_sample,
+        "bucket_verify_dirty": q_bucket_verify_dirty,
+        "bucket_verify_drilldown": q_bucket_verify_drilldown,
+        "numeric_quantiles": q_numeric_quantiles,
+        "mismatch_report": q_mismatch_report,
+        "anti_join_missing": q_anti_join_missing,
+        "semi_join_replay": q_semi_join_replay,
+        "canonical_projection": q_canonical_projection,
+        "epoch_lineage": q_epoch_lineage,
+        "sessionize": q_sessionize,
+        "lsn_gaps": q_lsn_gaps,
+        "range_count_windows": q_range_count_windows,
+        "stream_enrich": q_stream_enrich,
+        "hll_distinct_bound": q_hll_distinct_bound,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "dedup_exact": q_dedup_exact,
+        "chunk_documents": q_chunk_documents,
+        "embedding_sq_topk": q_embedding_sq_topk,
+        "embedding_pq_topk": q_embedding_pq_topk,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "tf_idf_top_terms": q_tf_idf_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "budget_select": q_budget_select,
+        "corpus_shuffle": q_corpus_shuffle,
+        "merge_sync": q_merge_sync,
     }
 
 
@@ -3106,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         "index_state": _INDEX_STATE_SQL,
         "derived_chunks": _DERIVED_CHUNKS_SQL,
         "colocated_chunk_join": _COLOCATED_CHUNK_JOIN_SQL,
+        "group_sql_aligned": _GROUP_SQL_ALIGNED_SQL,
         "update_where": _UPDATE_WHERE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing

@@ -20,20 +20,31 @@ def windowed_counts(
     group_col: str,
     window_len: str = "1 hour",
     value_col: str | None = None,
+    value_scale: int | None = 2,
 ) -> DataFrame:
     """Tumbling-window counts (+ optional value sum) per group.
 
     Works on a static DataFrame (exact, oracle-checkable) or a streaming one
     (combine with `with_watermark` below before aggregating).
+
+    `sum_value` contract: `value_col` is summed as FIXED-POINT integers at
+    `value_scale` decimal places (default 2 — the money contract: per-row
+    exact cents, order-independent int64 sum, one final division; a float
+    sum finished by round(, 2) can flip a cent on summation order —
+    round-4 float-sum audit). Values with more than `value_scale` decimals
+    are rounded per row BEFORE summing. Callers aggregating non-money
+    values (latencies, ratios) must pass a `value_scale` that covers their
+    precision, or `value_scale=None` for a plain float sum (fastest, but
+    its low-order bits depend on partition order).
     """
     agg = [F.count(F.lit(1)).alias("n")]
     if value_col:
-        # bit-stable money sum: per-row exact cents (scale-0 round of a
-        # 2-decimal double), order-independent int64 sum, one division —
-        # a float sum finished by round(, 2) can flip a cent on summation
-        # order (round-4 float-sum audit)
-        cents = F.round(F.col(value_col) * 100, 0).cast("long")
-        agg.append((F.sum(cents) / 100.0).alias("sum_value"))
+        if value_scale is None:
+            agg.append(F.sum(F.col(value_col)).alias("sum_value"))
+        else:
+            unit = float(10 ** value_scale)
+            fixed = F.round(F.col(value_col) * unit, 0).cast("long")
+            agg.append((F.sum(fixed) / unit).alias("sum_value"))
     return (
         df.groupBy(F.window(F.col(ts_col), window_len).alias("w"),
                    F.col(group_col))
@@ -53,11 +64,13 @@ def streaming_windowed_counts(
     window_len: str = "1 hour",
     watermark: str = "10 minutes",
     value_col: str | None = None,
+    value_scale: int | None = 2,
 ) -> DataFrame:
     """Streaming variant: watermark bounds the window state store and
     finalizes windows once event time passes end + watermark; rows later
-    than that are dropped (documented late-data policy)."""
+    than that are dropped (documented late-data policy). `value_scale`:
+    see `windowed_counts` — the same fixed-point summation contract."""
     return windowed_counts(
         stream.withWatermark(ts_col, watermark),
-        ts_col, group_col, window_len, value_col,
+        ts_col, group_col, window_len, value_col, value_scale,
     )

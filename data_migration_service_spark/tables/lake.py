@@ -677,10 +677,12 @@ class SnapshotTable:
     def bucket_bytes_estimate(self, snap: Snapshot, b: int) -> int:
         """Upper-bound on-disk bytes of one bucket (base files + ALL delta
         files, pre-reduce) from the filesystem alone — no footer parse, no
-        Spark job. colocated_join's broadcast size gate: a forced broadcast
-        of an unexpectedly fat bucket is an executor OOM at exactly the
-        scale bucket-aligned joins exist for, and compressed parquet bytes
-        are the faithful proxy for that risk (row counts hide row width)."""
+        Spark job. NOTE: this is COMPRESSED size; broadcast OOM risk
+        scales with the decompressed in-memory size, which for text-heavy
+        buckets runs 5-20x larger — callers gating broadcasts must apply
+        an expansion factor (colocated.BROADCAST_EXPANSION does) rather
+        than compare these bytes against a memory limit directly
+        (round-4 advisor finding)."""
         dirs: list[str] = []
         if b in snap.buckets:
             dirs.append(snap.buckets[b])

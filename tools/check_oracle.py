@@ -120,10 +120,17 @@ def strict_compare(s_pdf, o_pdf):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--strict"]
-    strict = "--strict" in sys.argv[1:]
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    argv = [a for a in argv if a != "--strict"]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_spark(app_name="oracle-check", master="local[16]",
                       shuffle_partitions=16)
     con = duckdb.connect()
@@ -140,15 +147,21 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            # strict mode compares pandas frames directly; materializing
+            # row tuples as well would double the per-query iteration
             s_pdf = sdf.toPandas() if strict else None
-            srows = ([tuple(r) for r in s_pdf.itertuples(index=False, name=None)]
-                     if strict else [tuple(r) for r in sdf.collect()])
+            srows = (None if strict
+                     else [tuple(r) for r in sdf.collect()])
+            n_rows = len(s_pdf) if strict else len(srows)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "fail",
+                             "issues": [f"spark error: {e}"]}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle, rows-only)")
+            results[name] = {"status": "rows-only", "rows": n_rows}
+            print(f"rows  {name}: {n_rows} rows (no oracle, rows-only)")
             continue
         try:
             res = con.sql(oracles[name])
@@ -157,15 +170,19 @@ def main():
             orows = (None if strict else res.fetchall())
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "fail",
+                             "issues": [f"duckdb error: {e}"]}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         if strict:
             issues = strict_compare(s_pdf, o_pdf)
             if issues:
                 failures.append(name)
+                results[name] = {"status": "fail", "issues": issues}
                 for msg in issues:
                     print(f"FAIL  {name}: strict: {msg}")
             else:
+                results[name] = {"status": "ok", "rows": len(s_pdf)}
                 print(f"OK    {name}: {len(s_pdf)} rows (strict)")
             continue
         ok = True
@@ -183,10 +200,21 @@ def main():
                 print(f"FAIL  {name}: value mismatch; spark-only={diff_s} oracle-only={diff_o}")
                 ok = False
         if ok:
+            results[name] = {"status": "ok", "rows": len(srows)}
             print(f"OK    {name}: {len(srows)} rows")
         else:
+            results[name] = {"status": "fail"}
             failures.append(name)
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "strict": strict,
+                       "all_ok": not failures,
+                       "n_queries": len(results),
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
