@@ -226,6 +226,28 @@ def colocated_join_many(
             f"{len(todo)} bucket joins exceed max_plan_buckets="
             f"{max_plan_buckets}; run in bucket ranges (pass buckets=)")
 
+    # Small-side fast path: when EVERY non-first table fits the broadcast
+    # gate in TOTAL, the per-bucket split only adds plan overhead (one
+    # join node + one broadcast per bucket) — a single whole-table
+    # broadcast join is equally shuffle-free and schedules as one scan
+    # per table. Inner/left per-bucket unions and the whole-table join
+    # agree exactly (bucket intersection is an optimization, not a
+    # semantic), so results are identical; the per-bucket path remains
+    # for the only regime it exists for: sides too big to broadcast.
+    if buckets is None and all(
+        sum(t.bucket_bytes_estimate(s, b) for b in _populated(s))
+        * BROADCAST_EXPANSION <= broadcast_bytes_limit
+        for t, s in zip(tables[1:], snaps[1:])
+    ):
+        acc = tables[0].read(snapshot=snaps[0], columns=columns[0])
+        for k in range(1, len(tables)):
+            r = tables[k].read(snapshot=snaps[k], columns=columns[k])
+            for c in r.columns:
+                if c in acc.columns and c not in on:
+                    r = r.withColumnRenamed(c, f"{c}_r{k}")
+            acc = acc.join(F.broadcast(r), on, how)
+        return acc
+
     def bucket_tree(b: int) -> DataFrame:
         acc = tables[0].read(snapshot=snaps[0], buckets=[b],
                              columns=columns[0])

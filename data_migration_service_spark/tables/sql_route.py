@@ -299,6 +299,12 @@ def parse(sql: str) -> _Parsed:
                 {"group", "having", "order", "limit"} - {kw}))
     if c.peek() is not None:
         raise Unroutable(f"trailing tokens from {c.peek().text!r}")
+    # a subquery anywhere outside FROM would reference group tables by
+    # name, but the routed execution never registers the per-table views
+    # — refuse so the naive plan (which does) handles it
+    for clause in (p.select, p.where, p.group, p.having, p.order):
+        if any(_is_kw(t, "select") for t in clause):
+            raise Unroutable("subquery outside FROM is not routable")
     return p
 
 
@@ -369,7 +375,12 @@ def _rewrite(toks: list[_Tok], alias_pos: dict[str, int],
         if (t.kind == "id" and t.text.lower() not in _KEYWORDS
                 and (prev is None or prev.text != ".")
                 and (nxt is None or nxt.text != "(")
-                and (nxt is None or nxt.text != ".")
+                # ident followed by "." is either an alias (handled above)
+                # or a STRUCT column being field-accessed — the latter
+                # still needs the collision-rename mapping, so only skip
+                # it when it is not a known column
+                and (nxt is None or nxt.text != "."
+                     or t.text.lower() in col_owners)
                 and (prev is None or not _is_kw(prev, "as"))
                 and t.text.lower() not in skip_bare):
             owners = col_owners.get(t.text.lower(), [])

@@ -158,3 +158,16 @@ def test_string_literal_with_dot_is_not_rewritten(group):
     routed = group.sql(q)
     assert routed.where("p NOT LIKE '%.bak'").count() == 0
     _same_rows(routed, group.sql(q, aligned="off"))
+
+
+def test_subquery_falls_back_to_naive(group):
+    """A subquery outside FROM references group tables by NAME; only the
+    naive path registers those views, so routing must refuse and the
+    naive plan must serve the query."""
+    q = ("SELECT a.repo, a.path FROM repos a JOIN chunks b "
+         "ON a.repo = b.repo AND a.path = b.path "
+         "WHERE a.lsn IN (SELECT max(lsn) FROM repos)")
+    df = group.sql(q)  # auto: naive fallback, must not error
+    assert df.count() > 0
+    with pytest.raises(ValueError, match="subquery"):
+        group.sql(q, aligned="require")
