@@ -38,13 +38,24 @@ PKG = "data_migration_service_spark"
 
 
 def _defs(path: str) -> set[str]:
-    """Top-level function/class names + methods, one parse, no import."""
+    """Top-level function/class names + methods + module-level constants
+    (assigned names), one parse, no import — docs legitimately cite
+    constants like `colocated.BROADCAST_EXPANSION`."""
     with open(path) as f:
         tree = ast.parse(f.read())
     out: set[str] = set()
     for node in ast.walk(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             out.add(node.name)
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign):
+            targets = [node.target]
+        for t in targets:
+            if isinstance(t, ast.Name):
+                out.add(t.id)
     return out
 
 
