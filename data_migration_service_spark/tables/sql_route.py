@@ -193,6 +193,19 @@ def _parse_on(toks: list[_Tok], known_aliases: set[str],
               new_alias: str) -> list[str]:
     """Parse a conjunction of same-named qualified equalities; return the
     equality column names (lowercase, in appearance order)."""
+    # strip balanced parens wrapping the WHOLE condition:
+    # ON (a.k = b.k AND a.x = b.x)
+    while (len(toks) >= 2 and toks[0].text == "(" and toks[-1].text == ")"):
+        depth = 0
+        wraps = True
+        for i, t in enumerate(toks):
+            depth += (t.text == "(") - (t.text == ")")
+            if depth == 0 and i < len(toks) - 1:
+                wraps = False
+                break
+        if not wraps:
+            break
+        toks = toks[1:-1]
     conjs: list[list[_Tok]] = [[]]
     depth = 0
     for t in toks:

@@ -171,3 +171,11 @@ def test_subquery_falls_back_to_naive(group):
     assert df.count() > 0
     with pytest.raises(ValueError, match="subquery"):
         group.sql(q, aligned="require")
+
+
+def test_parenthesized_on_condition_routes(group, no_auto_broadcast):
+    q = ("SELECT a.repo, a.path, b.chunk_text FROM repos a JOIN chunks b "
+         "ON (a.repo = b.repo AND a.path = b.path)")
+    routed = group.sql(q, aligned="require")
+    assert "Exchange hashpartitioning" not in _plan(routed)
+    _same_rows(routed, group.sql(q, aligned="off"))
