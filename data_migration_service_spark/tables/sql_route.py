@@ -18,13 +18,20 @@ caller can demand routing with `aligned="require"` and get the precise
 refusal reason):
 
     SELECT <list>                      -- no top-level `*` / `t.*`
-    FROM t1 [AS a] JOIN t2 [AS b] ON a.k = b.k [AND ...]
-                   [JOIN t3 ...]       -- INNER joins only
+    FROM t1 [AS a] {JOIN | LEFT [OUTER] JOIN} t2 [AS b]
+         {ON a.k = b.k [AND ...] | USING (k, ...)}
+         [JOIN t3 ...]                 -- inner/left, uniform per chain
     [WHERE ...] [GROUP BY ...] [HAVING ...] [ORDER BY ...] [LIMIT n]
 
-with every ON clause a conjunction of same-named column equalities, the
-SAME equality set on every join, and that set covering the shared layout
-columns. Non-join columns that collide across tables are renamed
+with every ON clause a conjunction of same-named column equalities (or a
+USING column list), the SAME equality set on every join, and that set
+covering the shared layout columns. All joins in a chain must share one
+type (all inner or all LEFT). Under LEFT JOIN, a qualified reference to
+a RIGHT side's join key (b.k) refuses routing — it is NULL on unmatched
+rows while the merged key is not. When every join uses USING syntax,
+bare references to the join columns are legal (USING merges them),
+exactly as in plain Spark SQL. Non-join columns that collide across
+tables are renamed
 `{col}_r{k}` by `colocated_join_many` (k = 1-based table position in the
 FROM chain); qualified references in the outer clauses are rewritten to
 the post-join names, so `SELECT a.lsn, b.lsn FROM ...` keeps working.
@@ -94,6 +101,8 @@ class _Tok:
 class _Parsed:
     tables: list[tuple[str, str]] = field(default_factory=list)  # (name, alias)
     on_cols: list[str] = field(default_factory=list)
+    how: str = "inner"      # "inner" | "left" (uniform across the chain)
+    using: bool = False     # True when EVERY join used USING(...) syntax
     select: list[_Tok] = field(default_factory=list)
     where: list[_Tok] = field(default_factory=list)
     group: list[_Tok] = field(default_factory=list)
@@ -184,7 +193,7 @@ def _parse_relation(c: _Cursor) -> tuple[str, str]:
         alias = _unquote(c.next())
     elif (nxt is not None and nxt.kind in ("id", "qid")
           and not (nxt.kind == "id" and nxt.text.lower() in _JOIN_BREAKERS)
-          and not (nxt.kind == "id" and nxt.text.lower() == "on")):
+          and not (nxt.kind == "id" and nxt.text.lower() in ("on", "using"))):
         alias = _unquote(c.next())
     return name, alias
 
@@ -262,37 +271,85 @@ def parse(sql: str) -> _Parsed:
     p.tables.append(_parse_relation(c))
     aliases = {p.tables[0][1].lower()}
     joins: list[list[str]] = []
+    hows: list[str] = []
+    usings: list[bool] = []
     while True:
         t = c.peek()
-        if t is None:
-            break
-        if _is_kw(t, "inner"):
+        how = "inner"
+        if t is not None and _is_kw(t, "inner"):
             c.next()
             t = c.peek()
             if t is None or not _is_kw(t, "join"):
                 raise Unroutable("INNER must be followed by JOIN")
+        elif t is not None and _is_kw(t, "left"):
+            nxt = c.peek(1)
+            if nxt is not None and _is_kw(nxt, "outer"):
+                nxt = c.peek(2)
+            if nxt is not None and _is_kw(nxt, "join"):
+                c.next()
+                if _is_kw(c.peek(), "outer"):
+                    c.next()
+                how = "left"
+                t = c.peek()
         if t is not None and _is_kw(t, "join"):
             c.next()
             name, alias = _parse_relation(c)
             if alias.lower() in aliases:
                 raise Unroutable(f"duplicate alias {alias!r}")
-            c.expect_kw("on")
-            cond = c.take_until_kw(_JOIN_BREAKERS)
-            joins.append(_parse_on(cond, aliases | {alias.lower()},
-                                   alias.lower()))
+            nt = c.peek()
+            if nt is not None and _is_kw(nt, "using"):
+                c.next()
+                if c.next().text != "(":
+                    raise Unroutable("USING needs a parenthesized list")
+                cols: list[str] = []
+                while True:
+                    tok = c.next()
+                    if tok.kind not in ("id", "qid"):
+                        raise Unroutable(
+                            f"expected column in USING, got {tok.text!r}")
+                    cols.append(_unquote(tok).lower())
+                    sep = c.next()
+                    if sep.text == ")":
+                        break
+                    if sep.text != ",":
+                        raise Unroutable(
+                            f"expected , or ) in USING, got {sep.text!r}")
+                joins.append(cols)
+                usings.append(True)
+            else:
+                c.expect_kw("on")
+                cond = c.take_until_kw(_JOIN_BREAKERS)
+                joins.append(_parse_on(cond, aliases | {alias.lower()},
+                                       alias.lower()))
+                usings.append(False)
+            hows.append(how)
             p.tables.append((name, alias))
             aliases.add(alias.lower())
             continue
-        if t.kind == "id" and t.text.lower() in (
+        if how == "left":
+            raise Unroutable("LEFT must be followed by [OUTER] JOIN")
+        if t is not None and t.kind == "id" and t.text.lower() in (
                 "left", "right", "full", "cross", "natural", "semi",
                 "anti", "lateral", "union", "except", "intersect"):
-            raise Unroutable(f"{t.text.upper()} is not routable "
-                             f"(inner equi-joins only)")
-        if t.text == ",":
+            kind = t.text.upper()
+            nxt = c.peek(1)
+            if (t.text.lower() == "left" and nxt is not None
+                    and nxt.kind == "id"):
+                # plain LEFT [OUTER] JOIN routes; name the variant that
+                # does not (LEFT SEMI / LEFT ANTI)
+                kind = f"LEFT {nxt.text.upper()}"
+            raise Unroutable(f"{kind} is not routable "
+                             f"(inner/left equi-joins only)")
+        if t is not None and t.text == ",":
             raise Unroutable("comma join is not routable")
         break
     if len(p.tables) < 2:
         raise Unroutable("no join between group tables")
+    if len(set(hows)) > 1:
+        raise Unroutable(
+            "mixed INNER and LEFT joins in one chain are not routable")
+    p.how = hows[0]
+    p.using = all(usings)
     first = joins[0]
     for j in joins[1:]:
         if set(j) != set(first):
@@ -359,7 +416,8 @@ def _select_aliases(select: list[_Tok]) -> set[str]:
 def _rewrite(toks: list[_Tok], alias_pos: dict[str, int],
              cols_per_table: list[list[str]], on_lower: set[str],
              ren: dict[tuple[int, str], str],
-             skip_bare: set[str]) -> str:
+             skip_bare: set[str], using: bool = False,
+             how: str = "inner") -> str:
     col_owners: dict[str, list[int]] = {}
     for k, cols in enumerate(cols_per_table):
         for c in cols:
@@ -382,6 +440,15 @@ def _rewrite(toks: list[_Tok], alias_pos: dict[str, int],
             if col.lower() not in table_cols:
                 raise Unroutable(
                     f"{_unquote(t)}.{col} is not a column of that table")
+            if how == "left" and k >= 1 and col.lower() in on_lower:
+                # under LEFT JOIN the right side's join key is NULL on
+                # unmatched rows while the merged key is not — mapping
+                # b.k -> k would silently change results
+                raise Unroutable(
+                    f"right-side join-key reference "
+                    f"{_unquote(t)}.{col} under LEFT JOIN is not "
+                    f"routable (NULL semantics differ from the merged "
+                    f"key)")
             out.append(ren[(k, col.lower())])
             i += 3
             continue
@@ -397,10 +464,16 @@ def _rewrite(toks: list[_Tok], alias_pos: dict[str, int],
                 and (prev is None or not _is_kw(prev, "as"))
                 and t.text.lower() not in skip_bare):
             owners = col_owners.get(t.text.lower(), [])
-            # join keys are ambiguous too: the ORIGINAL query's ON-join
-            # keeps both sides' key columns, so plain Spark SQL rejects a
-            # bare reference — routing must not silently accept what the
-            # naive plan errors on
+            # join keys are ambiguous too under ON syntax: the ORIGINAL
+            # query's ON-join keeps both sides' key columns, so plain
+            # Spark SQL rejects a bare reference — routing must not
+            # silently accept what the naive plan errors on. USING
+            # syntax merges the key columns, making the bare reference
+            # legal in the original query — route it to the merged key.
+            if using and t.text.lower() in on_lower:
+                out.append(t.text)
+                i += 1
+                continue
             if len(owners) > 1:
                 raise Unroutable(
                     f"bare reference {t.text!r} is ambiguous across "
@@ -464,7 +537,8 @@ def route_aligned_sql(spark, engines: dict, query: str,
             raise Unroutable(f"join columns {missing} not in {names[k]}")
 
     try:
-        joined = colocated_join_many(tables, on=on_cols, snapshots=snaps)
+        joined = colocated_join_many(tables, on=on_cols, how=p.how,
+                                     snapshots=snaps)
     except ValueError as e:
         raise Unroutable(str(e)) from e
 
@@ -476,7 +550,8 @@ def route_aligned_sql(spark, engines: dict, query: str,
     # because _parse_relation defaults alias to the table name
     skip_bare = _select_aliases(p.select)
     rw = lambda toks: _rewrite(toks, alias_pos, cols_per_table,  # noqa: E731
-                               on_lower, ren, skip_bare)
+                               on_lower, ren, skip_bare,
+                               using=p.using, how=p.how)
     sel = rw(p.select)
     parts = [f"SELECT {sel} FROM __dms_aligned_src__"]
     if p.where:

@@ -118,8 +118,8 @@ def test_ambiguous_bare_reference_falls_back_to_naive_error(group):
 
 
 def test_require_surfaces_refusal_reasons(group):
-    with pytest.raises(ValueError, match="LEFT"):
-        group.sql("SELECT a.repo FROM repos a LEFT JOIN chunks b "
+    with pytest.raises(ValueError, match="RIGHT"):
+        group.sql("SELECT a.repo FROM repos a RIGHT JOIN chunks b "
                   "ON a.repo = b.repo AND a.path = b.path",
                   aligned="require")
     with pytest.raises(ValueError, match="not a group table"):
@@ -139,12 +139,55 @@ def test_require_surfaces_refusal_reasons(group):
 
 
 def test_auto_mode_falls_back_outside_envelope(group):
-    """A LEFT JOIN is outside the envelope: auto mode must run the naive
-    plan, not fail."""
+    """A RIGHT JOIN is outside the envelope: auto mode must run the
+    naive plan, not fail."""
     q = ("SELECT a.repo, a.path, b.chunk_text FROM repos a "
-         "LEFT JOIN chunks b ON a.repo = b.repo AND a.path = b.path")
+         "RIGHT JOIN chunks b ON a.repo = b.repo AND a.path = b.path")
     df = group.sql(q)
     assert df.count() >= group.sql(JOIN_SQL).count()
+
+
+def test_left_join_routes_and_matches_naive(group, no_auto_broadcast):
+    """LEFT JOIN routes (round-5 envelope extension): unmatched left
+    rows survive with NULL right columns, identical to the naive plan.
+    The chunk table misses empty-content docs, so unmatched rows exist."""
+    q = ("SELECT a.repo, a.path, a.content, b.chunk_text FROM repos a "
+         "LEFT JOIN chunks b ON a.repo = b.repo AND a.path = b.path")
+    routed = group.sql(q, aligned="require")
+    assert "Exchange hashpartitioning" not in _plan(routed)
+    naive = group.sql(q, aligned="off")
+    _same_rows(routed, naive)
+    assert routed.count() > group.sql(JOIN_SQL).count() or \
+        routed.where("chunk_text IS NULL").count() == \
+        naive.where("chunk_text IS NULL").count()
+
+
+def test_left_join_right_key_reference_refuses(group):
+    """b.repo under LEFT JOIN is NULL on unmatched rows — the merged key
+    is not; routing must refuse rather than silently rewrite."""
+    q = ("SELECT b.repo, a.path FROM repos a LEFT JOIN chunks b "
+         "ON a.repo = b.repo AND a.path = b.path")
+    with pytest.raises(ValueError, match="right-side join-key"):
+        group.sql(q, aligned="require")
+    # auto mode: naive serves it with true LEFT semantics
+    assert group.sql(q).where("repo IS NULL").count() >= 0
+
+
+def test_using_syntax_routes_with_bare_keys(group, no_auto_broadcast):
+    """USING merges the join columns, so bare key references are legal
+    in plain SQL — routing must accept and match the naive plan."""
+    q = ("SELECT repo, path, content, chunk_text "
+         "FROM repos JOIN chunks USING (repo, path)")
+    routed = group.sql(q, aligned="require")
+    assert "Exchange hashpartitioning" not in _plan(routed)
+    _same_rows(routed, group.sql(q, aligned="off"))
+
+
+def test_using_left_join_routes(group):
+    q = ("SELECT repo, path, content, chunk_text "
+         "FROM repos LEFT JOIN chunks USING (repo, path)")
+    _same_rows(group.sql(q, aligned="require"),
+               group.sql(q, aligned="off"))
 
 
 def test_single_table_sql_unaffected(group):

@@ -32,7 +32,7 @@ def test_as_alias_and_inner_keyword():
 
 @pytest.mark.parametrize("sql,reason", [
     ("SELECT * FROM t1 a JOIN t2 b ON a.k = b.k", "top-level"),
-    ("SELECT a.x FROM t1 a LEFT JOIN t2 b ON a.k = b.k", "LEFT"),
+    ("SELECT a.x FROM t1 a RIGHT JOIN t2 b ON a.k = b.k", "RIGHT"),
     ("SELECT a.x FROM t1 a CROSS JOIN t2 b", "CROSS"),
     ("SELECT a.x FROM t1 a, t2 b", "comma"),
     ("SELECT a.x FROM (SELECT 1) a JOIN t2 b ON a.k = b.k", "subquery"),
@@ -90,3 +90,17 @@ def test_simulate_renames_cascaded_collision():
         [["k", "x"], ["k", "x"], ["k", "x_r1"]], on_lower={"k"})
     assert ren[(1, "x")] == "x_r1"
     assert ren[(2, "x_r1")] == "x_r1_r2"
+
+
+def test_left_join_and_using_parse():
+    p = parse("SELECT a.x FROM t1 a LEFT OUTER JOIN t2 b ON a.k = b.k")
+    assert p.how == "left" and not p.using
+    p = parse("SELECT x FROM t1 JOIN t2 USING (k, j)")
+    assert p.how == "inner" and p.using and p.on_cols == ["k", "j"]
+    p = parse("SELECT x FROM t1 LEFT JOIN t2 USING (k)")
+    assert p.how == "left" and p.using
+    with pytest.raises(Unroutable, match="mixed"):
+        parse("SELECT a.x FROM t1 a JOIN t2 b ON a.k = b.k "
+              "LEFT JOIN t3 c ON a.k = c.k")
+    with pytest.raises(Unroutable, match="SEMI"):
+        parse("SELECT a.x FROM t1 a LEFT SEMI JOIN t2 b ON a.k = b.k")
