@@ -419,6 +419,76 @@ GROUP BY repo
 """
 
 
+def _group_sql_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN + USING through the aligned SQL router (round-5 envelope
+    extension): docs with no chunk rows (empty content) must survive
+    NULL-padded, and USING makes the bare key references legal — both
+    routed shuffle-free with `aligned="require"`. Oracle: the same LEFT
+    JOIN over the chunk transform of the LWW final state."""
+    from data_migration_service_spark.api import EngineGroup
+    from data_migration_service_spark.operators.merge import compact
+    from data_migration_service_spark.tables.derived import DerivedTable
+
+    ch = _derived_changes(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="dms_gsqll_")
+    t = SnapshotTable.create(spark, os.path.join(root, "repos"), schema,
+                             ["repo", "path"], 16)
+    cfg = EngineConfig(table_path=os.path.join(root, "repos"), n_buckets=16,
+                       salt_factor=1, merge_mode="mor")
+    d = DerivedTable.create(spark, os.path.join(root, "chunks"), t,
+                            _CHUNK_TRANSFORM_SQL, seq_col="seq")
+    cdc_apply(t, ch, cfg, epoch=0)
+    d.sync(t)
+    compact(t, cfg)
+    d.compact()
+    group = EngineGroup(spark, {
+        "repos": cfg,
+        "chunks": EngineConfig(table_path=os.path.join(root, "chunks"),
+                               n_buckets=16, merge_mode="mor"),
+    })
+    return group.sql(
+        "SELECT repo, count(1) AS n_rows, "
+        "CAST(sum(CASE WHEN chunk_text IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_unmatched "
+        "FROM repos LEFT JOIN chunks USING (repo, path) GROUP BY repo",
+        aligned="require",
+    )
+
+
+_GROUP_SQL_LEFT_SQL = _DERIVED_CHANGES_SQL + """
+, last AS (
+  SELECT repo, path, content, lsn, op,
+         row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+  FROM log
+), docs AS (
+  SELECT repo, path, content FROM last WHERE rn = 1 AND op <> 'delete'
+), chunks AS (
+  SELECT repo, path,
+         substring(content, CAST(chunk_id * 8 + 1 AS INT), 8) AS chunk_text
+  FROM (
+    SELECT repo, path, content,
+           unnest(range(0, CAST(floor((length(content) - 1) / 8) AS INT) + 1))
+               AS chunk_id
+    FROM docs
+    WHERE content IS NOT NULL AND length(content) > 0
+  )
+)
+SELECT repo, CAST(count(1) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN chunk_text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unmatched
+FROM docs LEFT JOIN chunks USING (repo, path)
+GROUP BY repo
+"""
+
+
 def _update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL UPDATE parity (Engine.update_where): replay the log, then
     UPDATE content = upper(content) WHERE repo = 'repo_3' as a CDC batch
@@ -3164,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "corpus_shuffle": q_corpus_shuffle,
         "merge_sync": q_merge_sync,
+        # round-5 envelope extension, past-window (strict-sweep checked)
+        "group_sql_left": _group_sql_left,
     }
 
 
@@ -3176,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
         "derived_chunks": _DERIVED_CHUNKS_SQL,
         "colocated_chunk_join": _COLOCATED_CHUNK_JOIN_SQL,
         "group_sql_aligned": _GROUP_SQL_ALIGNED_SQL,
+        "group_sql_left": _GROUP_SQL_LEFT_SQL,
         "update_where": _UPDATE_WHERE_SQL,
         # bootstrap+tail must land on the *identical* final state as a pure
         # replay of the full log — the handoff adds nothing and loses nothing
